@@ -1,0 +1,83 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: for each query dumped
+by graft.Verify, run its oracle SQL in DuckDB over the same parquet
+tables, sort columns by name, sort rows, and compare values.
+
+Usage: python3 scripts/selfcheck.py <sfDir> <verifyOutDir>
+"""
+import glob
+import json
+import os
+import sys
+
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # normalize dtypes to comparable forms
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = pd.to_datetime(df[c], utc=True).dt.tz_localize(None)
+        elif df[c].dtype == object:
+            df[c] = df[c].map(lambda v: str(v) if v is not None else None)
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    with open(os.path.join(out_dir, "oracle_sql.json")) as f:
+        oracles = json.load(f)
+
+    n_pass = n_fail = n_rows_only = 0
+    for qdir in sorted(glob.glob(os.path.join(out_dir, "*"))):
+        name = os.path.basename(qdir)
+        if not os.path.isdir(qdir):
+            continue
+        files = glob.glob(os.path.join(qdir, "*.parquet"))
+        if not files:
+            print(f"FAIL  {name}: no parquet output")
+            n_fail += 1
+            continue
+        got = con.sql(f"SELECT * FROM '{qdir}/*.parquet'").df()
+        if name not in oracles:
+            status = "ok" if len(got) > 0 else "EMPTY"
+            print(f"ROWS  {name}: {len(got)} rows ({status})")
+            n_rows_only += 1
+            continue
+        try:
+            exp = con.sql(oracles[name]).df()
+        except Exception as e:
+            print(f"FAIL  {name}: oracle error: {e}")
+            n_fail += 1
+            continue
+        g, e = normalize(got), normalize(exp)
+        if list(g.columns) != list(e.columns):
+            print(f"FAIL  {name}: columns {list(g.columns)} != {list(e.columns)}")
+            n_fail += 1
+            continue
+        if len(g) != len(e):
+            print(f"FAIL  {name}: rows {len(g)} != {len(e)}")
+            n_fail += 1
+            continue
+        try:
+            pd.testing.assert_frame_equal(g, e, check_dtype=False, check_exact=True)
+            print(f"PASS  {name}: {len(g)} rows")
+            n_pass += 1
+        except AssertionError as ex:
+            print(f"FAIL  {name}: value mismatch: {str(ex)[:500]}")
+            n_fail += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Readers for the driver-generated testdata tables (TESTDATA.md).
+  * Plain parquet scans — filters/projections applied by callers push
+  * down into the scan via Catalyst.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def read(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // Naive parquet timestamps (ms) read as TIMESTAMP under the UTC
+    // session (not NTZ) so timestamp functions apply uniformly; the
+    // events table's TIMESTAMP(NANOS) — unreadable by Spark's vectorized
+    // reader — comes in as raw nanos and is converted to a microsecond
+    // timestamp (integer `div`, exact: nanos exceed 2^53).
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events") df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
+
+  /** Register every table as a temp view so `spark.sql` passthrough
+    * statements see the same relation names the DuckDB oracle does. */
+  def registerViews(spark: SparkSession, sfDir: String): Unit =
+    all.foreach(n => read(spark, sfDir, n).createOrReplaceTempView(n))
+}

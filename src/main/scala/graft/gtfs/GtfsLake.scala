@@ -1,0 +1,78 @@
+package graft.gtfs
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructField, StructType}
+
+/** Relational core of the engine: the generic operations the reference
+  * implements imperatively on DuckDB, re-expressed as declarative
+  * DataFrame transformations so Catalyst plans them (pushdown, join
+  * strategy, AQE) and they scale out.
+  *
+  * Reference behaviors covered (see SURVEY.md §1):
+  *  - remove-by-pattern (ddb.py:75-91)          -> [[removeWhere]]
+  *  - cascading orphan removal (ddb.py:336-348) -> [[retainChildrenOf]] / [[GtfsFeed.removeDependentObjects]]
+  *  - subset merge / upsert (strategy/match_stop_id.py) -> [[upsert]]
+  *  - schema-aligned ingest (ddb.py:350-385)    -> [[alignToSchema]]
+  *  - SQL passthrough (ddb.py:260-264)          -> [[sql]]
+  */
+object GtfsLake {
+
+  /** Keep only rows NOT matching a SQL LIKE pattern on `column` —
+    * the complement of the reference's `DELETE ... WHERE x LIKE ?`.
+    * A plain filter: pushes down to the scan, no shuffle.
+    */
+  def removeWhere(df: DataFrame, column: Column, likePattern: String): DataFrame =
+    df.filter(!column.like(likePattern) || column.isNull)
+
+  /** Keep the child rows whose foreign key still has a parent —
+    * one level of the reference's cascading cleanup
+    * (`DELETE FROM child WHERE fk NOT IN (SELECT pk FROM parent)`,
+    * inverted to the surviving set). left_semi carries only the key
+    * column of the parent through the join; AQE broadcasts the parent
+    * side when the surviving key set is small.
+    */
+  def retainChildrenOf(child: DataFrame, fk: String, parent: DataFrame, pk: String): DataFrame =
+    child.join(parent.select(col(pk)).distinct(), child(fk) === col(pk), "left_semi")
+
+  /** Complement: the rows that would be cascade-deleted. */
+  def orphansOf(child: DataFrame, fk: String, parent: DataFrame, pk: String): DataFrame =
+    child.join(parent.select(col(pk)).distinct(), child(fk) === col(pk), "left_anti")
+
+  /** MERGE semantics of the reference's subset "drop" (match_stop_id
+    * strategy): rows present in `delta` update the matching base rows
+    * column-by-column (null delta values keep the base value), rows
+    * only in `delta` are inserted, rows only in `base` are kept.
+    * One shuffle on the key via a full-outer join.
+    */
+  def upsert(base: DataFrame, delta: DataFrame, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "upsert requires at least one key column")
+    val b = base.alias("graft_b")
+    val d = delta.alias("graft_d")
+    val cond = keys.map(k => col(s"graft_b.$k") <=> col(s"graft_d.$k")).reduce(_ && _)
+    val outCols = base.columns.map { c =>
+      if (delta.columns.contains(c)) coalesce(col(s"graft_d.$c"), col(s"graft_b.$c")).as(c)
+      else col(s"graft_b.$c").as(c)
+    }
+    b.join(d, cond, "full_outer").select(outCols.toIndexedSeq: _*)
+  }
+
+  /** Project/cast/null-fill a frame onto a target schema — the
+    * reference's CSV ingest keeps only columns the table declares and
+    * leaves missing ones null (ddb.py:350-385). Pure projection:
+    * column pruning reaches the scan, extra source columns are never
+    * read.
+    */
+  def alignToSchema(df: DataFrame, target: StructType): DataFrame = {
+    val present = df.columns.toSet
+    val cols = target.fields.map { case StructField(name, dt, _, _) =>
+      if (present.contains(name)) col(name).cast(dt).as(name)
+      else lit(null).cast(dt).as(name)
+    }
+    df.select(cols.toIndexedSeq: _*)
+  }
+
+  /** Arbitrary SQL over registered views (ddb.py:260-264). */
+  def sql(spark: SparkSession, statement: String): DataFrame =
+    spark.sql(statement)
+}
