@@ -11,10 +11,14 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.CoreQueries.defs
+    graft.queries.CoreQueries.defs ++
+      graft.queries.TextQueries.defs ++
+      graft.queries.VectorQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    graft.queries.CoreQueries.oracles
+    graft.queries.CoreQueries.oracles ++
+      graft.queries.TextQueries.oracles ++
+      graft.queries.VectorQueries.oracles
 }

@@ -1,0 +1,39 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over `array<float>`/`array<double>` embedding columns,
+  * composed from Spark's native higher-order functions — evaluated
+  * per-row inside the executor with no serialization boundary and no
+  * UDF. All arithmetic is double (IEEE, bit-identical to the DuckDB
+  * oracle's `list_cosine_similarity` on DOUBLE[]), folding
+  * left-to-right in array order.
+  */
+object VectorFunctions {
+
+  private def toDouble(v: Column): Column = v.cast("array<double>")
+
+  /** Σ aᵢ·bᵢ — left-to-right fold, double accumulator. */
+  def dotProduct(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(toDouble(a), toDouble(b), (x, y) => x * y),
+      lit(0.0),
+      (acc, x) => acc + x)
+
+  /** Σ aᵢ² */
+  def normSq(a: Column): Column = dotProduct(a, a)
+
+  def l2Norm(a: Column): Column = sqrt(normSq(a))
+
+  /** cos(a,b) = a·b / (|a|·|b|) — matches DuckDB list_cosine_similarity. */
+  def cosineSimilarity(a: Column, b: Column): Column =
+    dotProduct(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Squared euclidean distance. */
+  def l2DistanceSq(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(toDouble(a), toDouble(b), (x, y) => (x - y) * (x - y)),
+      lit(0.0),
+      (acc, x) => acc + x)
+}

@@ -1,0 +1,172 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** Deduplication operators for a 100 TB corpus. All candidate
+  * generation is blocked (hash buckets / LSH bands / label blocks) so
+  * no stage is ever an O(n²) cross join; shuffle keys are fixed-width
+  * hashes, never document bodies.
+  */
+object Dedup {
+
+  /** Exact dedup: one surviving row (minimum id) per distinct content.
+    * Groups on md5(content) + length — a 16-byte shuffle key instead
+    * of the document body — then keeps the min id per group.
+    * Returns (keep_id, n_copies) per distinct content.
+    */
+  def exact(df: DataFrame, id: Column, content: Column): DataFrame =
+    df.groupBy(md5(content).as("content_key"), length(content).as("content_len"))
+      .agg(min(id).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"))
+
+  /** Surviving rows after exact dedup (left-semi back-join keeps the
+    * plan free of wide-row shuffles).
+    */
+  def exactRows(df: DataFrame, id: Column, content: Column): DataFrame =
+    df.join(exact(df, id, content).select(col("keep_id")),
+      id === col("keep_id"), "left_semi")
+
+  /** MinHash + LSH near-duplicate pairs.
+    *
+    * shingle(k) → H minhashes (xxhash64 with per-function salt) →
+    * B bands of R rows hashed to a band key → self-join on
+    * (band, bandKey) for candidates → exact shingle-Jaccard verify.
+    * Shuffles O(B·n) tiny (doc_id, bandKey) rows; only candidate
+    * pairs ever see the shingle sets.
+    *
+    * Returns (id_a, id_b, jaccard) with id_a < id_b and
+    * jaccard >= threshold.
+    */
+  def minHashLsh(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      shingleK: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      threshold: Double = 0.7): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rows = numHashes / bands
+
+    val docs = df.select(id.cast("bigint").as("doc_id"),
+      TextAnalysis.wordShingles(text, shingleK).as("shingles"))
+
+    val sig = docs.withColumn("sig", array(
+      (0 until numHashes).map { i =>
+        array_min(transform(col("shingles"), s => xxhash64(concat(s, lit(s"#$i")))))
+      }: _*))
+
+    val banded = sig.select(col("doc_id"), explode(array(
+      (0 until bands).map { b =>
+        struct(lit(b).as("band"), xxhash64(slice(col("sig"), b * rows + 1, rows)).as("band_key"))
+      }: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.band_key").as("band_key"))
+
+    val candidates = banded.alias("x")
+      .join(banded.alias("y"),
+        col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+
+    verifyJaccard(candidates, docs, threshold)
+  }
+
+  /** Exact word-k-gram Jaccard over candidate pairs (the verify stage
+    * of MinHash-LSH, or standalone with an explicit blocking column).
+    */
+  private def verifyJaccard(candidates: DataFrame, docs: DataFrame, threshold: Double): DataFrame = {
+    val a = docs.select(col("doc_id").as("id_a"), col("shingles").as("sh_a"))
+    val b = docs.select(col("doc_id").as("id_b"), col("shingles").as("sh_b"))
+    candidates.join(a, "id_a").join(b, "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** N-gram Jaccard similarity pairs within a blocking key (e.g.
+    * source, language, or an LSH bucket) — never unblocked.
+    */
+  def ngramJaccard(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      blockBy: Column,
+      shingleK: Int = 3,
+      threshold: Double = 0.5): DataFrame = {
+    val docs = df.select(id.cast("bigint").as("doc_id"), blockBy.as("block"),
+      TextAnalysis.wordShingles(text, shingleK).as("shingles"))
+    val candidates = docs.select(col("doc_id").as("id_a"), col("block"))
+      .join(docs.select(col("doc_id").as("id_b"), col("block")), "block")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+    verifyJaccard(candidates, docs.drop("block"), threshold)
+  }
+
+  /** SimHash near-duplicate pairs: 64-bit signature from token hashes
+    * (per-bit vote), candidates via 4×16-bit chunk equality
+    * (pigeonhole: hamming<=3 pairs share a chunk), verified by exact
+    * hamming distance. One explode + one hash-agg + one narrow join.
+    */
+  def simHash(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      maxHamming: Int = 3): DataFrame = {
+    val sigs = simHashSignatures(df, id, text)
+
+    val chunks = sigs.select(col("doc_id"), col("simhash"), explode(array(
+      (0 until 4).map { c =>
+        struct(lit(c).as("chunk"),
+          (shiftrightunsigned(col("simhash"), c * 16) % 65536).as("chunk_val"))
+      }: _*)).as("cc"))
+      .select(col("doc_id"), col("simhash"), col("cc.chunk").as("chunk"), col("cc.chunk_val").as("chunk_val"))
+
+    chunks.alias("x").join(chunks.alias("y"),
+        col("x.chunk") === col("y.chunk") && col("x.chunk_val") === col("y.chunk_val") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** 64-bit SimHash signature per document. */
+  def simHashSignatures(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val toks = df.select(id.cast("bigint").as("doc_id"),
+        explode(split(trim(lower(text)), "\\s+")).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val voteCols = (0 until 64).map { i =>
+      sum(when(shiftrightunsigned(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"b$i")
+    }
+    val votes = toks.groupBy(col("doc_id")).agg(voteCols.head, voteCols.tail: _*)
+    votes.select(col("doc_id"),
+      (0 until 64).map(i => when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
+        .reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs, blocked by a coarse
+    * partition key (quantization cell / cluster label) so the pair
+    * join never crosses blocks.
+    */
+  def embeddingCosine(
+      df: DataFrame,
+      id: Column,
+      vec: Column,
+      blockBy: Column,
+      threshold: Double): DataFrame = {
+    val v = df.select(id.cast("bigint").as("vec_id"), blockBy.as("block"), vec.as("v"))
+    val a = v.select(col("vec_id").as("id_a"), col("block"), col("v").as("v_a"))
+    val b = v.select(col("vec_id").as("id_b"), col("block"), col("v").as("v_b"))
+    a.join(b, "block")
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos_sim", VectorFunctions.cosineSimilarity(col("v_a"), col("v_b")))
+      .filter(col("cos_sim") > threshold)
+      .select(col("id_a"), col("id_b"), col("cos_sim"))
+  }
+}

@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Baseline: brute-force cosine top-k — a single scan + per-row
+  * dot product + TakeOrderedAndProject (no global sort, no shuffle
+  * of the corpus).
+  *
+  * Scale path: random-hyperplane LSH bucketing — candidates restricted
+  * to the query's bucket (plus hamming-1 neighbor buckets for recall),
+  * so a 100 TB corpus probes |corpus|/2^planes vectors per query.
+  */
+object Similarity {
+
+  /** Brute-force cosine top-k against a single query vector carried in
+    * a one-row frame (broadcast). Returns (id, cos_sim) ordered desc.
+    */
+  def bruteForceTopK(
+      corpus: DataFrame,
+      id: Column,
+      vec: Column,
+      query: DataFrame, // one row, column "qv"
+      k: Int): DataFrame =
+    corpus.select(id.as("vec_id"), vec.as("v"))
+      .crossJoin(broadcast(query))
+      .select(col("vec_id"),
+        VectorFunctions.cosineSimilarity(col("v"), col("qv")).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+
+  /** Deterministic random hyperplanes (fixed seed — reproducible
+    * across sessions and executors).
+    */
+  def hyperplanes(dim: Int, nPlanes: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-bucket of a vector under the given hyperplanes: bit i set
+    * iff v·plane_i >= 0. Pure column expression.
+    */
+  def lshBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      when(VectorFunctions.dotProduct(vec, typedLit(p)) >= 0, shiftleft(lit(1L), i))
+        .otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** LSH-bucketed ANN top-k: score only vectors whose bucket is
+    * within hamming distance `probeHamming` of the query's bucket.
+    * With h planes this prunes the corpus ~2^h-fold at probeHamming=0.
+    */
+  def lshTopK(
+      corpus: DataFrame,
+      id: Column,
+      vec: Column,
+      query: DataFrame, // one row, column "qv"
+      k: Int,
+      dim: Int,
+      nPlanes: Int = 8,
+      probeHamming: Int = 1): DataFrame = {
+    val planes = hyperplanes(dim, nPlanes)
+    val bucketed = corpus.select(id.as("vec_id"), vec.as("v"),
+      lshBucket(vec, planes).as("bucket"))
+    val q = broadcast(query.select(col("qv"), lshBucket(col("qv"), planes).as("q_bucket")))
+    bucketed.join(q,
+        bit_count(col("bucket").bitwiseXOR(col("q_bucket"))) <= probeHamming)
+      .select(col("vec_id"),
+        VectorFunctions.cosineSimilarity(col("v"), col("qv")).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
+}

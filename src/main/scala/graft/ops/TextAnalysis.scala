@@ -1,0 +1,129 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline, as pure
+  * column expressions (codegen-friendly, no UDFs): token counting,
+  * quality flags, language ID, fingerprinting.
+  *
+  * Each operator has a DuckDB-SQL twin generated from the same
+  * definition so the oracle is parity-by-construction.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count: number of \s+-separated tokens of the
+    * trimmed text. (Both Spark `split` and DuckDB `string_split_regex`
+    * return a single empty token for empty input — count 1; callers
+    * wanting 0-for-empty can guard on length.)
+    */
+  def tokenCount(text: Column): Column =
+    size(split(trim(text), "\\s+")).cast("bigint")
+
+  def tokenCountSql(text: String): String =
+    s"length(string_split_regex(trim($text), '\\s+'))"
+
+  /** BPE-ish token count: alphabetic runs count 1, digits count 1
+    * each, any other non-space symbol counts 1 — a cheap proxy for
+    * subword tokenizers' behavior on numbers/punctuation.
+    */
+  val BpePattern = "[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"
+
+  def bpeTokenCount(text: Column): Column =
+    regexp_count(text, lit(BpePattern)).cast("bigint")
+
+  def bpeTokenCountSql(text: String): String =
+    s"length(regexp_extract_all($text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]'))"
+
+  /** Count of sentence-punctuation characters. */
+  def punctCount(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[.,!?;:]", ""))).cast("bigint")
+
+  def punctCountSql(text: String): String =
+    s"length($text) - length(regexp_replace($text, '[.,!?;:]', '', 'g'))"
+
+  /** Stopword hit count: number of words from `words` present in the
+    * space-padded lowercased text.
+    */
+  def stopwordHits(text: Column, words: Seq[String]): Column = {
+    val padded = concat(lit(" "), lower(text), lit(" "))
+    words.map(w => when(padded.like(s"% $w %"), 1).otherwise(0))
+      .reduce(_ + _).cast("bigint")
+  }
+
+  def stopwordHitsSql(text: String, words: Seq[String]): String =
+    words.map(w => s"CASE WHEN ' ' || lower($text) || ' ' LIKE '% $w %' THEN 1 ELSE 0 END")
+      .mkString("(", " + ", ")")
+
+  /** Stopword lists per language for the heuristic language ID.
+    * Picked for mutual exclusivity; tie-break order = list order.
+    */
+  val LangStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "with", "from"),
+    "de" -> Seq("der", "und", "von", "mit", "aus"),
+    "fr" -> Seq("le", "et", "de", "avec", "dans"),
+    "es" -> Seq("el", "y", "de", "con", "desde"))
+
+  /** Heuristic language ID: argmax of stopword hits (>=1 hit required,
+    * ties resolved by list order), else 'und'. Pure CASE cascade —
+    * identical logic emitted for the DuckDB oracle by [[langIdSql]].
+    */
+  def langId(text: Column): Column = {
+    val hits = LangStopwords.map { case (lang, ws) => lang -> stopwordHits(text, ws) }
+    // lang wins if its hits >= 1 and strictly greater than every
+    // earlier lang's hits and >= every later lang's hits
+    hits.zipWithIndex.foldRight(lit("und")) { case (((lang, h), i), elseCol) =>
+      val earlier = hits.take(i).map(_._2)
+      val later = hits.drop(i + 1).map(_._2)
+      val cond = (h >= 1) &&
+        earlier.map(e => h > e).foldLeft(lit(true))(_ && _) &&
+        later.map(l => h >= l).foldLeft(lit(true))(_ && _)
+      when(cond, lit(lang)).otherwise(elseCol)
+    }
+  }
+
+  def langIdSql(text: String): String = {
+    val hits = LangStopwords.map { case (lang, ws) => lang -> stopwordHitsSql(text, ws) }
+    val cases = hits.zipWithIndex.map { case ((lang, h), i) =>
+      val earlier = hits.take(i).map { case (_, e) => s"$h > $e" }
+      val later = hits.drop(i + 1).map { case (_, l) => s"$h >= $l" }
+      val conds = Seq(s"$h >= 1") ++ earlier ++ later
+      s"WHEN ${conds.mkString(" AND ")} THEN '$lang'"
+    }
+    s"CASE ${cases.mkString(" ")} ELSE 'und' END"
+  }
+
+  /** Quality flags (integer arithmetic only — oracle-exact):
+    * length in range, enough tokens, not all punctuation.
+    */
+  def qualityFlags(text: Column): (Column, Column, Column) = {
+    val lenOk = when(length(text).between(100, 20000), 1).otherwise(0).cast("bigint")
+    val tokOk = when(tokenCount(text) >= 20, 1).otherwise(0).cast("bigint")
+    val punctOk = when(punctCount(text) * 10 <= length(text), 1).otherwise(0).cast("bigint")
+    (lenOk, tokOk, punctOk)
+  }
+
+  /** Content fingerprint: md5 hex of the raw text (exact dedup key,
+    * identical in DuckDB).
+    */
+  def fingerprintMd5(text: Column): Column = md5(text)
+
+  /** 64-bit shingle fingerprint: min xxhash64 over word 3-grams —
+    * a cheap locality-ish doc signature (not DuckDB-expressible;
+    * spec-verified).
+    */
+  def shingleFingerprint(text: Column, k: Int = 3): Column = {
+    val shingles = wordShingles(text, k)
+    array_min(transform(shingles, s => xxhash64(s)))
+  }
+
+  /** Distinct word k-grams of the text as an array column. */
+  def wordShingles(text: Column, k: Int): Column = {
+    val tokens = split(trim(lower(text)), "\\s+")
+    val n = size(tokens)
+    val starts = sequence(lit(1), greatest(n - (k - 1), lit(1)))
+    array_distinct(
+      when(n >= k, transform(starts, i => concat_ws(" ", slice(tokens, i, lit(k)))))
+        .otherwise(array(concat_ws(" ", tokens))))
+  }
+}

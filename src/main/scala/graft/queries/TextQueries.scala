@@ -1,0 +1,125 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.{Dedup, TextAnalysis}
+
+/** Text-pipeline capability queries (SURVEY.md §2.C) over the
+  * documents table.
+  */
+object TextQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.read(s, dir, "documents")
+
+  /** documents ∪ planted near-duplicates (same text + a marker token,
+    * id + 1,000,000) — gives the near-dup detectors a deterministic
+    * ground truth to surface.
+    */
+  private def docsWithPlantedDups(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val dups = d.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" graftdup")).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    d.select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+      .union(dups)
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // C1: exact dedup — min-id survivor per distinct content.
+    "q_dedup_exact" -> { (s, dir) =>
+      Dedup.exact(docs(s, dir), col("doc_id"), col("text"))
+        .orderBy(col("keep_id"))
+    },
+
+    // C2: MinHash+LSH near-dup pairs over planted duplicates.
+    "q_dedup_minhash" -> { (s, dir) =>
+      Dedup.minHashLsh(docsWithPlantedDups(s, dir), col("doc_id"), col("text"),
+          shingleK = 3, numHashes = 16, bands = 4, threshold = 0.5)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // C3: SimHash near-dup pairs over planted duplicates.
+    "q_dedup_simhash" -> { (s, dir) =>
+      Dedup.simHash(docsWithPlantedDups(s, dir), col("doc_id"), col("text"), maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // C4: exact n-gram Jaccard within planted-dup candidate blocks.
+    "q_dedup_ngram" -> { (s, dir) =>
+      Dedup.ngramJaccard(docsWithPlantedDups(s, dir), col("doc_id"), col("text"),
+          blockBy = col("doc_id") % 1000000L, shingleK = 3, threshold = 0.5)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // C8: heuristic language ID (stopword argmax CASE cascade).
+    "q_lang_id" -> { (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_pred"))
+        .orderBy(col("doc_id"))
+    },
+
+    // C9: quality flags (integer arithmetic only).
+    "q_text_quality" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val (lenOk, tokOk, punctOk) = TextAnalysis.qualityFlags(col("text"))
+      d.select(col("doc_id"),
+          lenOk.as("len_ok"), tokOk.as("tok_ok"), punctOk.as("punct_ok"),
+          (lenOk + tokOk + punctOk).as("quality_score"))
+        .orderBy(col("doc_id"))
+    },
+
+    // C10: token counting — whitespace + BPE-ish regex.
+    "q_token_count" -> { (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          TextAnalysis.bpeTokenCount(col("text")).as("n_bpe_tokens"),
+          length(col("text")).cast("bigint").as("n_chars_exact"))
+        .orderBy(col("doc_id"))
+    },
+
+    // C11: content fingerprint (md5; the shingle fingerprint is
+    // spec-verified — not DuckDB-expressible).
+    "q_fingerprint" -> { (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), TextAnalysis.fingerprintMd5(col("text")).as("fp_md5"))
+        .orderBy(col("doc_id"))
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text), length(text) ORDER BY keep_id""".stripMargin,
+
+    "q_lang_id" ->
+      s"""SELECT doc_id, ${TextAnalysis.langIdSql("text")} AS lang_pred
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_text_quality" ->
+      s"""SELECT doc_id,
+         | CASE WHEN length(text) BETWEEN 100 AND 20000 THEN 1 ELSE 0 END AS len_ok,
+         | CASE WHEN ${TextAnalysis.tokenCountSql("text")} >= 20 THEN 1 ELSE 0 END AS tok_ok,
+         | CASE WHEN (${TextAnalysis.punctCountSql("text")}) * 10 <= length(text) THEN 1 ELSE 0 END AS punct_ok,
+         | (CASE WHEN length(text) BETWEEN 100 AND 20000 THEN 1 ELSE 0 END
+         |  + CASE WHEN ${TextAnalysis.tokenCountSql("text")} >= 20 THEN 1 ELSE 0 END
+         |  + CASE WHEN (${TextAnalysis.punctCountSql("text")}) * 10 <= length(text) THEN 1 ELSE 0 END) AS quality_score
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_token_count" ->
+      s"""SELECT doc_id,
+         | ${TextAnalysis.tokenCountSql("text")} AS n_tokens,
+         | ${TextAnalysis.bpeTokenCountSql("text")} AS n_bpe_tokens,
+         | length(text) AS n_chars_exact
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_fingerprint" ->
+      """SELECT doc_id, md5(text) AS fp_md5 FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

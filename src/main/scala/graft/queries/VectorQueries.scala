@@ -1,0 +1,79 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.{Dedup, Multimodal, Similarity}
+
+/** Vector-search and multimodal capability queries (SURVEY.md §2.C)
+  * over the embeddings/documents tables.
+  */
+object VectorQueries {
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.read(s, dir, "embeddings")
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // C6: brute-force cosine top-k vs the vec_id=0 query vector.
+    "q_ann_topk" -> { (s, dir) =>
+      val e = emb(s, dir)
+      val query = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      Similarity.bruteForceTopK(e.filter(col("vec_id") =!= 0),
+          col("vec_id"), col("embedding"), query, k = 50)
+        .select(col("vec_id"), round(col("cos_sim"), 4).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+    },
+
+    // C7: LSH-bucketed ANN (scale path; recall spec vs C6).
+    "q_ann_lsh" -> { (s, dir) =>
+      val e = emb(s, dir)
+      val query = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      Similarity.lshTopK(e.filter(col("vec_id") =!= 0),
+          col("vec_id"), col("embedding"), query, k = 50, dim = 64,
+          nPlanes = 8, probeHamming = 2)
+        .select(col("vec_id"), round(col("cos_sim"), 4).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+    },
+
+    // C5: embedding-cosine near-dup pairs blocked by label.
+    "q_dedup_embedding" -> { (s, dir) =>
+      Dedup.embeddingCosine(emb(s, dir), col("vec_id"), col("embedding"),
+          blockBy = col("label"), threshold = 0.2)
+        .select(col("id_a"), col("id_b"), round(col("cos_sim"), 4).as("cos_sim"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // C12: multimodal plumbing — binary payloads through the
+    // per-partition batch extractor; n_bytes oracled via octet_length.
+    "q_multimodal_meta" -> { (s, dir) =>
+      val media = Multimodal.packBinary(
+        Tables.read(s, dir, "documents"), col("doc_id"), col("text"), "text/plain")
+      Multimodal.extractFeatures(media, dim = 8).toDF()
+        .select(col("media_id"), col("media_type"), col("n_bytes"))
+        .orderBy(col("media_id"))
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_ann_topk" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id,
+        |  round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST(qv AS DOUBLE[])), 4) AS cos_sim
+        |FROM embeddings, q WHERE vec_id <> 0
+        |ORDER BY cos_sim DESC, vec_id LIMIT 50""".stripMargin,
+
+    "q_dedup_embedding" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS cos_sim
+        |FROM embeddings a JOIN embeddings b
+        |  ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) > 0.2
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_multimodal_meta" ->
+      """SELECT doc_id AS media_id, 'text/plain' AS media_type,
+        |  octet_length(encode(text)) AS n_bytes
+        |FROM documents ORDER BY media_id""".stripMargin
+  )
+}
