@@ -32,12 +32,16 @@ object GtfsLake {
     * column of the parent through the join; AQE broadcasts the parent
     * side when the surviving key set is small.
     */
-  def retainChildrenOf(child: DataFrame, fk: String, parent: DataFrame, pk: String): DataFrame =
-    child.join(parent.select(col(pk)).distinct(), child(fk) === col(pk), "left_semi")
+  def retainChildrenOf(child: DataFrame, fk: String, parent: DataFrame, pk: String): DataFrame = {
+    val keys = parent.select(col(pk).as("graft_pk")).distinct()
+    child.join(keys, child(fk) === keys("graft_pk"), "left_semi")
+  }
 
   /** Complement: the rows that would be cascade-deleted. */
-  def orphansOf(child: DataFrame, fk: String, parent: DataFrame, pk: String): DataFrame =
-    child.join(parent.select(col(pk)).distinct(), child(fk) === col(pk), "left_anti")
+  def orphansOf(child: DataFrame, fk: String, parent: DataFrame, pk: String): DataFrame = {
+    val keys = parent.select(col(pk).as("graft_pk")).distinct()
+    child.join(keys, child(fk) === keys("graft_pk"), "left_anti")
+  }
 
   /** MERGE semantics of the reference's subset "drop" (match_stop_id
     * strategy): rows present in `delta` update the matching base rows

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Dedup, Multimodal, Similarity}
+import graft.ops.{Dedup, IvfIndex, Multimodal, Similarity}
 
 /** Vector-search and multimodal capability queries (SURVEY.md §2.C)
   * over the embeddings/documents tables.
@@ -31,7 +31,20 @@ object VectorQueries {
       val query = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
       Similarity.lshTopK(e.filter(col("vec_id") =!= 0),
           col("vec_id"), col("embedding"), query, k = 50, dim = 64,
-          nPlanes = 8, probeHamming = 2)
+          nPlanes = 6, probeHamming = 3)
+        .select(col("vec_id"), round(col("cos_sim"), 4).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+    },
+
+    // C7b: IVF ANN — k-means cells, probe half the cells.
+    "q_ann_ivf" -> { (s, dir) =>
+      val e = emb(s, dir)
+      val corpus = e.filter(col("vec_id") =!= 0)
+      val qv = e.filter(col("vec_id") === 0)
+        .select(col("embedding")).first().getSeq[Float](0).map(_.toDouble).toArray
+      val model = IvfIndex.fit(corpus, col("vec_id"), col("embedding"), k = 8, iters = 5)
+      val assigned = IvfIndex.assign(corpus, col("vec_id"), col("embedding"), model)
+      IvfIndex.topK(assigned, qv, k = 50, model, nProbe = 4)
         .select(col("vec_id"), round(col("cos_sim"), 4).as("cos_sim"))
         .orderBy(col("cos_sim").desc, col("vec_id"))
     },

@@ -1,0 +1,90 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming re-expression of the reference's realtime
+  * server state (realtime.py + ddb.py realtime queues): a continuous
+  * stream of entity updates maintained as a latest-state store with
+  * TTL eviction.
+  *
+  * The reference polls queues every 15 s, delete-then-inserts the
+  * latest version of each entity, and deletes entities unseen for
+  * `data_review_seconds`. Here that is `flatMapGroupsWithState`
+  * keyed by entity id: state = newest update per key, processing-time
+  * timeout = TTL. State is O(live keys) — stream volume never
+  * accumulates.
+  */
+object RealtimeStateStream {
+
+  /** A generic realtime entity update (trip update / vehicle position
+    * / alert all reduce to this for state purposes).
+    */
+  case class EntityUpdate(entityId: String, timestamp: Long, payload: String, isDeleted: Boolean)
+
+  /** Current state emitted downstream on every change. */
+  case class EntityState(entityId: String, timestamp: Long, payload: String)
+
+  /** Fold a micro-batch of updates into per-key state:
+    *  - newest timestamp wins (late/duplicate updates ignored),
+    *  - is_deleted removes the entity (adapter/gtfsrt.py:49-51),
+    *  - TTL timeout evicts idle entities (ddb.py:282-293).
+    */
+  def updateState(ttlMs: Option[Long])(
+      key: String,
+      updates: Iterator[EntityUpdate],
+      state: GroupState[EntityState]): Iterator[EntityState] = {
+    if (state.hasTimedOut) {
+      state.remove()
+      Iterator.empty
+    } else {
+      val incoming = updates.toSeq
+      val deleted = incoming.exists(_.isDeleted)
+      val newest = (incoming.filterNot(_.isDeleted).map(u => EntityState(u.entityId, u.timestamp, u.payload)) ++
+        state.getOption.toSeq).sortBy(-_.timestamp).headOption
+      if (deleted) {
+        state.remove()
+        Iterator.empty
+      } else newest match {
+        case Some(s) =>
+          state.update(s)
+          ttlMs.foreach(state.setTimeoutDuration)
+          Iterator.single(s)
+        case None => Iterator.empty
+      }
+    }
+  }
+
+  /** Wire a stream of updates into the latest-state store.
+    * ttlMs=None disables eviction (useful for bounded test streams —
+    * processing-time timeouts keep scheduling wake-up batches).
+    */
+  def latestStateStream(
+      spark: SparkSession,
+      updates: Dataset[EntityUpdate],
+      ttlMs: Option[Long] = Some(2 * 60 * 60 * 1000L)): Dataset[EntityState] = {
+    import spark.implicits._
+    val timeout =
+      if (ttlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+    updates
+      .groupByKey(_.entityId)
+      .flatMapGroupsWithState(OutputMode.Update, timeout)(updateState(ttlMs))
+  }
+
+  /** Watermarked tumbling-window aggregation over an event stream —
+    * the monitoring-counter shape (B2). Append mode: windows close
+    * once the watermark passes.
+    */
+  def windowedCounts(
+      events: org.apache.spark.sql.DataFrame,
+      tsCol: String,
+      typeCol: String,
+      windowLen: String = "1 hour",
+      watermark: String = "10 minutes"): org.apache.spark.sql.DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen), col(typeCol))
+      .agg(count(lit(1)).as("n"), min(col("value")).as("min_value"), max(col("value")).as("max_value"))
+}

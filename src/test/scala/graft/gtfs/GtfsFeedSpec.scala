@@ -1,0 +1,121 @@
+package graft.gtfs
+
+import java.time.LocalDate
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class GtfsFeedSpec extends AnyFunSuite with SparkTestBase {
+
+  private lazy val feed = GtfsFeed.loadStatic(spark, GtfsFixture.writeTo().toString)
+
+  test("loadStatic aligns schema: unknown columns dropped, missing columns null") {
+    val routes = feed.table("routes")
+    assert(routes.columns.toSeq == GtfsSchemas.routes.fieldNames.toSeq)
+    assert(!routes.columns.contains("bogus_extra_col"))
+    assert(routes.count() == 3)
+    // missing column present as null
+    assert(routes.filter(col("route_long_name").isNull).count() == 3)
+    // typed: route_type is int
+    assert(routes.schema("route_type").dataType.typeName == "integer")
+  }
+
+  test("removeAgencies cascades through routes/trips/stop_times/stops/calendar") {
+    val after = feed.removeAgencies("ag2")
+    assert(after.table("agency").count() == 1)
+    assert(after.table("routes").select("route_id").collect().map(_.getString(0)).toSet == Set("r1", "r2"))
+    assert(after.table("trips").select("trip_id").collect().map(_.getString(0)).toSet == Set("t1", "t2", "t3"))
+    // t4's stop_times gone
+    assert(after.table("stop_times").filter(col("trip_id") === "t4").count() == 0)
+    // all remaining stops still referenced; ghost station (no children) removed
+    val stops = after.table("stops").select("stop_id").collect().map(_.getString(0)).toSet
+    assert(!stops.contains("st2"))
+    assert(stops.contains("st1")) // still has child s1
+    // transfer rows referencing dropped route r9/trip t9 removed
+    assert(after.table("transfers").count() == 1)
+  }
+
+  test("removeTrips by pattern keeps unrelated objects") {
+    val after = feed.removeTrips("t1")
+    assert(after.table("trips").count() == 3)
+    assert(after.table("stop_times").filter(col("trip_id") === "t1").count() == 0)
+  }
+
+  test("activeServices resolves calendar range + weekday + exceptions") {
+    // 2024-01-08 is a Monday: wk matches calendar but is removed by
+    // exception; we is added by exception
+    val ids = feed.activeServices(LocalDate.of(2024, 1, 8))
+      .collect().map(_.getString(0)).toSet
+    assert(ids == Set("we"))
+    // a regular Tuesday: only wk
+    val tue = feed.activeServices(LocalDate.of(2024, 1, 9))
+      .collect().map(_.getString(0)).toSet
+    assert(tue == Set("wk"))
+  }
+
+  test("nominalOperationDayTrips joins trips with first stop times") {
+    val trips = feed.nominalOperationDayTrips(LocalDate.of(2024, 1, 9), fullTrips = false)
+    val rows = trips.select("trip_id", "stop_id").collect().map(r => (r.getString(0), r.getString(1)))
+    assert(rows.toSet == Set(("t1", "s1"), ("t2", "s3"), ("t4", "s4")))
+    val full = feed.nominalOperationDayTrips(LocalDate.of(2024, 1, 9), fullTrips = true)
+    assert(full.count() == 7) // t1:3 + t2:2 + t4:2
+  }
+
+  test("monitorTrips flags realtime availability") {
+    import spark.implicits._
+    val rt = Seq(("tu1", "t1", java.sql.Timestamp.valueOf("2024-01-09 08:05:00")))
+      .toDF("trip_update_id", "trip_id", "last_updated_timestamp")
+    val mon = feed.monitorTrips(LocalDate.of(2024, 1, 9), rt).df
+    val byTrip = mon.select("trip_id", "realtime_available").collect()
+      .map(r => (r.getString(0), r.getBoolean(1))).toMap
+    assert(byTrip == Map("t1" -> true, "t2" -> false, "t4" -> false))
+    // ordered by departure time
+    assert(mon.select("start_time").collect().map(_.getString(0)).toSeq ==
+      Seq("08:00:00", "09:00:00", "11:00:00"))
+    // realtimeOnly filter
+    assert(feed.monitorTrips(LocalDate.of(2024, 1, 9), rt).realtimeOnly.df.count() == 1)
+  }
+
+  test("dropSubset upserts stops and appends other tables") {
+    import spark.implicits._
+    val subStops = Seq(("s1", "Main St RENAMED"), ("s9", "Brand New"))
+      .toDF("stop_id", "stop_name")
+    val subRoutes = Seq(("r9", "ag1", "R9", 3)).toDF("route_id", "agency_id", "route_short_name", "route_type")
+    val subset = GtfsFeed(spark, Map(
+      "stops" -> GtfsLake.alignToSchema(subStops, GtfsSchemas.stops),
+      "routes" -> GtfsLake.alignToSchema(subRoutes, GtfsSchemas.routes)))
+    val merged = feed.dropSubset(subset)
+    assert(merged.table("stops").count() == 7) // 6 + 1 new
+    val renamed = merged.table("stops").filter(col("stop_id") === "s1")
+      .select("stop_name").first().getString(0)
+    assert(renamed == "Main St RENAMED")
+    // s1's lat survives (null delta column falls back to base)
+    val lat = merged.table("stops").filter(col("stop_id") === "s1")
+      .select("stop_lat").first().getDouble(0)
+    assert(lat == 48.1)
+    assert(merged.table("routes").count() == 4)
+  }
+
+  test("sql passthrough sees all tables as views") {
+    val n = feed.sql("SELECT count(*) AS n FROM trips JOIN routes ON trips.route_id = routes.route_id")
+      .first().getLong(0)
+    assert(n == 4)
+  }
+
+  test("exportStatic roundtrips through a directory and a zip") {
+    val outDir = java.nio.file.Files.createTempDirectory("gtfs_out")
+    feed.exportStatic(outDir.toString)
+    val reloaded = GtfsFeed.loadStatic(spark, outDir.toString)
+    assert(reloaded.table("trips").count() == feed.table("trips").count())
+    assert(reloaded.table("stops").count() == feed.table("stops").count())
+
+    val zipPath = outDir.resolve("feed.zip").toString
+    feed.exportStatic(zipPath)
+    val fromZip = GtfsFeed.loadStaticZip(spark, zipPath)
+    assert(fromZip.table("stop_times").count() == feed.table("stop_times").count())
+    assert(fromZip.table("agency").select("agency_id").collect().map(_.getString(0)).toSet ==
+      Set("ag1", "ag2"))
+  }
+}

@@ -1,0 +1,84 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class DedupSpec extends AnyFunSuite with SparkTestBase {
+
+  import spark.implicits._
+
+  private val baseDocs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near dup of 1
+    (4L, "completely different text about spark dataframes and catalyst optimizer rules"),
+    (5L, "another unrelated document mentioning large scale distributed data processing"))
+
+  private lazy val docs = baseDocs.toDF("doc_id", "text")
+
+  test("exact dedup keeps min id per distinct content") {
+    val r = Dedup.exact(docs, col("doc_id"), col("text"))
+      .orderBy("keep_id").collect()
+    assert(r.map(x => (x.getLong(0), x.getLong(1))).toSeq ==
+      Seq((1L, 2L), (3L, 1L), (4L, 1L), (5L, 1L)))
+    assert(Dedup.exactRows(docs, col("doc_id"), col("text")).count() == 4)
+  }
+
+  test("minhash LSH surfaces exact and near duplicates, not unrelated docs") {
+    val pairs = Dedup.minHashLsh(docs, col("doc_id"), col("text"),
+        shingleK = 3, numHashes = 16, bands = 8, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)))
+    assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("minhash jaccard of exact duplicates is 1.0") {
+    val j = Dedup.minHashLsh(docs, col("doc_id"), col("text"),
+        shingleK = 3, numHashes = 16, bands = 8, threshold = 0.5)
+      .filter(col("id_a") === 1 && col("id_b") === 2)
+      .select("jaccard").first().getDouble(0)
+    assert(j == 1.0)
+  }
+
+  test("ngram jaccard computes exact overlap within blocks") {
+    val blocked = docs.withColumn("blk", lit(1))
+    val pairs = Dedup.ngramJaccard(blocked, col("doc_id"), col("text"),
+        blockBy = col("blk"), shingleK = 3, threshold = 0.0)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(pairs((1L, 2L)) == 1.0)
+    // doc3 differs only in the final token: 12 shingles each, the one
+    // containing the last token differs -> J = 11 / 13
+    assert(math.abs(pairs((1L, 3L)) - 11.0 / 13.0) < 1e-12)
+    assert(!pairs.contains((1L, 4L)) || pairs((1L, 4L)) == 0.0)
+  }
+
+  test("simhash finds near-dup pairs within hamming budget") {
+    val pairs = Dedup.simHash(docs, col("doc_id"), col("text"), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L))) // identical => hamming 0
+    assert(!pairs.exists { case (a, b) => Set(a, b) == Set(4L, 5L) })
+  }
+
+  test("simhash signature is deterministic and 0-hamming for identical text") {
+    val sigs = Dedup.simHashSignatures(docs, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(4L))
+  }
+
+  test("embedding cosine dedup respects blocking and threshold") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f), 0),
+      (2L, Array(0.99f, 0.1f, 0.0f), 0),
+      (3L, Array(0.0f, 1.0f, 0.0f), 0),
+      (4L, Array(1.0f, 0.0f, 0.0f), 1) // same dir as 1 but other block
+    ).toDF("vec_id", "embedding", "label")
+    val pairs = Dedup.embeddingCosine(vecs, col("vec_id"), col("embedding"),
+        blockBy = col("label"), threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L))) // 1-3 orthogonal; 1-4 cross-block
+  }
+}

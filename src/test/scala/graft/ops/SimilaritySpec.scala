@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class SimilaritySpec extends AnyFunSuite with SparkTestBase {
+
+  import spark.implicits._
+
+  test("brute-force top-k ranks by cosine") {
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 1.0f)),
+      (4L, Array(-1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val query = Seq(Tuple1(Array(1.0f, 0.0f))).toDF("qv")
+    val top = Similarity.bruteForceTopK(corpus, col("vec_id"), col("embedding"), query, k = 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(top == Seq(1L, 2L))
+  }
+
+  test("lsh top-k achieves >=0.6 recall vs brute force on real embeddings") {
+    val emb = graft.Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
+    val query = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val exact = Similarity.bruteForceTopK(corpus, col("vec_id"), col("embedding"), query, 20)
+      .collect().map(_.getLong(0)).toSet
+    val approx = Similarity.lshTopK(corpus, col("vec_id"), col("embedding"), query,
+        k = 20, dim = 64, nPlanes = 6, probeHamming = 3)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall $recall too low")
+  }
+
+  test("ivf top-k achieves >=0.6 recall probing half the cells") {
+    val emb = graft.Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
+    val query = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val exact = Similarity.bruteForceTopK(corpus, col("vec_id"), col("embedding"), query, 20)
+      .collect().map(_.getLong(0)).toSet
+    val qv = query.first().getSeq[Float](0).map(_.toDouble).toArray
+    val model = IvfIndex.fit(corpus, col("vec_id"), col("embedding"), k = 8, iters = 5)
+    val assigned = IvfIndex.assign(corpus, col("vec_id"), col("embedding"), model)
+    val ivf = IvfIndex.topK(assigned, qv, 20, model, nProbe = 4)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    assert(recall >= 0.6, s"ivf recall $recall too low")
+    // cells partition the corpus
+    assert(assigned.select("cell").distinct().count() <= 8)
+    assert(assigned.count() == corpus.count())
+  }
+
+  test("lsh bucket prunes the candidate set") {
+    val emb = graft.Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
+    val planes = Similarity.hyperplanes(64, 8)
+    val buckets = emb.select(Similarity.lshBucket(col("embedding"), planes).as("b"))
+      .groupBy("b").count()
+    // 500 vectors should spread over many of the buckets
+    assert(buckets.count() > 32)
+  }
+}

@@ -1,0 +1,126 @@
+package graft.streaming
+
+import org.apache.spark.api.java.Optional
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.streaming.RealtimeStateStream.{EntityState, EntityUpdate}
+
+class StreamingSpec extends AnyFunSuite with SparkTestBase {
+
+  import spark.implicits._
+
+  test("latest-state stream: newest wins, deletes evict") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EntityUpdate]
+    val states = RealtimeStateStream.latestStateStream(spark, input.toDS(), ttlMs = None)
+
+    val query = states.writeStream
+      .format("memory")
+      .queryName("latest_state_test")
+      .outputMode("update")
+      .start()
+    try {
+      input.addData(
+        EntityUpdate("trip-1", 100L, "v1", isDeleted = false),
+        EntityUpdate("trip-2", 100L, "v1", isDeleted = false))
+      query.processAllAvailable()
+
+      // newer update replaces, older duplicate is ignored
+      input.addData(
+        EntityUpdate("trip-1", 200L, "v2", isDeleted = false),
+        EntityUpdate("trip-2", 50L, "stale", isDeleted = false))
+      query.processAllAvailable()
+
+      val latest = spark.table("latest_state_test").as[EntityState].collect()
+        .groupBy(_.entityId).map { case (k, vs) => k -> vs.maxBy(_.timestamp) }
+      assert(latest("trip-1").payload == "v2")
+      assert(latest("trip-2").payload == "v1") // stale ignored
+
+      // delete evicts: no further emission for trip-1
+      input.addData(EntityUpdate("trip-1", 300L, "x", isDeleted = true))
+      query.processAllAvailable()
+      val afterDelete = spark.table("latest_state_test").as[EntityState].collect()
+      assert(!afterDelete.exists(s => s.entityId == "trip-1" && s.timestamp >= 300L))
+    } finally query.stop()
+  }
+
+  test("windowed counts with watermark over a bounded stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+
+    val agg = RealtimeStateStream.windowedCounts(events, "ts", "event_type",
+      windowLen = "1 hour", watermark = "0 seconds")
+    val query = agg.writeStream
+      .format("memory").queryName("windowed_test").outputMode("complete").start()
+    try {
+      input.addData(
+        (java.sql.Timestamp.valueOf("2024-01-01 10:05:00"), "click", 1.0),
+        (java.sql.Timestamp.valueOf("2024-01-01 10:55:00"), "click", 3.0),
+        (java.sql.Timestamp.valueOf("2024-01-01 11:05:00"), "click", 5.0))
+      query.processAllAvailable()
+      val rows = spark.table("windowed_test")
+        .select(col("window.start").cast("string"), col("n"), col("min_value"), col("max_value"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+      assert(rows == Set(
+        ("2024-01-01 10:00:00", 2L, 1.0, 3.0),
+        ("2024-01-01 11:00:00", 1L, 5.0, 5.0)))
+    } finally query.stop()
+  }
+
+  test("updateState handles TTL timeout, stale updates, and deletes") {
+    import org.apache.spark.sql.streaming.TestGroupState
+    // timeout fires -> state removed, nothing emitted
+    val timedOut = TestGroupState.create[EntityState](
+      Optional.of(EntityState("trip-1", 100L, "v1")),
+      org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout,
+      1000L, Optional.empty[Long], hasTimedOut = true)
+    val out = RealtimeStateStream.updateState(Some(60000L))("trip-1", Iterator.empty, timedOut)
+    assert(out.isEmpty && timedOut.isRemoved)
+
+    // newest of a batch wins over stored state
+    val st = TestGroupState.create[EntityState](
+      Optional.of(EntityState("trip-1", 100L, "v1")),
+      org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout,
+      1000L, Optional.empty[Long], hasTimedOut = false)
+    val out2 = RealtimeStateStream.updateState(Some(60000L))("trip-1",
+      Iterator(
+        EntityUpdate("trip-1", 300L, "v3", isDeleted = false),
+        EntityUpdate("trip-1", 200L, "v2", isDeleted = false)), st).toSeq
+    assert(out2 == Seq(EntityState("trip-1", 300L, "v3")))
+    assert(st.get == EntityState("trip-1", 300L, "v3"))
+
+    // delete marker removes state
+    val st3 = TestGroupState.create[EntityState](
+      Optional.of(EntityState("trip-1", 300L, "v3")),
+      org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout,
+      1000L, Optional.empty[Long], hasTimedOut = false)
+    val out3 = RealtimeStateStream.updateState(Some(60000L))("trip-1",
+      Iterator(EntityUpdate("trip-1", 400L, "x", isDeleted = true)), st3)
+    assert(out3.isEmpty && st3.isRemoved)
+  }
+
+  test("batch LatestState.latest matches streaming semantics") {
+    val df = Seq(
+      ("trip-1", 100L, "v1"),
+      ("trip-1", 200L, "v2"),
+      ("trip-2", 100L, "v1")).toDF("entity_id", "ts", "payload")
+    val latest = LatestState.latest(df, Seq("entity_id"), col("ts"), col("payload"))
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(latest == Map("trip-1" -> "v2", "trip-2" -> "v1"))
+  }
+
+  test("batch TTL expiry drops rows older than the review window") {
+    val df = Seq(
+      ("a", java.sql.Timestamp.valueOf("2024-01-01 10:00:00")),
+      ("b", java.sql.Timestamp.valueOf("2024-01-01 11:30:00")),
+      ("c", java.sql.Timestamp.valueOf("2024-01-01 12:00:00"))).toDF("id", "ts")
+    val live = LatestState.withTtl(df, col("ts"), ttlSeconds = 7200)
+      .select("id").collect().map(_.getString(0)).toSet
+    assert(live == Set("b", "c")) // "a" is exactly 2h older than max -> expired
+  }
+}
