@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.functions.VectorFunctions
 
@@ -51,19 +52,34 @@ object Dedup {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rows = numHashes / bands
 
+    // Shingle sets are referenced by the signature pass and twice by
+    // the verify join; signatures feed both sides of the band
+    // self-join. Persist both — otherwise projection collapse inlines
+    // the whole shingle+hash pipeline into every reference and the
+    // work runs 4-8x. (At corpus scale: write the signature table out
+    // and bucket it instead — see SURVEY.md §5.)
     val docs = df.select(id.cast("bigint").as("doc_id"),
-      TextAnalysis.wordShingles(text, shingleK).as("shingles"))
+        TextAnalysis.wordShingles(text, shingleK).as("shingles"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
-    val sig = docs.withColumn("sig", array(
-      (0 until numHashes).map { i =>
-        array_min(transform(col("shingles"), s => xxhash64(concat(s, lit(s"#$i")))))
-      }: _*))
+    // Single pass over the shingle array: per shingle emit all H
+    // hashes, fold elementwise-min into the signature.
+    val minAcc = array_repeat(lit(Long.MaxValue), numHashes)
+    val sig = docs.withColumn("sig",
+      aggregate(
+        col("shingles"),
+        minAcc,
+        (acc, s) => zip_with(
+          acc,
+          array((0 until numHashes).map(i => xxhash64(concat(s, lit(s"#$i")))): _*),
+          (a, b) => least(a, b))))
 
     val banded = sig.select(col("doc_id"), explode(array(
       (0 until bands).map { b =>
         struct(lit(b).as("band"), xxhash64(slice(col("sig"), b * rows + 1, rows)).as("band_key"))
       }: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.band_key").as("band_key"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     val candidates = banded.alias("x")
       .join(banded.alias("y"),
@@ -100,7 +116,8 @@ object Dedup {
       shingleK: Int = 3,
       threshold: Double = 0.5): DataFrame = {
     val docs = df.select(id.cast("bigint").as("doc_id"), blockBy.as("block"),
-      TextAnalysis.wordShingles(text, shingleK).as("shingles"))
+        TextAnalysis.wordShingles(text, shingleK).as("shingles"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val candidates = docs.select(col("doc_id").as("id_a"), col("block"))
       .join(docs.select(col("doc_id").as("id_b"), col("block")), "block")
       .filter(col("id_a") < col("id_b"))
@@ -118,7 +135,7 @@ object Dedup {
       id: Column,
       text: Column,
       maxHamming: Int = 3): DataFrame = {
-    val sigs = simHashSignatures(df, id, text)
+    val sigs = simHashSignatures(df, id, text).persist(StorageLevel.MEMORY_AND_DISK)
 
     val chunks = sigs.select(col("doc_id"), col("simhash"), explode(array(
       (0 until 4).map { c =>
