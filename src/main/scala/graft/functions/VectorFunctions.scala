@@ -26,8 +26,19 @@ object VectorFunctions {
 
   def l2Norm(a: Column): Column = sqrt(normSq(a))
 
-  /** cos(a,b) = a·b / (|a|·|b|) — matches DuckDB list_cosine_similarity. */
+  /** cos(a,b) = a·b / (|a|·|b|) — matches DuckDB list_cosine_similarity.
+    * Backed by the codegen'd [[graft.plans.CosineSimilarityExpr]]
+    * (single fused loop inside whole-stage codegen); arithmetic is
+    * identical to [[cosineSimilarityHof]].
+    */
   def cosineSimilarity(a: Column, b: Column): Column =
+    graft.plans.CosineSimilarityExpr.cosine(toDouble(a), toDouble(b))
+
+  /** Higher-order-function formulation of the same arithmetic (kept
+    * as the composition baseline the native expression is verified
+    * against).
+    */
+  def cosineSimilarityHof(a: Column, b: Column): Column =
     dotProduct(a, b) / (l2Norm(a) * l2Norm(b))
 
   /** Squared euclidean distance. */

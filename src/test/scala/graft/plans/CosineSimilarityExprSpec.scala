@@ -1,0 +1,53 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.functions.VectorFunctions
+
+class CosineSimilarityExprSpec extends AnyFunSuite with SparkTestBase {
+
+  import spark.implicits._
+
+  test("native expression matches the HOF composition bit-for-bit on real embeddings") {
+    val emb = graft.Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val both = emb.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+      .select(
+        VectorFunctions.cosineSimilarity(col("embedding"), col("qv")).as("native"),
+        VectorFunctions.cosineSimilarityHof(col("embedding"), col("qv")).as("hof"))
+    // exact: identical IEEE operation order
+    assert(both.filter(col("native") =!= col("hof")).count() == 0)
+  }
+
+  test("expression participates in whole-stage codegen") {
+    // parquet-backed so the projection can't constant-fold away
+    val emb = graft.Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
+    val df = emb.select(CosineSimilarityExpr.cosine(
+      col("embedding").cast("array<double>"),
+      col("embedding").cast("array<double>")).as("c"))
+    // the "*(n)" prefix marks operators inside a WholeStageCodegen stage
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*\\*\\(\\d+\\) Project \\[cosinesimilarityexpr.*"),
+      s"expression not inside a codegen stage:\n$plan")
+    // self-similarity is exactly 1.0 modulo fp; dot/(|a||a|)
+    assert(df.filter(abs(col("c") - 1.0) > 1e-9).count() == 0)
+
+    val small = Seq((Array(1.0, 2.0), Array(3.0, 4.0))).toDF("a", "b")
+      .select(CosineSimilarityExpr.cosine(col("a"), col("b")).as("c"))
+    val v = small.first().getDouble(0)
+    val expect = 11.0 / (math.sqrt(5.0) * math.sqrt(25.0))
+    assert(v == expect)
+  }
+
+  test("null input yields null, mismatched lengths use common prefix") {
+    val df = Seq(
+      (Some(Array(1.0, 0.0)), Some(Array(1.0, 0.0, 5.0))),
+      (None, Some(Array(1.0, 0.0)))).toDF("a", "b")
+      .select(CosineSimilarityExpr.cosine(col("a"), col("b")).as("c"))
+    val rows = df.collect()
+    assert(!rows(0).isNullAt(0))
+    assert(rows(1).isNullAt(0))
+  }
+}
