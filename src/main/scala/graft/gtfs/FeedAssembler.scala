@@ -129,6 +129,26 @@ object FeedAssembler {
       .select(col("id"), col("alert"))
   }
 
+  /** Nested vehicle-position entities (realtime.py:402-481). */
+  def vehiclePositionEntities(vehiclePositions: DataFrame): DataFrame =
+    vehiclePositions.select(
+      col("vehicle_position_id").as("id"),
+      struct(
+        tripDescriptor.as("trip"),
+        vehicleDescriptor.as("vehicle"),
+        struct(
+          col("position_latitude").as("latitude"),
+          col("position_longitude").as("longitude"),
+          col("position_bearing").as("bearing"),
+          col("position_odometer").as("odometer"),
+          col("position_speed").as("speed")).as("position"),
+        col("current_stop_sequence").as("current_stop_sequence"),
+        col("stop_id").as("stop_id"),
+        col("current_status").as("current_status"),
+        col("timestamp").as("timestamp"),
+        col("congestion_level").as("congestion_level")).as("vehicle_entity"))
+      .orderBy(col("id"))
+
   /** Wrap entity rows into one FeedMessage JSON document
     * (realtime.py:726-737). `timestamp` is supplied by the caller —
     * plans stay deterministic.

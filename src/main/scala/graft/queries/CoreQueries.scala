@@ -204,6 +204,43 @@ object CoreQueries {
         .limit(100)
     },
 
+    // A14: feed assembly — events mapped into GTFS-RT-shaped realtime
+    // frames, nested into one FeedMessage JSON document (rows-only:
+    // nested JSON is not DuckDB-hash-comparable).
+    "q_feed_assembly" -> { (s, dir) =>
+      val e = t(s, dir, "events").filter(col("user_id") < 20)
+      val tripUpdates = e.groupBy(col("user_id"))
+        .agg(max(col("ts")).as("last_ts"))
+        .select(
+          concat(lit("tu-"), col("user_id")).as("trip_update_id"),
+          concat(lit("trip-"), col("user_id")).as("trip_id"),
+          lit(null).cast("string").as("trip_route_id"),
+          lit(null).cast("string").as("trip_direction_id"),
+          lit("08:00:00").as("trip_start_time"),
+          date_format(col("last_ts"), "yyyyMMdd").as("trip_start_date"),
+          lit("SCHEDULED").as("trip_schedule_relationship"),
+          lit(null).cast("string").as("vehicle_id"),
+          lit(null).cast("string").as("vehicle_label"),
+          lit(null).cast("string").as("vehicle_license_plate"),
+          lit(null).cast("string").as("vehicle_wheelchair_accessible"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val stus = e
+        .withColumn("seq", row_number().over(w))
+        .select(
+          concat(lit("tu-"), col("user_id")).as("trip_update_id"),
+          col("seq").as("stop_sequence"),
+          col("event_type").as("stop_id"),
+          unix_micros(col("ts")).as("arrival_time"),
+          col("value").cast("int").as("arrival_delay"),
+          lit(null).cast("int").as("arrival_uncertainty"),
+          lit(null).cast("bigint").as("departure_time"),
+          lit(null).cast("int").as("departure_delay"),
+          lit(null).cast("int").as("departure_uncertainty"),
+          lit("SCHEDULED").as("schedule_relationship"))
+      val entities = graft.gtfs.FeedAssembler.tripUpdateEntities(tripUpdates, stus)
+      graft.gtfs.FeedAssembler.feedMessageJson(entities, "trip_update", timestamp = 1704790000L)
+    },
+
     // B2 (batch analog): tumbling-window aggregation by hour with
     // order-insensitive aggregates.
     "q_window_agg" -> { (s, dir) =>
