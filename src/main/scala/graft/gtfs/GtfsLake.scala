@@ -79,4 +79,24 @@ object GtfsLake {
   /** Arbitrary SQL over registered views (ddb.py:260-264). */
   def sql(spark: SparkSession, statement: String): DataFrame =
     spark.sql(statement)
+
+  /** Write a table bucketed (+ sorted) by its join key. Two tables
+    * bucketed the same way join with ZERO exchanges — the 100 TB
+    * co-location strategy for the fact⋈fact joins (trips⋈stop_times,
+    * orders⋈lineitem): pay the shuffle once at write time, never at
+    * query time.
+    */
+  def writeBucketed(
+      df: DataFrame,
+      tableName: String,
+      path: String,
+      key: String,
+      buckets: Int): Unit =
+    df.write
+      .format("parquet")
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .option("path", path)
+      .mode("overwrite")
+      .saveAsTable(tableName)
 }

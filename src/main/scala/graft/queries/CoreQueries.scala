@@ -241,6 +241,63 @@ object CoreQueries {
       graft.gtfs.FeedAssembler.feedMessageJson(entities, "trip_update", timestamp = 1704790000L)
     },
 
+    // A20: backward as-of join — for each purchase, the latest prior
+    // click of the same user (union + running-window composition,
+    // one shuffle; oracled against DuckDB's native ASOF LEFT JOIN).
+    "q_asof_join" -> { (s, dir) =>
+      val e = t(s, dir, "events")
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+      graft.ops.AsOfJoin.asofBackward(purchases, clicks,
+          on = Seq("user_id"), leftTime = "ts", rightTime = "ts",
+          rightPayload = Seq("ts"), tieBreak = "click_id")
+        .select(col("event_id"),
+          unix_micros(col("asof_match.ts")).as("prior_click_us"))
+        .orderBy(col("event_id"))
+    },
+
+    // A21: sessionization — 30-minute inactivity gap starts a new
+    // session; lag/new-session-flag/running-sum windows + aggregate.
+    "q_sessionize" -> { (s, dir) =>
+      val byUser = Window.partitionBy(col("user_id")).orderBy(col("u"), col("event_id"))
+      val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("u"))
+        .withColumn("new_sess",
+          when(col("u") - lag(col("u"), 1).over(byUser) > 1800000000L ||
+            lag(col("u"), 1).over(byUser).isNull, 1).otherwise(0))
+        .withColumn("sess", sum(col("new_sess")).over(run))
+        .groupBy(col("user_id"), col("sess").as("session_seq"))
+        .agg(min(col("u")).as("session_start_us"), count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"), col("session_seq"))
+    },
+
+    // A22: rollup aggregation (subtotal + grand total lattice).
+    "q_rollup" -> { (s, dir) =>
+      t(s, dir, "events")
+        .rollup(col("event_type"))
+        .agg(grouping(col("event_type")).cast("int").as("is_total"),
+          count(lit(1)).as("n"),
+          min(col("value")).as("min_value"), max(col("value")).as("max_value"))
+        .select(
+          coalesce(col("event_type"), lit("ALL")).as("event_type"),
+          col("is_total"), col("n"), col("min_value"), col("max_value"))
+        .orderBy(col("is_total"), col("event_type"))
+    },
+
+    // A23: top-N per group (ranked window + filter).
+    "q_top_per_group" -> { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+
     // B2 (batch analog): tumbling-window aggregation by hour with
     // order-insensitive aggregates.
     "q_window_agg" -> { (s, dir) =>
@@ -360,6 +417,41 @@ object CoreQueries {
     "q_topn" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "q_asof_join" ->
+      """SELECT p.event_id, epoch_us(CAST(c.ts AS TIMESTAMP)) AS prior_click_us
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY p.event_id""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS u FROM events),
+        |m AS (SELECT user_id, event_id, u,
+        |        CASE WHEN u - lag(u) OVER w > 1800000000 OR lag(u) OVER w IS NULL
+        |             THEN 1 ELSE 0 END AS new_sess
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY u, event_id)),
+        |s AS (SELECT user_id, u,
+        |        sum(new_sess) OVER (PARTITION BY user_id ORDER BY u, event_id
+        |                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |      FROM m)
+        |SELECT user_id, session_seq, min(u) AS session_start_us, count(*) AS n_events
+        |FROM s GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT coalesce(event_type, 'ALL') AS event_type,
+        |       CAST(grouping(event_type) AS INT) AS is_total,
+        |       count(*) AS n, min(value) AS min_value, max(value) AS max_value
+        |FROM events GROUP BY ROLLUP(event_type)
+        |ORDER BY is_total, event_type""".stripMargin,
+
+    "q_top_per_group" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "q_window_agg" ->
       """SELECT epoch_us(CAST(date_trunc('hour', ts) AS TIMESTAMP)) AS hour_us, event_type,
