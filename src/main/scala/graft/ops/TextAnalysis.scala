@@ -117,8 +117,16 @@ object TextAnalysis {
     array_min(transform(shingles, s => xxhash64(s)))
   }
 
-  /** Distinct word k-grams of the text as an array column. */
-  def wordShingles(text: Column, k: Int): Column = {
+  /** Distinct word k-grams of the text as an array column — backed by
+    * the single-pass [[graft.plans.WordShinglesExpr]] kernel.
+    */
+  def wordShingles(text: Column, k: Int): Column =
+    graft.plans.WordShinglesExpr.shingles(text, k)
+
+  /** Higher-order-function formulation of the same shingling (kept as
+    * the semantic baseline the native kernel is verified against).
+    */
+  def wordShinglesHof(text: Column, k: Int): Column = {
     val tokens = split(trim(lower(text)), "\\s+")
     val n = size(tokens)
     val starts = sequence(lit(1), greatest(n - (k - 1), lit(1)))

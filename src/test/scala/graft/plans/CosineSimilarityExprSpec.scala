@@ -51,3 +51,18 @@ class CosineSimilarityExprSpec extends AnyFunSuite with SparkTestBase {
     assert(rows(1).isNullAt(0))
   }
 }
+class WordShinglesExprSpec extends AnyFunSuite with SparkTestBase {
+  test("native shingles match the HOF baseline on real documents") {
+    val d = graft.Tables.read(spark, "/root/testdata/sf0.001", "documents")
+    val cmp = d.select(
+      graft.ops.TextAnalysis.wordShingles(col("text"), 3).as("native"),
+      graft.ops.TextAnalysis.wordShinglesHof(col("text"), 3).as("hof"))
+    assert(cmp.filter(not(col("native") <=> col("hof"))).count() == 0)
+    // short-text fallback
+    import spark.implicits._
+    val short = Seq("a b").toDF("text")
+      .select(graft.ops.TextAnalysis.wordShingles(col("text"), 3).as("s"))
+      .first().getSeq[String](0)
+    assert(short == Seq("a b"))
+  }
+}
