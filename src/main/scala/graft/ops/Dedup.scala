@@ -153,8 +153,19 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** 64-bit SimHash signature per document. */
-  def simHashSignatures(df: DataFrame, id: Column, text: Column): DataFrame = {
+  /** 64-bit SimHash signature per document — a single narrow map via
+    * the native [[graft.plans.SimHashExpr]] kernel (no token explode,
+    * no shuffle).
+    */
+  def simHashSignatures(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.select(id.cast("bigint").as("doc_id"),
+      graft.plans.SimHashExpr.simhash(text).as("simhash"))
+
+  /** Aggregation formulation of the same signature (explode tokens →
+    * 64 vote sums → bit assembly) — kept as the semantic baseline the
+    * native kernel is verified against.
+    */
+  def simHashSignaturesAgg(df: DataFrame, id: Column, text: Column): DataFrame = {
     val toks = df.select(id.cast("bigint").as("doc_id"),
         explode(split(trim(lower(text)), "\\s+")).as("tok"))
       .withColumn("h", xxhash64(col("tok")))

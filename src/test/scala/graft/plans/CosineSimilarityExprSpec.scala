@@ -66,3 +66,13 @@ class WordShinglesExprSpec extends AnyFunSuite with SparkTestBase {
     assert(short == Seq("a b"))
   }
 }
+class SimHashExprSpec extends AnyFunSuite with SparkTestBase {
+  test("native simhash matches the aggregation baseline on real documents") {
+    val d = graft.Tables.read(spark, "/root/testdata/sf0.001", "documents")
+    val native = graft.ops.Dedup.simHashSignatures(d, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val agg = graft.ops.Dedup.simHashSignaturesAgg(d, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native == agg)
+  }
+}

@@ -104,6 +104,39 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(out3.isEmpty && st3.isRemoved)
   }
 
+  test("file-source stream over the real events table matches the batch result") {
+    // stream the parquet events table (ns ts read as long, converted
+    // like Tables.read does), window-aggregate, compare to batch
+    val batchEvents = graft.Tables.read(spark, "/root/testdata/sf0.001", "events")
+    val expected = batchEvents
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), min(col("value")).as("min_value"), max(col("value")).as("max_value"))
+      .collect().map(r => (r.getStruct(0).toString, r.getString(1), r.getLong(2))).toSet
+
+    // file streams read directories: stage the table file into one
+    val dir = java.nio.file.Files.createTempDirectory("events_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("events.parquet"))
+    val rawSchema = spark.read
+      .option("inferTimestampNTZ", "false")
+      .parquet("/root/testdata/sf0.001/events.parquet").schema
+    val stream = spark.readStream
+      .schema(rawSchema)
+      .parquet(dir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val agg = RealtimeStateStream.windowedCounts(stream, "ts", "event_type",
+      windowLen = "1 hour", watermark = "0 seconds")
+    val q = agg.writeStream.format("memory").queryName("file_stream_test")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("file_stream_test")
+        .collect().map(r => (r.getStruct(0).toString, r.getString(1), r.getLong(2))).toSet
+      assert(got == expected)
+    } finally q.stop()
+  }
+
   test("batch LatestState.latest matches streaming semantics") {
     val df = Seq(
       ("trip-1", 100L, "v1"),
