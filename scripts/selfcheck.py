@@ -24,7 +24,13 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
         if pd.api.types.is_datetime64_any_dtype(df[c]):
             df[c] = pd.to_datetime(df[c], utc=True).dt.tz_localize(None)
         elif df[c].dtype == object:
-            df[c] = df[c].map(lambda v: str(v) if v is not None else None)
+            def norm_cell(v):
+                if v is None:
+                    return None
+                if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+                    return str([str(x) for x in v])
+                return str(v)
+            df[c] = df[c].map(norm_cell)
     df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
 

@@ -47,4 +47,27 @@ object VectorFunctions {
       zip_with(toDouble(a), toDouble(b), (x, y) => (x - y) * (x - y)),
       lit(0.0),
       (acc, x) => acc + x)
+
+  /** Unit-normalize a vector (elements rounded to `scale` decimals
+    * when emitting for cross-engine comparison).
+    */
+  def l2Normalize(a: Column): Column = {
+    val v = toDouble(a)
+    val n = sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x * x))
+    transform(v, x => x / n)
+  }
+
+  /** Symmetric int8 quantization: scale by 127/max|x|, round to the
+    * nearest integer. Returns array<int> (plus use [[quantizeScale]]
+    * to carry the dequantization factor).
+    */
+  def quantizeInt8(a: Column): Column = {
+    val v = toDouble(a)
+    val m = quantizeScale(a)
+    transform(v, x => round(x * lit(127.0) / m, 0).cast("int"))
+  }
+
+  /** max|x| — the dequantization scale for [[quantizeInt8]]. */
+  def quantizeScale(a: Column): Column =
+    aggregate(toDouble(a), lit(0.0), (acc, x) => greatest(acc, abs(x)))
 }

@@ -90,6 +90,27 @@ object TextQueries {
       docs(s, dir)
         .select(col("doc_id"), TextAnalysis.fingerprintMd5(col("text")).as("fp_md5"))
         .orderBy(col("doc_id"))
+    },
+
+    // C14: scrub pipeline (URL/email/tags/whitespace) — exact string
+    // oracle via md5 of the scrubbed text.
+    "q_scrub" -> { (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"),
+          md5(graft.ops.TextCleaner.scrubAll(col("text"))).as("scrubbed_md5"),
+          length(graft.ops.TextCleaner.scrubAll(col("text"))).cast("bigint").as("scrubbed_len"))
+        .orderBy(col("doc_id"))
+    },
+
+    // C16: exact interpolated percentiles per group.
+    "q_percentiles" -> { (s, dir) =>
+      Tables.read(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          round(expr("percentile(value, 0.5)"), 6).as("p50"),
+          round(expr("percentile(value, 0.9)"), 6).as("p90"),
+          count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
     }
   )
 
@@ -120,6 +141,18 @@ object TextQueries {
          |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_fingerprint" ->
-      """SELECT doc_id, md5(text) AS fp_md5 FROM documents ORDER BY doc_id""".stripMargin
+      """SELECT doc_id, md5(text) AS fp_md5 FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_scrub" ->
+      s"""SELECT doc_id, md5(${graft.ops.TextCleaner.scrubAllSql("text")}) AS scrubbed_md5,
+         | length(${graft.ops.TextCleaner.scrubAllSql("text")}) AS scrubbed_len
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_percentiles" ->
+      """SELECT event_type,
+        | round(quantile_cont(value, 0.5), 6) AS p50,
+        | round(quantile_cont(value, 0.9), 6) AS p90,
+        | count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 }

@@ -57,6 +57,19 @@ object VectorQueries {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // C15: embedding utilities — unit normalization + int8
+    // quantization (elementwise arrays, rounded for the oracle).
+    "q_vector_norm" -> { (s, dir) =>
+      val e = emb(s, dir)
+      e.select(col("vec_id"),
+          // + 0.0 canonicalizes IEEE -0.0 (round can produce it)
+          transform(graft.functions.VectorFunctions.l2Normalize(col("embedding")),
+            x => round(x, 4) + lit(0.0)).as("unit_vec"),
+          graft.functions.VectorFunctions.quantizeInt8(col("embedding")).as("q8"),
+          round(graft.functions.VectorFunctions.quantizeScale(col("embedding")), 4).as("q_scale"))
+        .orderBy(col("vec_id"))
+    },
+
     // C12: multimodal plumbing — binary payloads through the
     // per-partition batch extractor; n_bytes oracled via octet_length.
     "q_multimodal_meta" -> { (s, dir) =>
@@ -83,6 +96,18 @@ object VectorQueries {
         |  ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) > 0.2
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_vector_norm" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v,
+        |        sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')) AS nrm,
+        |        list_aggregate(list_transform(v, x -> abs(x)), 'max') AS m
+        |      FROM e)
+        |SELECT vec_id,
+        |  list_transform(v, x -> round(x / nrm, 4) + 0.0) AS unit_vec,
+        |  list_transform(v, x -> CAST(round(x * 127.0 / m, 0) AS INT)) AS q8,
+        |  round(m, 4) AS q_scale
+        |FROM n ORDER BY vec_id""".stripMargin,
 
     "q_multimodal_meta" ->
       """SELECT doc_id AS media_id, 'text/plain' AS media_type,
