@@ -31,4 +31,10 @@ object LatestState {
     val cutoff = df.agg((max(tsCol) - expr(s"INTERVAL $ttlSeconds SECONDS")).as("graft_cutoff"))
     df.crossJoin(cutoff).filter(tsCol > col("graft_cutoff")).drop("graft_cutoff")
   }
+
+  /** Same review-window semantics over a numeric (epoch) column. */
+  def withTtlNumeric(df: DataFrame, tsCol: Column, ttl: Long): DataFrame = {
+    val cutoff = df.agg((max(tsCol) - ttl).as("graft_cutoff"))
+    df.crossJoin(cutoff).filter(tsCol > col("graft_cutoff")).drop("graft_cutoff")
+  }
 }
