@@ -1,0 +1,30 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+
+import graft.plans.{CosineSimilarityExpr, SimHashExpr, WordShinglesExpr}
+
+/** SQL registration for graft's native expressions, so
+  * `spark.sql("SELECT graft_cosine(a, b) ...")` works wherever the
+  * DataFrame API does (the reference's execute-arbitrary-SQL surface
+  * extends to the custom kernels).
+  */
+object GraftFunctions {
+
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    registry.createOrReplaceTempFunction(
+      "graft_cosine",
+      exprs => CosineSimilarityExpr(exprs(0), exprs(1)),
+      "built-in")
+    registry.createOrReplaceTempFunction(
+      "graft_simhash",
+      exprs => SimHashExpr(exprs.head),
+      "built-in")
+    registry.createOrReplaceTempFunction(
+      "graft_shingles",
+      exprs => WordShinglesExpr(exprs.head,
+        exprs(1).eval().asInstanceOf[Int]),
+      "built-in")
+  }
+}
