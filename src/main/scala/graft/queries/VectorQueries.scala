@@ -58,15 +58,23 @@ object VectorQueries {
     },
 
     // C15: embedding utilities — unit normalization + int8
-    // quantization (elementwise arrays, rounded for the oracle).
+    // quantization. Elementwise results are emitted as integer-scaled
+    // comma-joined strings: integers format identically in every
+    // engine (double formatting does not — 1.0E-4 vs 0.0001), and the
+    // flat string survives any row-sort/hash the gate applies.
     "q_vector_norm" -> { (s, dir) =>
       val e = emb(s, dir)
       e.select(col("vec_id"),
-          // + 0.0 canonicalizes IEEE -0.0 (round can produce it)
-          transform(graft.functions.VectorFunctions.l2Normalize(col("embedding")),
-            x => round(x, 4) + lit(0.0)).as("unit_vec"),
-          graft.functions.VectorFunctions.quantizeInt8(col("embedding")).as("q8"),
-          round(graft.functions.VectorFunctions.quantizeScale(col("embedding")), 4).as("q_scale"))
+          array_join(
+            transform(graft.functions.VectorFunctions.l2Normalize(col("embedding")),
+              x => round(x * 10000, 0).cast("long").cast("string")),
+            ",").as("unit_vec_e4"),
+          array_join(
+            transform(graft.functions.VectorFunctions.quantizeInt8(col("embedding")),
+              x => x.cast("string")),
+            ",").as("q8"),
+          round(graft.functions.VectorFunctions.quantizeScale(col("embedding")) * 10000, 0)
+            .cast("long").as("q_scale_e4"))
         .orderBy(col("vec_id"))
     },
 
@@ -104,9 +112,9 @@ object VectorQueries {
         |        list_aggregate(list_transform(v, x -> abs(x)), 'max') AS m
         |      FROM e)
         |SELECT vec_id,
-        |  list_transform(v, x -> round(x / nrm, 4) + 0.0) AS unit_vec,
-        |  list_transform(v, x -> CAST(round(x * 127.0 / m, 0) AS INT)) AS q8,
-        |  round(m, 4) AS q_scale
+        |  list_aggregate(list_transform(v, x -> CAST(CAST(round(x / nrm * 10000, 0) AS BIGINT) AS VARCHAR)), 'string_agg', ',') AS unit_vec_e4,
+        |  list_aggregate(list_transform(v, x -> CAST(CAST(round(x * 127.0 / m, 0) AS INT) AS VARCHAR)), 'string_agg', ',') AS q8,
+        |  CAST(round(m * 10000, 0) AS BIGINT) AS q_scale_e4
         |FROM n ORDER BY vec_id""".stripMargin,
 
     "q_multimodal_meta" ->
