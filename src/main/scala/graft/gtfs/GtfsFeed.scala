@@ -60,16 +60,22 @@ final case class GtfsFeed(spark: SparkSession, tables: Map[String, DataFrame]) {
 
     // plain stops (location_type '' / '0') must be referenced by a
     // stop_time; stations (location_type '1') must still have a child
+    // AFTER the plain-stop prune (the reference's DELETEs run
+    // sequentially — ddb.py:341-342 — so a station whose children were
+    // all just removed is removed too)
     val stops0 = table("stops")
     val plainKept = stops0
       .filter(coalesce(col("location_type"), lit("")).isin("", "0"))
       .join(stopTimes.select(col("stop_id")).distinct(), Seq("stop_id"), "left_semi")
-    val stationsKept = stops0
-      .filter(col("location_type") === "1")
-      .join(stops0.select(col("parent_station").as("stop_id")).filter(col("stop_id").isNotNull).distinct(),
-        Seq("stop_id"), "left_semi")
     val otherStops = stops0
       .filter(!coalesce(col("location_type"), lit("")).isin("", "0", "1"))
+    val survivingChildren = plainKept.unionByName(otherStops)
+      .select(col("parent_station").as("stop_id"))
+      .filter(col("stop_id").isNotNull)
+      .distinct()
+    val stationsKept = stops0
+      .filter(col("location_type") === "1")
+      .join(survivingChildren, Seq("stop_id"), "left_semi")
     val stops = plainKept.unionByName(stationsKept).unionByName(otherStops)
 
     val shapes = GtfsLake.retainChildrenOf(table("shapes"), "shape_id", trips, "shape_id")

@@ -119,6 +119,28 @@ object TextQueries {
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text), length(text) ORDER BY keep_id""".stripMargin,
 
+    "q_dedup_ngram" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text || ' graftdup' AS text
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |tok AS (SELECT doc_id, doc_id % 1000000 AS block,
+        |               string_split_regex(trim(lower(text)), '\s+') AS toks FROM all_docs),
+        |sh AS (SELECT doc_id, block,
+        |         list_distinct(CASE WHEN len(toks) >= 3
+        |           THEN list_transform(range(1, len(toks) - 1),
+        |                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+        |           ELSE [array_to_string(toks, ' ')] END) AS shingles
+        |       FROM tok)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(a.shingles, b.shingles))), 4) AS jaccard
+        |FROM sh a JOIN sh b ON a.block = b.block AND a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+
     "q_lang_id" ->
       s"""SELECT doc_id, ${TextAnalysis.langIdSql("text")} AS lang_pred
          |FROM documents ORDER BY doc_id""".stripMargin,

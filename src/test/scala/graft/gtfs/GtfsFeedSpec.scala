@@ -37,6 +37,16 @@ class GtfsFeedSpec extends AnyFunSuite with SparkTestBase {
     assert(after.table("transfers").count() == 1)
   }
 
+  test("station whose children were all cascade-removed is removed too") {
+    // removing every agency empties the feed, stations included
+    // (the reference's sequential DELETEs: plain stops first, then
+    // stations against the remaining stops)
+    val after = feed.removeAgencies("ag%")
+    assert(after.table("stops").count() == 0)
+    assert(after.table("trips").count() == 0)
+    assert(after.table("calendar").count() == 0)
+  }
+
   test("removeTrips by pattern keeps unrelated objects") {
     val after = feed.removeTrips("t1")
     assert(after.table("trips").count() == 3)

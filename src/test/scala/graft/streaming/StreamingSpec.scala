@@ -137,6 +137,28 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-stream interval join: purchases matched to clicks within the hour") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicksIn = MemoryStream[(Long, java.sql.Timestamp)]
+    val buysIn = MemoryStream[(Long, java.sql.Timestamp)]
+    val clicks = clicksIn.toDF().toDF("user_id", "click_ts").withWatermark("click_ts", "2 hours")
+    val buys = buysIn.toDF().toDF("buy_user", "buy_ts").withWatermark("buy_ts", "2 hours")
+    val joined = buys.join(clicks,
+      expr("user_id = buy_user AND click_ts <= buy_ts AND click_ts >= buy_ts - INTERVAL 1 HOUR"))
+    val q = joined.writeStream.format("memory").queryName("ss_join_test")
+      .outputMode("append").start()
+    try {
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      clicksIn.addData((1L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-01 08:00:00")))
+      buysIn.addData((1L, ts("2024-01-01 10:30:00")), (2L, ts("2024-01-01 10:30:00")))
+      q.processAllAvailable()
+      val rows = spark.table("ss_join_test")
+        .select("buy_user").collect().map(_.getLong(0)).toSeq
+      // user 1's click is within the hour; user 2's was 2.5h earlier
+      assert(rows == Seq(1L))
+    } finally q.stop()
+  }
+
   test("batch LatestState.latest matches streaming semantics") {
     val df = Seq(
       ("trip-1", 100L, "v1"),
