@@ -99,4 +99,19 @@ object GtfsLake {
       .option("path", path)
       .mode("overwrite")
       .saveAsTable(tableName)
+
+  /** Write a fact table hive-partitioned by a derived column (date,
+    * region, cell id): queries filtering on it prune whole partition
+    * directories before any I/O — the other half of the 100 TB layout
+    * story next to [[writeBucketed]].
+    */
+  def writePartitioned(
+      df: DataFrame,
+      path: String,
+      partitionCol: String): Unit =
+    df.write
+      .format("parquet")
+      .partitionBy(partitionCol)
+      .mode("overwrite")
+      .save(path)
 }

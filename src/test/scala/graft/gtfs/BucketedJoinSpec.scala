@@ -40,4 +40,32 @@ class BucketedJoinSpec extends AnyFunSuite with SparkTestBase {
       spark.sql("DROP TABLE IF EXISTS graft_lineitem_b")
     }
   }
+
+  test("date-partitioned write prunes partitions at the scan") {
+    val out = Files.createTempDirectory("graft_partitioned").toString
+    val events = Tables.read(spark, "/root/testdata/sf0.001", "events")
+      .withColumn("event_date", to_date(col("ts")))
+    GtfsLake.writePartitioned(events, out, "event_date")
+
+    val oneDay = spark.read.parquet(out).filter(col("event_date") === "2024-01-02")
+    oneDay.count()
+    val scan = oneDay.queryExecution.executedPlan.toString
+    // partition filter applied, and only a sliver of partitions read
+    assert(scan.contains("PartitionFilters: [isnotnull(event_date"), scan)
+    val all = spark.read.parquet(out).select("event_date").distinct().count()
+    assert(all > 5) // the table really is multi-partition
+    val prunedRows = oneDay.count()
+    val totalRows = spark.read.parquet(out).count()
+    assert(prunedRows < totalRows / 5)
+  }
+
+  test("approximate aggregates stay within error bounds of exact") {
+    val events = Tables.read(spark, "/root/testdata/sf0.001", "events")
+    val exact = events.select(countDistinct(col("user_id"))).first().getLong(0)
+    val approx = events.select(approx_count_distinct(col("user_id"), 0.02)).first().getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.1, s"$approx vs $exact")
+    val p50exact = events.stat.approxQuantile("value", Array(0.5), 0.0).head
+    val p50approx = events.stat.approxQuantile("value", Array(0.5), 0.05).head
+    assert(math.abs(p50approx - p50exact) < 0.2 * math.max(1.0, math.abs(p50exact)))
+  }
 }
