@@ -298,6 +298,24 @@ object CoreQueries {
         .orderBy(col("o_custkey"), col("o_orderkey"))
     },
 
+    // A28: pivot — event-type counts as columns per user.
+    "q_pivot" -> { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("user_id"))
+    },
+
+    // A29: histogram binning (fixed-width buckets over a measure).
+    "q_histogram" -> { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(floor(col("value") / 5.0).cast("bigint").as("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("bucket"))
+    },
+
     // B2 (batch analog): tumbling-window aggregation by hour with
     // order-insensitive aggregates.
     "q_window_agg" -> { (s, dir) =>
@@ -452,6 +470,19 @@ object CoreQueries {
         |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
         |  FROM orders) t
         |WHERE rn <= 3 ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT user_id,
+        | count(*) FILTER (WHERE event_type = 'click') AS click,
+        | count(*) FILTER (WHERE event_type = 'view') AS view,
+        | count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        | count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        | count(*) FILTER (WHERE event_type = 'error') AS error
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_histogram" ->
+      """SELECT CAST(floor(value / 5.0) AS BIGINT) AS bucket, count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_window_agg" ->
       """SELECT epoch_us(CAST(date_trunc('hour', ts) AS TIMESTAMP)) AS hour_us, event_type,
