@@ -59,6 +59,29 @@ class BucketedJoinSpec extends AnyFunSuite with SparkTestBase {
     assert(prunedRows < totalRows / 5)
   }
 
+  test("runtime bloom-filter pruning engages on selective fact joins") {
+    // thresholds lowered to simulate at-scale scan sizes (defaults
+    // gate on 10GB application-side scans); at 100 TB the defaults
+    // fire on exactly this plan shape
+    val prev = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val o = Tables.read(spark, "/root/testdata/sf0.001", "orders")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val l = Tables.read(spark, "/root/testdata/sf0.001", "lineitem")
+      val j = l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("l_returnflag")).count()
+      j.count()
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("bloom_filter_agg"), s"no runtime bloom filter in:\n${plan.take(2000)}")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev.getOrElse("10MB"))
+      spark.conf.unset("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    }
+  }
+
   test("approximate aggregates stay within error bounds of exact") {
     val events = Tables.read(spark, "/root/testdata/sf0.001", "events")
     val exact = events.select(countDistinct(col("user_id"))).first().getLong(0)
