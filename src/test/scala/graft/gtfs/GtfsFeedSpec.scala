@@ -53,6 +53,31 @@ class GtfsFeedSpec extends AnyFunSuite with SparkTestBase {
     assert(after.table("stop_times").filter(col("trip_id") === "t1").count() == 0)
   }
 
+  test("removeRoutes cascades and keeps sibling routes of the same agency") {
+    val after = feed.removeRoutes("r1")
+    assert(after.table("routes").select("route_id").collect().map(_.getString(0)).toSet ==
+      Set("r2", "r3"))
+    assert(after.table("trips").select("trip_id").collect().map(_.getString(0)).toSet ==
+      Set("t3", "t4"))
+    // wk service still used by t4 -> calendar row survives
+    assert(after.table("calendar").select("service_id").collect().map(_.getString(0)).toSet ==
+      Set("wk", "we"))
+  }
+
+  test("empty-feed edges: rss over no alerts, export of empty tables") {
+    import spark.implicits._
+    val noAlerts = Seq.empty[(String, String, String, String)]
+      .toDF("service_alert_id", "header_text", "url", "description_text")
+    val xml = XmlRender.rssChannel(noAlerts, "T", "D", "de-DE").first().getString(0)
+    assert(xml.contains("<channel>") && xml.endsWith("</channel></rss>"))
+
+    val emptied = feed.removeAgencies("ag%")
+    val out = java.nio.file.Files.createTempDirectory("gtfs_empty_out")
+    emptied.exportStatic(out.toString)
+    val reloaded = GtfsFeed.loadStatic(spark, out.toString)
+    assert(reloaded.table("trips").count() == 0)
+  }
+
   test("activeServices resolves calendar range + weekday + exceptions") {
     // 2024-01-08 is a Monday: wk matches calendar but is removed by
     // exception; we is added by exception
