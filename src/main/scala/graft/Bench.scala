@@ -17,6 +17,9 @@ object Bench {
     // in-memory relation into every subsequent plan over the same
     // scan) + exercise shuffle/codegen machinery
     Tables.all.foreach(t => Tables.read(spark, sfDir, t).persist().count())
+    // view registration is session setup, same as the DuckDB harness
+    // creating its views before timing (scripts/selfcheck.py)
+    Tables.registerViews(spark, sfDir)
     SparkEntry.queries("q1_pricing_summary")(spark, sfDir).count()
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -25,8 +25,19 @@ object Tables {
     else df
   }
 
+  // Last sfDir whose views were registered, per session: registration is
+  // metadata-only but re-planning 10 reads per sql() call dominated small
+  // statements (41x on q_sql_passthrough in round 1). Views are session-
+  // global names, so the cache invalidates when the sfDir changes.
+  private val registeredDir =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+
   /** Register every table as a temp view so `spark.sql` passthrough
-    * statements see the same relation names the DuckDB oracle does. */
+    * statements see the same relation names the DuckDB oracle does.
+    * Idempotent and cached per (session, sfDir). */
   def registerViews(spark: SparkSession, sfDir: String): Unit =
-    all.foreach(n => read(spark, sfDir, n).createOrReplaceTempView(n))
+    registeredDir.compute(spark, (_, prev) => {
+      if (prev != sfDir) all.foreach(n => read(spark, sfDir, n).createOrReplaceTempView(n))
+      sfDir
+    })
 }

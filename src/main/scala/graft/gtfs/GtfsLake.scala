@@ -76,6 +76,17 @@ object GtfsLake {
     df.select(cols.toIndexedSeq: _*)
   }
 
+  /** Coalesce every column of a raw all-string CSV frame to '' — the
+    * reference's Python csv.reader never yields NULL for a column
+    * present in the file (csvddb.py:36-49), while Spark's CSV reader
+    * turns unquoted empty fields into NULL. Run this on the raw read,
+    * BEFORE alignToSchema null-fills genuinely missing columns, so the
+    * NULL/'' distinction downstream (e.g. the cascade's NOT IN
+    * three-valued logic) matches the reference byte-for-byte.
+    */
+  def emptyNotNull(df: DataFrame): DataFrame =
+    df.select(df.columns.map(c => coalesce(col(c), lit("")).as(c)).toIndexedSeq: _*)
+
   /** Arbitrary SQL over registered views (ddb.py:260-264). */
   def sql(spark: SparkSession, statement: String): DataFrame =
     spark.sql(statement)

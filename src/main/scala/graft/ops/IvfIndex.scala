@@ -46,41 +46,85 @@ object IvfIndex {
     best
   }
 
-  /** Train the coarse quantizer. Deterministic: initial centroids are
-    * the k vectors with smallest xxhash64(id), iterations are fixed.
+  /** Train the coarse quantizer. Deterministic: the training set is
+    * the `k * maxSamplePerCentroid` vectors with smallest
+    * xxhash64(id) (a hash-ordered top-N — one TakeOrdered pass, no
+    * global sort), and the k smallest of those seed the centroids.
+    *
+    * Lloyd's runs entirely on the CACHED sample: a coarse quantizer
+    * needs a representative sample, not the corpus — at 100 TB the
+    * full data is scanned exactly once, by [[assign]]. Each iteration
+    * is one job over the sample producing per-partition partial
+    * (count, sum) arrays — k·dim numbers per partition, no shuffle,
+    * no O(data) collect.
     */
-  def fit(corpus: DataFrame, id: Column, vec: Column, k: Int, iters: Int = 5): Model = {
+  def fit(
+      corpus: DataFrame,
+      id: Column,
+      vec: Column,
+      k: Int,
+      iters: Int = 5,
+      maxSamplePerCentroid: Int = 256): Model = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val vecs = corpus.select(id.cast("bigint").as("vid"), vec.cast("array<double>").as("v"))
+    val target = math.max(k, k * maxSamplePerCentroid)
+    val sample = corpus
+      .select(id.cast("bigint").as("vid"), vec.cast("array<double>").as("v"))
+      .orderBy(xxhash64(col("vid")), col("vid"))
+      .limit(target)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .persist()
 
-    var centroids: Array[Array[Double]] = vecs
+    var centroids: Array[Array[Double]] = sample
       .orderBy(xxhash64(col("vid")), col("vid"))
       .limit(k)
       .select(col("v")).as[Seq[Double]].collect().map(_.toArray)
+    if (centroids.isEmpty) { sample.unpersist(); return Model(Array.empty) }
+    val dim = centroids(0).length
 
     for (_ <- 0 until iters) {
       val bc = spark.sparkContext.broadcast(centroids)
-      val assigned = vecs.as[(Long, Seq[Double])].mapPartitions { rows =>
-        val cents = bc.value
-        rows.map { case (_, v) => (nearestCentroid(v.toArray, cents), v) }
-      }.toDF("cell", "v")
-      val updated = assigned
-        .groupBy(col("cell"))
-        .agg(count(lit(1)).as("n"),
-          array((0 until centroids(0).length).map(i => sum(element_at(col("v"), i + 1))): _*).as("sums"))
-        .collect()
-        .map(r => r.getInt(0) -> (r.getLong(1), r.getSeq[Double](2).toArray))
-        .toMap
-      centroids = centroids.zipWithIndex.map { case (old, c) =>
-        updated.get(c) match {
-          case Some((n, sums)) if n > 0 => sums.map(_ / n)
-          case _ => old // empty cell keeps its centroid
+      val (counts, sums) = sample.as[(Long, Seq[Double])].rdd
+        .mapPartitions { rows =>
+          val cents = bc.value
+          val cnt = new Array[Long](cents.length)
+          val sum = Array.ofDim[Double](cents.length, dim)
+          rows.foreach { case (_, v) =>
+            val a = v.toArray
+            val c = nearestCentroid(a, cents)
+            cnt(c) += 1
+            var i = 0; while (i < dim) { sum(c)(i) += a(i); i += 1 }
+          }
+          Iterator.single((cnt, sum))
         }
+        .reduce { case ((c1, s1), (c2, s2)) =>
+          var c = 0
+          while (c < c1.length) {
+            c1(c) += c2(c)
+            var i = 0; while (i < dim) { s1(c)(i) += s2(c)(i); i += 1 }
+            c += 1
+          }
+          (c1, s1)
+        }
+      bc.unpersist()
+      centroids = centroids.zipWithIndex.map { case (old, c) =>
+        if (counts(c) > 0) sums(c).map(_ / counts(c))
+        else old // empty cell keeps its centroid
       }
     }
+    sample.unpersist()
     Model(centroids)
   }
+
+  /** Persist the assigned corpus hive-partitioned by cell: a probe
+    * then reads only its nProbe cell directories (partition pruning
+    * before any I/O) — the 100 TB serving layout for this index.
+    */
+  def writeIndex(assigned: DataFrame, path: String): Unit =
+    graft.gtfs.GtfsLake.writePartitioned(assigned, path, "cell")
+
+  def readIndex(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
 
   /** Assign each corpus vector to its IVF cell (persist this column —
     * at scale, write the corpus partitioned by `cell` so a probe

@@ -34,11 +34,15 @@ object CoreQueries {
         .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast(TimestampType))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_qty"),
-          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_base_price"),
+          // Sums accumulate in DECIMAL (exact, order-insensitive) but are
+          // emitted as DOUBLE: the driver's hasher renders Spark DECIMAL
+          // and DuckDB HUGEINT/DECIMAL differently (r1 verdict), and the
+          // exact decimal values convert to identical doubles on both sides.
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base_price"),
           sum(col("l_extendedprice").cast("decimal(18,2)") *
               (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))
-            .cast("decimal(18,4)").as("sum_disc_price"),
+            .cast("double").as("sum_disc_price"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     },
@@ -334,9 +338,9 @@ object CoreQueries {
   val oracles: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base_price,
-        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS sum_disc_price,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
         | count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -453,7 +457,8 @@ object CoreQueries {
         |        sum(new_sess) OVER (PARTITION BY user_id ORDER BY u, event_id
         |                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
         |      FROM m)
-        |SELECT user_id, session_seq, min(u) AS session_start_us, count(*) AS n_events
+        |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+        |       min(u) AS session_start_us, count(*) AS n_events
         |FROM s GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin,
 
     "q_rollup" ->

@@ -57,7 +57,11 @@ object GtfsZipCorpus {
               val positions = fieldNames.map(f => idx.getOrElse(f, -1))
               val it = lines.map { rec =>
                 Row.fromSeq(positions.map { p =>
-                  if (p < 0 || p >= rec.length) null else rec(p)
+                  if (p < 0) null // column absent from this feed's header
+                  // present column: python csv.reader semantics — an
+                  // empty/short field is '', never NULL (csvddb.py:44-49)
+                  else if (p >= rec.length || rec(p) == null) ""
+                  else rec(p)
                 }.toIndexedSeq :+ zipPath)
               }
               // defer close to iterator exhaustion

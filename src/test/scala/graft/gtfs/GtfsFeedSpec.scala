@@ -47,6 +47,54 @@ class GtfsFeedSpec extends AnyFunSuite with SparkTestBase {
     assert(after.table("calendar").count() == 0)
   }
 
+  test("station cascade: multi-level hierarchy + pre-delete snapshot semantics") {
+    // Mirrors ddb.py:342 — one DELETE whose subquery scans ALL stops
+    // surviving the plain-stop pass, including stations: a station
+    // parenting another station survives, and a station whose only
+    // "child" is a station deleted in the SAME statement also survives
+    // (the subquery sees the pre-delete snapshot).
+    val dir = java.nio.file.Files.createTempDirectory("gtfs_station_chain")
+    Map(
+      "agency.txt" -> "agency_id,agency_name,agency_url,agency_timezone\nag1,A,http://a,Europe/Berlin\n",
+      "routes.txt" -> "route_id,agency_id,route_short_name,route_type\nr1,ag1,R1,3\n",
+      "trips.txt" -> "route_id,service_id,trip_id\nr1,wk,t1\n",
+      "stop_times.txt" -> "trip_id,arrival_time,departure_time,stop_id,stop_sequence\nt1,08:00:00,08:00:00,s1,1\n",
+      "stops.txt" ->
+        ("stop_id,stop_name,location_type,parent_station\n" +
+          "s1,Kept Stop,0,stA\n" +
+          "s2,Orphan Stop,0,stGone\n" +
+          "stA,Station,1,stMega\n" +
+          "stMega,Meta Station,1,\n" +
+          "stGone,Childless Station,1,stOrphanParent\n" +
+          "stOrphanParent,Snapshot Survivor,1,\n"),
+      "calendar.txt" -> "service_id,monday,tuesday,wednesday,thursday,friday,saturday,sunday,start_date,end_date\nwk,1,1,1,1,1,0,0,20240101,20241231\n"
+    ).foreach { case (n, c) => java.nio.file.Files.writeString(dir.resolve(n), c) }
+    val after = GtfsFeed.loadStatic(spark, dir.toString).removeDependentObjects()
+    val stops = after.table("stops").select("stop_id").collect().map(_.getString(0)).toSet
+    assert(stops == Set("s1", "stA", "stMega", "stOrphanParent"))
+  }
+
+  test("station cascade: NULL parent_station column keeps every station (NOT IN semantics)") {
+    // When stops.txt has no parent_station column at all, the loader
+    // null-fills it; the reference's `stop_id NOT IN (SELECT
+    // parent_station FROM stops)` is then never TRUE (NULL in the set),
+    // so no station is ever deleted.
+    val dir = java.nio.file.Files.createTempDirectory("gtfs_null_parent")
+    Map(
+      "agency.txt" -> "agency_id,agency_name,agency_url,agency_timezone\nag1,A,http://a,Europe/Berlin\n",
+      "routes.txt" -> "route_id,agency_id,route_short_name,route_type\nr1,ag1,R1,3\n",
+      "trips.txt" -> "route_id,service_id,trip_id\nr1,wk,t1\n",
+      "stop_times.txt" -> "trip_id,arrival_time,departure_time,stop_id,stop_sequence\nt1,08:00:00,08:00:00,s1,1\n",
+      "stops.txt" ->
+        ("stop_id,stop_name,location_type\n" +
+          "s1,Kept Stop,0\n" +
+          "stLonely,Unreferenced Station,1\n")
+    ).foreach { case (n, c) => java.nio.file.Files.writeString(dir.resolve(n), c) }
+    val after = GtfsFeed.loadStatic(spark, dir.toString).removeDependentObjects()
+    val stops = after.table("stops").select("stop_id").collect().map(_.getString(0)).toSet
+    assert(stops == Set("s1", "stLonely"))
+  }
+
   test("removeTrips by pattern keeps unrelated objects") {
     val after = feed.removeTrips("t1")
     assert(after.table("trips").count() == 3)

@@ -52,6 +52,29 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(assigned.count() == corpus.count())
   }
 
+  test("ivf persisted index: probe reads only its cells (partition pruning)") {
+    val emb = graft.Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val model = IvfIndex.fit(corpus, col("vec_id"), col("embedding"), k = 8, iters = 3)
+    val assigned = IvfIndex.assign(corpus, col("vec_id"), col("embedding"), model)
+    val path = java.nio.file.Files.createTempDirectory("ivf_index").toString + "/idx"
+    IvfIndex.writeIndex(assigned, path)
+
+    val qv = emb.filter(col("vec_id") === 0).first()
+      .getSeq[Float](emb.columns.indexOf("embedding")).map(_.toDouble).toArray
+    val onDisk = IvfIndex.readIndex(spark, path)
+    val probed = IvfIndex.topK(onDisk, qv, 20, model, nProbe = 4)
+    // identical results from the persisted layout
+    val fromMem = IvfIndex.topK(assigned, qv, 20, model, nProbe = 4)
+      .collect().map(_.getLong(0)).toSeq
+    assert(probed.collect().map(_.getLong(0)).toSeq == fromMem)
+    // the cell filter reaches the scan as a PartitionFilter: only the
+    // probed cell directories are read
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"expected partition pruning on cell, plan:\n$plan")
+  }
+
   test("lsh bucket prunes the candidate set") {
     val emb = graft.Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
     val planes = Similarity.hyperplanes(64, 8)
