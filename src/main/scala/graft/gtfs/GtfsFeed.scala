@@ -174,10 +174,16 @@ final case class GtfsFeed(spark: SparkSession, tables: Map[String, DataFrame]) {
   }
 
   /** Register all tables as temp views and run a SQL statement
-    * (ddb.py:260-264).
+    * (ddb.py:260-264). Registration is skipped when this exact feed
+    * instance already registered its views (same guard as
+    * Tables.registerViews) — the feed is immutable, so identity
+    * implies the views are current.
     */
   def sql(statement: String): DataFrame = {
-    tables.foreach { case (name, df) => df.createOrReplaceTempView(name) }
+    GtfsFeed.registeredFeed.compute(spark, (_, prev) => {
+      if (prev ne this) tables.foreach { case (name, df) => df.createOrReplaceTempView(name) }
+      this
+    })
     spark.sql(statement)
   }
 
@@ -230,6 +236,13 @@ final case class GtfsFeedMonitor(df: DataFrame) {
 }
 
 object GtfsFeed {
+
+  // Last feed instance whose tables were registered as views, per
+  // session — re-registering 16 views on every sql() call re-plans
+  // 16 reads for nothing (the same pattern Tables.registerViews
+  // caches for the testdata tables).
+  private val registeredFeed =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, AnyRef]()
 
   val StaticOrder: Seq[String] = Seq(
     "agency", "calendar_dates", "calendar", "feed_info", "routes",

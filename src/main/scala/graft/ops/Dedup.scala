@@ -50,33 +50,75 @@ object Dedup {
       bands: Int = 4,
       threshold: Double = 0.7): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
-    val rows = numHashes / bands
+    // Single pass over the shingle array: per shingle emit all H
+    // hashes, fold elementwise-min into the signature.
+    val sig = aggregate(
+      col("shingles"),
+      array_repeat(lit(Long.MaxValue), numHashes),
+      (acc, s) => zip_with(
+        acc,
+        array((0 until numHashes).map(i => xxhash64(concat(s, lit(s"#$i")))): _*),
+        (a, b) => least(a, b)))
+    lshCore(shingled(df, id, text, shingleK), sig, bands, numHashes / bands,
+      slice => xxhash64(slice), threshold)
+  }
 
+  /** Oracle-portable MinHash+LSH: identical pipeline shape to
+    * [[minHashLsh]] but with a hash family any ANSI engine can
+    * reproduce exactly — base = first 60 bits of md5(shingle) mod
+    * p=2^31-1 (one md5 per shingle), then numHashes affine maps
+    * (a_i·base + b_i) mod p whose products stay within int64.
+    * Band key is md5 over the comma-joined minhash slice. Same
+    * shuffle shape as the xxhash64 path; used by the oracled query
+    * so DuckDB can hash-match the full pipeline end to end.
+    */
+  def minHashLshMd5(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      shingleK: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 4,
+      threshold: Double = 0.7): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val p = 2147483647L // 2^31 - 1; (a·h + b) < 2^62 stays exact in int64
+    val sig = aggregate(
+      transform(col("shingles"), s => md5Hash60(s) % p),
+      array_repeat(lit(Long.MaxValue), numHashes),
+      (acc, h) => zip_with(
+        acc,
+        array((0 until numHashes).map(i =>
+          (lit(1103515245L + 12345L * i) * h + lit(6789L + 10007L * i)) % p): _*),
+        (a, b) => least(a, b)))
+    lshCore(shingled(df, id, text, shingleK), sig, bands, numHashes / bands,
+      slice => md5(concat_ws(",", transform(slice, _.cast("string")))), threshold)
+  }
+
+  private def shingled(df: DataFrame, id: Column, text: Column, shingleK: Int): DataFrame =
     // Shingle sets are referenced by the signature pass and twice by
     // the verify join; signatures feed both sides of the band
     // self-join. Persist both — otherwise projection collapse inlines
     // the whole shingle+hash pipeline into every reference and the
     // work runs 4-8x. (At corpus scale: write the signature table out
     // and bucket it instead — see SURVEY.md §5.)
-    val docs = df.select(id.cast("bigint").as("doc_id"),
+    df.select(id.cast("bigint").as("doc_id"),
         TextAnalysis.wordShingles(text, shingleK).as("shingles"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // Single pass over the shingle array: per shingle emit all H
-    // hashes, fold elementwise-min into the signature.
-    val minAcc = array_repeat(lit(Long.MaxValue), numHashes)
-    val sig = docs.withColumn("sig",
-      aggregate(
-        col("shingles"),
-        minAcc,
-        (acc, s) => zip_with(
-          acc,
-          array((0 until numHashes).map(i => xxhash64(concat(s, lit(s"#$i")))): _*),
-          (a, b) => least(a, b))))
-
-    val banded = sig.select(col("doc_id"), explode(array(
+  /** Shared LSH candidate plumbing: signature → banded keys →
+    * bucket self-join → exact Jaccard verify on candidates only.
+    */
+  private def lshCore(
+      docs: DataFrame,
+      sig: Column,
+      bands: Int,
+      rows: Int,
+      bandKeyOf: Column => Column,
+      threshold: Double): DataFrame = {
+    val sigDf = docs.withColumn("sig", sig)
+    val banded = sigDf.select(col("doc_id"), explode(array(
       (0 until bands).map { b =>
-        struct(lit(b).as("band"), xxhash64(slice(col("sig"), b * rows + 1, rows)).as("band_key"))
+        struct(lit(b).as("band"), bandKeyOf(slice(col("sig"), b * rows + 1, rows)).as("band_key"))
       }: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.band_key").as("band_key"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -90,6 +132,12 @@ object Dedup {
 
     verifyJaccard(candidates, docs, threshold)
   }
+
+  /** First 60 bits of md5 as a non-negative bigint — the
+    * engine-portable base hash (DuckDB: ('0x'||substr(md5(x),1,15))::BIGINT).
+    */
+  private[ops] def md5Hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("bigint")
 
   /** Exact word-k-gram Jaccard over candidate pairs (the verify stage
     * of MinHash-LSH, or standalone with an explicit blocking column).
@@ -134,13 +182,36 @@ object Dedup {
       df: DataFrame,
       id: Column,
       text: Column,
-      maxHamming: Int = 3): DataFrame = {
-    val sigs = simHashSignatures(df, id, text).persist(StorageLevel.MEMORY_AND_DISK)
+      maxHamming: Int = 3): DataFrame =
+    hammingPairs(simHashSignatures(df, id, text), chunkBits = 16, maxHamming = maxHamming)
 
+  /** Oracle-portable SimHash: same chunk/candidate/verify pipeline as
+    * [[simHash]] but over a 60-bit signature whose per-token hash is
+    * the first 60 bits of md5 — reproducible in any ANSI engine, so
+    * the oracled query hash-matches end to end. 4×15-bit chunks keep
+    * the pigeonhole guarantee for maxHamming <= 3.
+    */
+  def simHashMd5(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      maxHamming: Int = 3): DataFrame =
+    hammingPairs(
+      simHashSignaturesAgg(df, id, text, bits = 60, tokenHash = md5Hash60),
+      chunkBits = 15, maxHamming = maxHamming)
+
+  /** Chunk-pigeonhole candidate generation + exact hamming verify
+    * over a (doc_id, simhash) signature table: 4 chunks of
+    * `chunkBits`, candidates share a chunk value (any pair with
+    * hamming <= 3 must), verified by bit_count(xor).
+    */
+  private def hammingPairs(sigTable: DataFrame, chunkBits: Int, maxHamming: Int): DataFrame = {
+    val sigs = sigTable.persist(StorageLevel.MEMORY_AND_DISK)
+    val mask = (1L << chunkBits) - 1
     val chunks = sigs.select(col("doc_id"), col("simhash"), explode(array(
       (0 until 4).map { c =>
         struct(lit(c).as("chunk"),
-          (shiftrightunsigned(col("simhash"), c * 16) % 65536).as("chunk_val"))
+          shiftrightunsigned(col("simhash"), c * chunkBits).bitwiseAND(lit(mask)).as("chunk_val"))
       }: _*)).as("cc"))
       .select(col("doc_id"), col("simhash"), col("cc.chunk").as("chunk"), col("cc.chunk_val").as("chunk_val"))
 
@@ -148,7 +219,7 @@ object Dedup {
         col("x.chunk") === col("y.chunk") && col("x.chunk_val") === col("y.chunk_val") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
-        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast("bigint").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
@@ -161,20 +232,28 @@ object Dedup {
     df.select(id.cast("bigint").as("doc_id"),
       graft.plans.SimHashExpr.simhash(text).as("simhash"))
 
-  /** Aggregation formulation of the same signature (explode tokens →
-    * 64 vote sums → bit assembly) — kept as the semantic baseline the
-    * native kernel is verified against.
+  /** Aggregation formulation of the signature (explode tokens →
+    * per-bit vote sums → bit assembly) — the semantic baseline the
+    * native kernel is verified against (defaults), and with
+    * `tokenHash = md5Hash60, bits = 60` the portable signature behind
+    * [[simHashMd5]]. Codegen-friendly: one hash per token row, then
+    * `bits` conditional sums in a single hash aggregate.
     */
-  def simHashSignaturesAgg(df: DataFrame, id: Column, text: Column): DataFrame = {
+  def simHashSignaturesAgg(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      bits: Int = 64,
+      tokenHash: Column => Column = c => xxhash64(c)): DataFrame = {
     val toks = df.select(id.cast("bigint").as("doc_id"),
         explode(split(trim(lower(text)), "\\s+")).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
-    val voteCols = (0 until 64).map { i =>
+      .withColumn("h", tokenHash(col("tok")))
+    val voteCols = (0 until bits).map { i =>
       sum(when(shiftrightunsigned(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"b$i")
     }
     val votes = toks.groupBy(col("doc_id")).agg(voteCols.head, voteCols.tail: _*)
     votes.select(col("doc_id"),
-      (0 until 64).map(i => when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
+      (0 until bits).map(i => when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
         .reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
   }
 

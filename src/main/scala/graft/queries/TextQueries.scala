@@ -35,17 +35,22 @@ object TextQueries {
         .orderBy(col("keep_id"))
     },
 
-    // C2: MinHash+LSH near-dup pairs over planted duplicates.
+    // C2: MinHash+LSH near-dup pairs over planted duplicates — the
+    // oracle-portable hash family (md5 base + affine maps), so DuckDB
+    // hash-matches the whole signature→band→verify pipeline. The
+    // xxhash64 production path (Dedup.minHashLsh) is spec-covered.
     "q_dedup_minhash" -> { (s, dir) =>
-      Dedup.minHashLsh(docsWithPlantedDups(s, dir), col("doc_id"), col("text"),
+      Dedup.minHashLshMd5(docsWithPlantedDups(s, dir), col("doc_id"), col("text"),
           shingleK = 3, numHashes = 16, bands = 4, threshold = 0.5)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy(col("id_a"), col("id_b"))
     },
 
-    // C3: SimHash near-dup pairs over planted duplicates.
+    // C3: SimHash near-dup pairs over planted duplicates — the
+    // 60-bit md5 portable signature (Dedup.simHashMd5); the native
+    // kernel path (Dedup.simHash) is spec-covered.
     "q_dedup_simhash" -> { (s, dir) =>
-      Dedup.simHash(docsWithPlantedDups(s, dir), col("doc_id"), col("text"), maxHamming = 3)
+      Dedup.simHashMd5(docsWithPlantedDups(s, dir), col("doc_id"), col("text"), maxHamming = 3)
         .orderBy(col("id_a"), col("id_b"))
     },
 
@@ -114,7 +119,91 @@ object TextQueries {
     }
   )
 
+  /** The planted-dup corpus as a DuckDB CTE (must stay in sync with
+    * [[docsWithPlantedDups]]).
+    */
+  private val allDocsCte =
+    """all_docs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, text || ' graftdup' AS text
+      |  FROM documents WHERE doc_id % 10 = 0)""".stripMargin
+
+  /** Word-3-shingle set per doc, DuckDB formulation (proven equal to
+    * TextAnalysis.wordShingles by the q_dedup_ngram oracle).
+    */
+  private val shinglesCte =
+    """tok AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM all_docs),
+      |sh AS (SELECT doc_id,
+      |         list_distinct(CASE WHEN len(toks) >= 3
+      |           THEN list_transform(range(1, len(toks) - 1),
+      |                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+      |           ELSE [array_to_string(toks, ' ')] END) AS shingles
+      |       FROM tok)""".stripMargin
+
+  /** DuckDB twin of the portable MinHash signature: 16 list_min's
+    * over the affine family (a_i·base + b_i) mod 2^31-1, base = first
+    * 60 bits of md5(shingle) — identical longs to Dedup.minHashLshMd5.
+    */
+  private val minhashSigList: String = (0 until 16).map { i =>
+    s"list_min(list_transform(hs, h -> (${1103515245L + 12345L * i} * h + ${6789L + 10007L * i}) % 2147483647))"
+  }.mkString("[", ",\n           ", "]")
+
+  private def minhashBandSelect(b: Int): String = {
+    val elems = (1 to 4).map(j => s"sig[${b * 4 + j}]").mkString(", ")
+    s"SELECT doc_id, $b AS band, md5(concat_ws(',', $elems)) AS band_key FROM mh"
+  }
+
+  /** DuckDB twin of the portable 60-bit SimHash signature: per bit i,
+    * the bit is set when strictly more tokens have md5-bit i set than
+    * unset (same threshold as the +1/-1 vote sum being > 0).
+    */
+  private val simhashSigSum: String = (0 until 60).map { i =>
+    s"CASE WHEN 2 * len(list_filter(hashes, h -> (h >> $i) & 1 = 1)) > len(hashes) THEN (CAST(1 AS BIGINT) << $i) ELSE 0 END"
+  }.mkString("(", "\n         + ", ")")
+
+  private def simhashChunkSelect(c: Int): String =
+    s"SELECT doc_id, simhash, $c AS chunk, (simhash >> ${c * 15}) & 32767 AS chunk_val FROM sig"
+
   val oracles: Map[String, String] = Map(
+    "q_dedup_minhash" ->
+      s"""WITH $allDocsCte,
+         |$shinglesCte,
+         |bh AS (SELECT doc_id, shingles,
+         |         list_transform(shingles, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647) AS hs
+         |       FROM sh),
+         |mh AS (SELECT doc_id, shingles,
+         |         $minhashSigList AS sig
+         |       FROM bh),
+         |banded AS (
+         |  ${(0 until 4).map(minhashBandSelect).mkString("\n  UNION ALL ")}),
+         |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |         FROM banded x JOIN banded y
+         |           ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
+         |j AS (SELECT c.id_a, c.id_b,
+         |        CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+         |          / len(list_distinct(list_concat(a.shingles, b.shingles))) AS jac
+         |      FROM cand c JOIN sh a ON c.id_a = a.doc_id JOIN sh b ON c.id_b = b.doc_id)
+         |SELECT id_a, id_b, round(jac, 4) AS jaccard FROM j
+         |WHERE jac >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+
+    "q_dedup_simhash" ->
+      s"""WITH $allDocsCte,
+         |hs AS (SELECT doc_id,
+         |         list_transform(string_split_regex(trim(lower(text)), '\\s+'),
+         |           t -> ('0x' || substr(md5(t), 1, 15))::BIGINT) AS hashes
+         |       FROM all_docs),
+         |sig AS (SELECT doc_id,
+         |        $simhashSigSum AS simhash
+         |        FROM hs),
+         |chunks AS (
+         |  ${(0 until 4).map(simhashChunkSelect).mkString("\n  UNION ALL ")}),
+         |pairs AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+         |            CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+         |          FROM chunks x JOIN chunks y
+         |            ON x.chunk = y.chunk AND x.chunk_val = y.chunk_val AND x.doc_id < y.doc_id)
+         |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin,
+
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text), length(text) ORDER BY keep_id""".stripMargin,

@@ -187,6 +187,18 @@ class GtfsFeedSpec extends AnyFunSuite with SparkTestBase {
     assert(n == 4)
   }
 
+  test("sql passthrough registers views once per feed instance") {
+    val f = feed
+    assert(f.sql("SELECT count(*) AS n FROM agency").first().getLong(0) >= 1)
+    // a dropped view stays dropped on the next sql() call on the SAME
+    // instance — proof the guard skipped re-registration
+    spark.catalog.dropTempView("agency")
+    intercept[Exception] { f.sql("SELECT count(*) AS n FROM agency").first() }
+    // a different feed instance re-registers everything
+    val f2 = f.copy()
+    assert(f2.sql("SELECT count(*) AS n FROM agency").first().getLong(0) >= 1)
+  }
+
   test("exportStatic roundtrips through a directory and a zip") {
     val outDir = java.nio.file.Files.createTempDirectory("gtfs_out")
     feed.exportStatic(outDir.toString)

@@ -62,6 +62,21 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(!pairs.exists { case (a, b) => Set(a, b) == Set(4L, 5L) })
   }
 
+  test("portable md5 minhash surfaces the same planted duplicates") {
+    val pairs = Dedup.minHashLshMd5(docs, col("doc_id"), col("text"),
+        shingleK = 3, numHashes = 16, bands = 8, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
+  test("portable md5 simhash: identical docs at hamming 0, unrelated docs apart") {
+    val rows = Dedup.simHashMd5(docs, col("doc_id"), col("text"), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0L))
+    assert(!rows.exists(p => Set(p._1, p._2) == Set(4L, 5L)))
+  }
+
   test("simhash signature is deterministic and 0-hamming for identical text") {
     val sigs = Dedup.simHashSignatures(docs, col("doc_id"), col("text"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
