@@ -74,16 +74,21 @@ final case class GtfsFeed(spark: SparkSession, tables: Map[String, DataFrame]) {
     val stops0 = table("stops")
     val lt = coalesce(col("location_type"), lit("\u0000"))
     val plainKept = stops0.filter(lt.isin("", "0"))
-      .join(stopTimes.select(col("stop_id")).distinct(), Seq("stop_id"), "left_semi")
+      .join(stopTimes.select(col("stop_id")), Seq("stop_id"), "left_semi")
     val stations0 = stops0.filter(lt === "1")
     val otherStops = stops0.filter(!lt.isin("", "0", "1"))
-    val parentScan = plainKept.unionByName(stations0).unionByName(otherStops)
-      .select(col("parent_station"))
-    val childIds = parentScan
+    // One distinct pass over the surviving parent_station column
+    // feeds BOTH the child-id set and the any-null flag (the flag is
+    // an O(#stations) agg over the distinct result, not a second
+    // scan of the stops table).
+    val parentDistinct = plainKept.unionByName(stations0).unionByName(otherStops)
+      .select(col("parent_station")).distinct()
+      .persist()
+    val childIds = parentDistinct
       .filter(col("parent_station").isNotNull)
-      .select(col("parent_station").as("stop_id")).distinct()
+      .select(col("parent_station").as("stop_id"))
       .withColumn("is_child", lit(true))
-    val nullParentFlag = parentScan.agg(
+    val nullParentFlag = parentDistinct.agg(
       coalesce(max(col("parent_station").isNull), lit(false)).as("has_null_parent"))
     val stationsKept = stations0
       .crossJoin(broadcast(nullParentFlag))
@@ -94,9 +99,11 @@ final case class GtfsFeed(spark: SparkSession, tables: Map[String, DataFrame]) {
 
     val shapes = GtfsLake.retainChildrenOf(table("shapes"), "shape_id", trips, "shape_id")
 
+    // Key-only build sides, no distinct: the four semi joins dedupe
+    // in their build hash tables.
     val transfers0 = table("transfers")
-    val routeIds = routes.select(col("route_id")).distinct()
-    val tripIds = trips.select(col("trip_id")).distinct()
+    val routeIds = routes.select(col("route_id"))
+    val tripIds = trips.select(col("trip_id"))
     val transfers = transfers0
       .join(routeIds.withColumnRenamed("route_id", "from_route_id"), Seq("from_route_id"), "left_semi")
       .join(routeIds.withColumnRenamed("route_id", "to_route_id"), Seq("to_route_id"), "left_semi")

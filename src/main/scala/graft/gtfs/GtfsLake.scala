@@ -33,13 +33,16 @@ object GtfsLake {
     * side when the surviving key set is small.
     */
   def retainChildrenOf(child: DataFrame, fk: String, parent: DataFrame, pk: String): DataFrame = {
-    val keys = parent.select(col(pk).as("graft_pk")).distinct()
+    // No distinct on the build side: semi/anti joins dedupe in the
+    // build hash table for free — an explicit distinct is a whole
+    // extra shuffle per cascade level.
+    val keys = parent.select(col(pk).as("graft_pk"))
     child.join(keys, child(fk) === keys("graft_pk"), "left_semi")
   }
 
   /** Complement: the rows that would be cascade-deleted. */
   def orphansOf(child: DataFrame, fk: String, parent: DataFrame, pk: String): DataFrame = {
-    val keys = parent.select(col(pk).as("graft_pk")).distinct()
+    val keys = parent.select(col(pk).as("graft_pk"))
     child.join(keys, child(fk) === keys("graft_pk"), "left_anti")
   }
 

@@ -197,8 +197,15 @@ object Dedup {
       text: Column,
       maxHamming: Int = 3): DataFrame =
     hammingPairs(
-      simHashSignaturesAgg(df, id, text, bits = 60, tokenHash = md5Hash60),
+      df.select(id.cast("bigint").as("doc_id"),
+        graft.plans.SimHashMd5Expr.simhash60(text).as("simhash")),
       chunkBits = 15, maxHamming = maxHamming)
+
+  /** The portable signature via the generic agg formulation — the
+    * verification baseline for [[graft.plans.SimHashMd5Expr]].
+    */
+  def simHashMd5SignaturesAgg(df: DataFrame, id: Column, text: Column): DataFrame =
+    simHashSignaturesAgg(df, id, text, bits = 60, tokenHash = md5Hash60)
 
   /** Chunk-pigeonhole candidate generation + exact hamming verify
     * over a (doc_id, simhash) signature table: 4 chunks of
@@ -245,16 +252,36 @@ object Dedup {
       text: Column,
       bits: Int = 64,
       tokenHash: Column => Column = c => xxhash64(c)): DataFrame = {
+    // Per-bit set-counts packed 3-to-a-long in 21-bit lanes: a third
+    // of the aggregate buffer columns of one-sum-per-bit, keeping the
+    // whole aggregate inside codegen limits. Safe for docs up to 2^20
+    // tokens (count per lane < 2^21; per-row pack < 2^43, summed
+    // < 2^63).
+    val Lanes = 3
+    val LaneBits = 21
+    val laneMask = (1L << LaneBits) - 1
+    val nPacks = (bits + Lanes - 1) / Lanes
     val toks = df.select(id.cast("bigint").as("doc_id"),
         explode(split(trim(lower(text)), "\\s+")).as("tok"))
       .withColumn("h", tokenHash(col("tok")))
-    val voteCols = (0 until bits).map { i =>
-      sum(when(shiftrightunsigned(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"b$i")
+    val packCols = (0 until nPacks).map { g =>
+      val perRow = (0 until Lanes)
+        .filter(j => g * Lanes + j < bits)
+        .map(j => shiftleft(
+          shiftrightunsigned(col("h"), g * Lanes + j).bitwiseAND(lit(1L)), j * LaneBits))
+        .reduce((a, b) => a + b)
+      sum(perRow).as(s"p$g")
     }
-    val votes = toks.groupBy(col("doc_id")).agg(voteCols.head, voteCols.tail: _*)
+    val aggCols = packCols :+ count(lit(1)).as("n_toks")
+    val votes = toks.groupBy(col("doc_id")).agg(aggCols.head, aggCols.tail: _*)
+    // bit i is set when strictly more tokens have it set than unset:
+    // 2 * count_set > n.
     votes.select(col("doc_id"),
-      (0 until bits).map(i => when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
-        .reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
+      (0 until bits).map { i =>
+        val setCount = shiftrightunsigned(col(s"p${i / Lanes}"), (i % Lanes) * LaneBits)
+          .bitwiseAND(lit(laneMask))
+        when(setCount * 2 > col("n_toks"), shiftleft(lit(1L), i)).otherwise(lit(0L))
+      }.reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
   }
 
   /** Embedding-cosine near-duplicate pairs, blocked by a coarse

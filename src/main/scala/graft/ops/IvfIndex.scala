@@ -51,14 +51,59 @@ object IvfIndex {
     * xxhash64(id) (a hash-ordered top-N — one TakeOrdered pass, no
     * global sort), and the k smallest of those seed the centroids.
     *
-    * Lloyd's runs entirely on the CACHED sample: a coarse quantizer
-    * needs a representative sample, not the corpus — at 100 TB the
-    * full data is scanned exactly once, by [[assign]]. Each iteration
-    * is one job over the sample producing per-partition partial
+    * The sample is O(k · maxSamplePerCentroid · dim) — bounded by the
+    * MODEL size, independent of corpus size — so it is collected once
+    * and Lloyd's runs driver-local: ONE Spark job total, regardless
+    * of `iters`; the corpus itself is scanned exactly once, later, by
+    * [[assign]]. (This is how IVF quantizers train at scale
+    * everywhere: the coarse codebook fits one machine by
+    * construction.) For a quantizer too big for one machine
+    * (k · dim in the billions) use [[fitDistributed]].
+    */
+  def fit(
+      corpus: DataFrame,
+      id: Column,
+      vec: Column,
+      k: Int,
+      iters: Int = 5,
+      maxSamplePerCentroid: Int = 256): Model = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val target = math.max(k, k * maxSamplePerCentroid)
+    // TakeOrderedAndProject: rows arrive sorted by the hash order, so
+    // the first k are exactly the seeds the distributed path picks.
+    val sample: Array[Array[Double]] = corpus
+      .select(id.cast("bigint").as("vid"), vec.cast("array<double>").as("v"))
+      .orderBy(xxhash64(col("vid")), col("vid"))
+      .limit(target)
+      .select(col("v")).as[Seq[Double]].collect().map(_.toArray)
+    if (sample.isEmpty) return Model(Array.empty)
+
+    var centroids = sample.take(k).map(_.clone())
+    val dim = centroids(0).length
+    for (_ <- 0 until iters) {
+      val cnt = new Array[Long](centroids.length)
+      val sums = Array.ofDim[Double](centroids.length, dim)
+      sample.foreach { v =>
+        val c = nearestCentroid(v, centroids)
+        cnt(c) += 1
+        var i = 0; while (i < dim) { sums(c)(i) += v(i); i += 1 }
+      }
+      centroids = centroids.zipWithIndex.map { case (old, c) =>
+        if (cnt(c) > 0) sums(c).map(_ / cnt(c))
+        else old // empty cell keeps its centroid
+      }
+    }
+    Model(centroids)
+  }
+
+  /** Distributed Lloyd's for quantizers whose sample exceeds one
+    * machine: the cached bounded sample is re-scanned per iteration,
+    * each iteration one job producing per-partition partial
     * (count, sum) arrays — k·dim numbers per partition, no shuffle,
     * no O(data) collect.
     */
-  def fit(
+  def fitDistributed(
       corpus: DataFrame,
       id: Column,
       vec: Column,

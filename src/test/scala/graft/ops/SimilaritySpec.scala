@@ -52,6 +52,26 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(assigned.count() == corpus.count())
   }
 
+  test("ivf distributed fit trains an equivalent quantizer (same seeds, usable recall)") {
+    val emb = graft.Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
+    val query = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val exact = Similarity.bruteForceTopK(corpus, col("vec_id"), col("embedding"), query, 20)
+      .collect().map(_.getLong(0)).toSet
+    val qv = query.first().getSeq[Float](0).map(_.toDouble).toArray
+    val local = IvfIndex.fit(corpus, col("vec_id"), col("embedding"), k = 8, iters = 0)
+    val dist = IvfIndex.fitDistributed(corpus, col("vec_id"), col("embedding"), k = 8, iters = 0)
+    // at iters=0 both are exactly the seed centroids — the same
+    // hash-ordered k rows regardless of which path picked them
+    assert(local.centroids.map(_.toSeq).toSeq == dist.centroids.map(_.toSeq).toSeq)
+    val model = IvfIndex.fitDistributed(corpus, col("vec_id"), col("embedding"), k = 8, iters = 5)
+    val assigned = IvfIndex.assign(corpus, col("vec_id"), col("embedding"), model)
+    val ivf = IvfIndex.topK(assigned, qv, 20, model, nProbe = 4)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    assert(recall >= 0.6, s"distributed-fit ivf recall $recall too low")
+  }
+
   test("ivf persisted index: probe reads only its cells (partition pruning)") {
     val emb = graft.Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
     val corpus = emb.filter(col("vec_id") =!= 0)

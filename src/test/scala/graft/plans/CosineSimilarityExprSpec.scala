@@ -75,4 +75,15 @@ class SimHashExprSpec extends AnyFunSuite with SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(native == agg)
   }
+
+  test("native md5 simhash matches its aggregation baseline and stays in 60 bits") {
+    val d = graft.Tables.read(spark, "/root/testdata/sf0.001", "documents")
+    val native = d.select(col("doc_id"),
+        graft.plans.SimHashMd5Expr.simhash60(col("text")).as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val agg = graft.ops.Dedup.simHashMd5SignaturesAgg(d, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native == agg)
+    assert(native.values.forall(s => s >= 0L && s < (1L << 60)))
+  }
 }
