@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 
-import graft.plans.{CosineSimilarityExpr, SimHashExpr, WordShinglesExpr}
+import graft.plans.{CosineSimilarityExpr, HllEstimateExpr, HllSketch, HllSketchAgg, HllUnionAgg, SimHashExpr, WordShinglesExpr}
 
 /** SQL registration for graft's native expressions, so
   * `spark.sql("SELECT graft_cosine(a, b) ...")` works wherever the
@@ -25,6 +25,19 @@ object GraftFunctions {
       "graft_shingles",
       exprs => WordShinglesExpr(exprs.head,
         exprs(1).eval().asInstanceOf[Int]),
+      "built-in")
+    registry.createOrReplaceTempFunction(
+      "graft_hll_sketch",
+      exprs => HllSketchAgg(exprs.head,
+        if (exprs.length > 1) exprs(1).eval().asInstanceOf[Int] else HllSketch.DefaultPrecision),
+      "built-in")
+    registry.createOrReplaceTempFunction(
+      "graft_hll_union",
+      exprs => HllUnionAgg(exprs.head),
+      "built-in")
+    registry.createOrReplaceTempFunction(
+      "graft_hll_estimate",
+      exprs => HllEstimateExpr(exprs.head),
       "built-in")
   }
 }

@@ -94,6 +94,47 @@ object Dedup {
       slice => md5(concat_ws(",", transform(slice, _.cast("string")))), threshold)
   }
 
+  /** Choose (bands, rows) for an LSH hash budget so the S-curve
+    * P(candidate | jaccard=s) = 1 - (1 - s^r)^b crosses probability
+    * 0.5 as close as possible to the target jaccard threshold. The
+    * crossing point is s50 = (1 - 0.5^(1/b))^(1/r); all (b, r) with
+    * b·r <= hashBudget are considered (a pair using fewer hashes than
+    * the budget is allowed — granularity beats waste), ties prefer
+    * more hashes (a tighter curve).
+    */
+  def tuneBanding(hashBudget: Int, threshold: Double): (Int, Int) = {
+    require(hashBudget >= 1 && threshold > 0 && threshold < 1)
+    val candidates = for {
+      b <- 1 to hashBudget
+      r <- 1 to hashBudget / b
+    } yield {
+      val s50 = math.pow(1.0 - math.pow(0.5, 1.0 / b), 1.0 / r)
+      (b, r, math.abs(s50 - threshold))
+    }
+    val (b, r, _) = candidates.minBy { case (b, r, d) => (d, -(b * r)) }
+    (b, r)
+  }
+
+  /** The S-curve crossing point of a banding choice (where a pair at
+    * this jaccard has a 50% chance of becoming a candidate).
+    */
+  def bandingCrossover(bands: Int, rows: Int): Double =
+    math.pow(1.0 - math.pow(0.5, 1.0 / bands), 1.0 / rows)
+
+  /** MinHash-LSH with banding derived from the target threshold via
+    * [[tuneBanding]] instead of a hand-set (bands, rows).
+    */
+  def minHashLshAuto(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      threshold: Double,
+      shingleK: Int = 3,
+      hashBudget: Int = 16): DataFrame = {
+    val (b, r) = tuneBanding(hashBudget, threshold)
+    minHashLsh(df, id, text, shingleK, numHashes = b * r, bands = b, threshold = threshold)
+  }
+
   private def shingled(df: DataFrame, id: Column, text: Column, shingleK: Int): DataFrame =
     // Shingle sets are referenced by the signature pass and twice by
     // the verify join; signatures feed both sides of the band

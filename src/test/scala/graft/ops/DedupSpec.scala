@@ -70,6 +70,26 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
     assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
   }
 
+  test("banding auto-tune: S-curve crosses 0.5 within +-0.05 of every target") {
+    for (t <- Seq(0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)) {
+      val (b, r) = Dedup.tuneBanding(16, t)
+      val s50 = Dedup.bandingCrossover(b, r)
+      assert(math.abs(s50 - t) <= 0.05, s"target $t got ($b,$r) crossing at $s50")
+      assert(b * r <= 16)
+      // the curve really crosses 0.5 there: just below the crossover
+      // the candidate probability is < 0.5, just above it is > 0.5
+      def p(s: Double) = 1.0 - math.pow(1.0 - math.pow(s, r), b)
+      assert(p(s50 - 0.02) < 0.5 && p(s50 + 0.02) > 0.5)
+    }
+  }
+
+  test("auto-tuned minhash still surfaces planted duplicates") {
+    val pairs = Dedup.minHashLshAuto(docs, col("doc_id"), col("text"), threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
   test("portable md5 simhash: identical docs at hamming 0, unrelated docs apart") {
     val rows = Dedup.simHashMd5(docs, col("doc_id"), col("text"), maxHamming = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
