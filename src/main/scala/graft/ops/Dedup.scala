@@ -81,17 +81,25 @@ object Dedup {
       bands: Int = 4,
       threshold: Double = 0.7): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
-    val p = 2147483647L // 2^31 - 1; (a·h + b) < 2^62 stays exact in int64
-    val sig = aggregate(
-      transform(col("shingles"), s => md5Hash60(s) % p),
+    lshCore(shingled(df, id, text, shingleK),
+      graft.plans.MinHashMd5Expr.minhashSig(col("shingles"), numHashes),
+      bands, numHashes / bands,
+      slice => md5(concat_ws(",", transform(slice, _.cast("string")))), threshold)
+  }
+
+  /** The portable MinHash signature via interpreted HOFs — the
+    * verification baseline for [[graft.plans.MinHashMd5Expr]].
+    */
+  def minHashMd5SignatureHof(shingles: Column, numHashes: Int): Column = {
+    val p = graft.plans.MinHashOps.P
+    aggregate(
+      transform(shingles, s => md5Hash60(s) % p),
       array_repeat(lit(Long.MaxValue), numHashes),
       (acc, h) => zip_with(
         acc,
         array((0 until numHashes).map(i =>
-          (lit(1103515245L + 12345L * i) * h + lit(6789L + 10007L * i)) % p): _*),
+          (lit(graft.plans.MinHashOps.affineA(i)) * h + lit(graft.plans.MinHashOps.affineB(i))) % p): _*),
         (a, b) => least(a, b)))
-    lshCore(shingled(df, id, text, shingleK), sig, bands, numHashes / bands,
-      slice => md5(concat_ws(",", transform(slice, _.cast("string")))), threshold)
   }
 
   /** Choose (bands, rows) for an LSH hash budget so the S-curve

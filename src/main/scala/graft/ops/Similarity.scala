@@ -33,6 +33,54 @@ object Similarity {
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(k)
 
+  /** Batched brute-force cosine top-k: score MANY query vectors in
+    * ONE corpus pass. The query set broadcasts (it is the small
+    * side); each corpus partition scores all queries locally and
+    * keeps a bounded per-query top-k (the combiner — at most
+    * partitions × |queries| × k rows ever reach the shuffle, never
+    * the scored corpus); a final ranked window over that small set
+    * picks the global top-k per query. A 100 TB corpus is scanned
+    * once for the whole batch instead of once per query.
+    * Returns (query_id, vec_id, cos_sim), top-k per query.
+    */
+  def bruteForceTopKBatch(
+      corpus: DataFrame,
+      id: Column,
+      vec: Column,
+      queries: DataFrame, // columns: query_id (bigint), qv
+      k: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val scored = corpus.select(id.cast("bigint").as("vec_id"), vec.as("v"))
+      .crossJoin(broadcast(queries.select(col("query_id").cast("bigint"), col("qv"))))
+      .select(col("query_id"), col("vec_id"),
+        VectorFunctions.cosineSimilarity(col("v"), col("qv")).as("cos_sim"))
+      .as[(Long, Long, Double)]
+
+    // partial top-k per (partition, query): a bounded ordered buffer
+    // per query id — the map-side combine Spark's window can't do
+    val partial = scored.mapPartitions { rows =>
+      // ordering: best cos_sim first, then smallest vec_id (ties)
+      implicit val ord: Ordering[(Long, Long, Double)] =
+        Ordering.by { case (_, vecId, sim) => (-sim, vecId) }
+      val heaps = scala.collection.mutable.Map.empty[Long, scala.collection.mutable.TreeSet[(Long, Long, Double)]]
+      rows.foreach { r =>
+        val h = heaps.getOrElseUpdate(r._1, scala.collection.mutable.TreeSet.empty)
+        h += r
+        if (h.size > k) h -= h.last
+      }
+      heaps.valuesIterator.flatten
+    }.toDF("query_id", "vec_id", "cos_sim")
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    partial
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .drop("rk")
+  }
+
   /** Deterministic random hyperplanes (fixed seed — reproducible
     * across sessions and executors).
     */

@@ -146,7 +146,7 @@ object TextQueries {
     * 60 bits of md5(shingle) — identical longs to Dedup.minHashLshMd5.
     */
   private val minhashSigList: String = (0 until 16).map { i =>
-    s"list_min(list_transform(hs, h -> (${1103515245L + 12345L * i} * h + ${6789L + 10007L * i}) % 2147483647))"
+    s"list_min(list_transform(hs, h -> (${graft.plans.MinHashOps.affineA(i)} * h + ${graft.plans.MinHashOps.affineB(i)}) % ${graft.plans.MinHashOps.P}))"
   }.mkString("[", ",\n           ", "]")
 
   private def minhashBandSelect(b: Int): String = {

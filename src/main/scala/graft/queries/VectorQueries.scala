@@ -49,6 +49,19 @@ object VectorQueries {
         .orderBy(col("cos_sim").desc, col("vec_id"))
     },
 
+    // C6b: batched ANN — 3 query vectors, ONE corpus pass, bounded
+    // per-partition combiner before the shuffle.
+    "q_ann_batch" -> { (s, dir) =>
+      val e = emb(s, dir)
+      val qids = Seq(0L, 1L, 2L)
+      val queries = e.filter(col("vec_id").isin(qids: _*))
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      Similarity.bruteForceTopKBatch(e.filter(!col("vec_id").isin(qids: _*)),
+          col("vec_id"), col("embedding"), queries, k = 50)
+        .select(col("query_id"), col("vec_id"), round(col("cos_sim"), 4).as("cos_sim"))
+        .orderBy(col("query_id"), col("vec_id"))
+    },
+
     // C5: embedding-cosine near-dup pairs blocked by label.
     "q_dedup_embedding" -> { (s, dir) =>
       Dedup.embeddingCosine(emb(s, dir), col("vec_id"), col("embedding"),
@@ -96,6 +109,20 @@ object VectorQueries {
         |  round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), CAST(qv AS DOUBLE[])), 4) AS cos_sim
         |FROM embeddings, q WHERE vec_id <> 0
         |ORDER BY cos_sim DESC, vec_id LIMIT 50""".stripMargin,
+
+    "q_ann_batch" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id IN (0, 1, 2)),
+        |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |      FROM embeddings WHERE vec_id NOT IN (0, 1, 2)),
+        |s AS (SELECT q.query_id, c.vec_id,
+        |        list_cosine_similarity(c.v, q.qv) AS cos_sim
+        |      FROM c, q),
+        |r AS (SELECT query_id, vec_id, cos_sim,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS rk
+        |      FROM s)
+        |SELECT query_id, vec_id, round(cos_sim, 4) AS cos_sim
+        |FROM r WHERE rk <= 50 ORDER BY query_id, vec_id""".stripMargin,
 
     "q_dedup_embedding" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,

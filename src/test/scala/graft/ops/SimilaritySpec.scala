@@ -52,6 +52,23 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(assigned.count() == corpus.count())
   }
 
+  test("batched top-k equals per-query brute force for every query in the batch") {
+    val emb = graft.Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
+    val queryIds = Seq(0L, 1L, 2L)
+    val queries = emb.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val corpus = emb.filter(!col("vec_id").isin(queryIds: _*))
+    val batch = Similarity.bruteForceTopKBatch(corpus, col("vec_id"), col("embedding"), queries, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.sortBy(x => (-x._3, x._2)).map(_._2).toSeq).toMap
+    queryIds.foreach { qid =>
+      val single = Similarity.bruteForceTopK(corpus, col("vec_id"), col("embedding"),
+          emb.filter(col("vec_id") === qid).select(col("embedding").as("qv")), k = 10)
+        .collect().map(_.getLong(0)).toSeq
+      assert(batch(qid) == single, s"query $qid")
+    }
+  }
+
   test("ivf distributed fit trains an equivalent quantizer (same seeds, usable recall)") {
     val emb = graft.Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
     val query = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))

@@ -76,6 +76,20 @@ class SimHashExprSpec extends AnyFunSuite with SparkTestBase {
     assert(native == agg)
   }
 
+  test("native md5 minhash signature matches its HOF baseline on real documents") {
+    val d = graft.Tables.read(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"),
+        graft.ops.TextAnalysis.wordShingles(col("text"), 3).as("shingles"))
+    val native = d.select(col("doc_id"),
+        graft.plans.MinHashMd5Expr.minhashSig(col("shingles"), 16).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val hof = d.select(col("doc_id"),
+        graft.ops.Dedup.minHashMd5SignatureHof(col("shingles"), 16).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(native == hof)
+    assert(native.values.forall(s => s.length == 16 && s.forall(v => v >= 0 && v < graft.plans.MinHashOps.P)))
+  }
+
   test("native md5 simhash matches its aggregation baseline and stays in 60 bits") {
     val d = graft.Tables.read(spark, "/root/testdata/sf0.001", "documents")
     val native = d.select(col("doc_id"),
