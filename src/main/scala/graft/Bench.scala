@@ -5,12 +5,17 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: times every SparkEntry query at the SF dir from
   * SPARK_GRAFT_SF_DIR and prints one JSON line.
   * A warmup action first (not timed) so the first measured query
-  * doesn't carry JVM/codegen warmup.
+  * doesn't carry JVM/codegen warmup. Each query is timed
+  * SPARK_GRAFT_BENCH_PASSES times (default 2) and the minimum is
+  * reported — the steady-state number, robust to concurrent machine
+  * load; the 1-min loadavg is recorded in the JSON so a noisy run is
+  * visible in the artifact itself.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
     val spark = GraftSession.getOrCreate(s"local[$cpus]", cpus)
 
     // warmup: cache every table (CacheManager substitutes the
@@ -22,15 +27,22 @@ object Bench {
     Tables.registerViews(spark, sfDir)
     SparkEntry.queries("q1_pricing_summary")(spark, sfDir).count()
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> (0 until math.max(1, passes)).map(_ => timeOnce(fn)).min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val loadavg =
+      try java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+      catch { case _: Throwable => -1.0 }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"loadavg_1m":$loadavg}""")
     spark.stop()
   }
 }

@@ -17,6 +17,11 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // zstd beats snappy ~30% on size at comparable speed — at 100 TB
+      // that is tens of TB of storage and shuffle-read I/O; page-level
+      // column indexes (on by default in the writer) make point/range
+      // predicates skip pages within row groups
+      .config("spark.sql.parquet.compression.codec", "zstd")
       .config("spark.ui.enabled", "false")
 
   def getOrCreate(master: String = "local[32]", shufflePartitions: Int = 32): SparkSession = {

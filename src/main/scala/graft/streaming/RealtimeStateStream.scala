@@ -18,6 +18,25 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object RealtimeStateStream {
 
+  /** Switch the session's streaming state store to RocksDB
+    * (changelog-checkpointed, spillable) — the production provider
+    * for 100 TB-scale state: the default HDFSBackedStateStoreProvider
+    * keeps every live key on-heap per executor, RocksDB keeps state
+    * off-heap/on-disk with incremental checkpoints. Call before
+    * starting queries; applies to new queries in this session.
+    */
+  def useRocksDbStateStore(spark: SparkSession): Unit = {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+  }
+
+  /** Restore the default on-heap provider (tests). */
+  def useDefaultStateStore(spark: SparkSession): Unit = {
+    spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.unset("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled")
+  }
+
   /** A generic realtime entity update (trip update / vehicle position
     * / alert all reduce to this for state purposes).
     */

@@ -57,6 +57,12 @@ class BucketedJoinSpec extends AnyFunSuite with SparkTestBase {
     val prunedRows = oneDay.count()
     val totalRows = spark.read.parquet(out).count()
     assert(prunedRows < totalRows / 5)
+
+    // session writes parquet as zstd (codec is part of the file name)
+    val files = java.nio.file.Files.walk(java.nio.file.Paths.get(out)).iterator()
+    val parts = scala.jdk.CollectionConverters.IteratorHasAsScala(files).asScala
+      .map(_.getFileName.toString).filter(_.startsWith("part-")).toSeq
+    assert(parts.nonEmpty && parts.forall(_.contains(".zstd.parquet")), parts.take(3))
   }
 
   test("runtime bloom-filter pruning engages on selective fact joins") {

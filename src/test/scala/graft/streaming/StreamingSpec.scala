@@ -48,6 +48,39 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally query.stop()
   }
 
+  test("latest-state stream produces identical results on the RocksDB state store") {
+    implicit val sqlCtx = spark.sqlContext
+    RealtimeStateStream.useRocksDbStateStore(spark)
+    try {
+      val input = MemoryStream[EntityUpdate]
+      val states = RealtimeStateStream.latestStateStream(spark, input.toDS(), ttlMs = None)
+      val query = states.writeStream
+        .format("memory").queryName("rocksdb_state_test").outputMode("update").start()
+      try {
+        // provider actually engaged (fail loudly if the conf was ignored)
+        assert(spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+          .contains("RocksDBStateStoreProvider"))
+        input.addData(
+          EntityUpdate("trip-1", 100L, "v1", isDeleted = false),
+          EntityUpdate("trip-2", 100L, "v1", isDeleted = false))
+        query.processAllAvailable()
+        input.addData(
+          EntityUpdate("trip-1", 200L, "v2", isDeleted = false),
+          EntityUpdate("trip-2", 50L, "stale", isDeleted = false),
+          EntityUpdate("trip-3", 300L, "v1", isDeleted = false))
+        query.processAllAvailable()
+        input.addData(EntityUpdate("trip-3", 400L, "x", isDeleted = true))
+        query.processAllAvailable()
+
+        val latest = spark.table("rocksdb_state_test").as[EntityState].collect()
+          .groupBy(_.entityId).map { case (k, vs) => k -> vs.maxBy(_.timestamp) }
+        assert(latest("trip-1").payload == "v2")
+        assert(latest("trip-2").payload == "v1")
+        assert(!latest.get("trip-3").exists(_.timestamp >= 400L))
+      } finally query.stop()
+    } finally RealtimeStateStream.useDefaultStateStore(spark)
+  }
+
   test("windowed counts with watermark over a bounded stream") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, String, Double)]
