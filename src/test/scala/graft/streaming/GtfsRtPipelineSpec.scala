@@ -98,10 +98,23 @@ class GtfsRtPipelineSpec extends AnyFunSuite with SparkTestBase {
           lit(null).cast("int").as("departure_delay"),
           lit(null).cast("int").as("departure_uncertainty"),
           lit("SCHEDULED").as("schedule_relationship"))
-      val json = graft.gtfs.FeedAssembler.feedMessageJson(
-        graft.gtfs.FeedAssembler.tripUpdateEntities(state, stus), "trip_update", 1704790000L)
+      val entities = graft.gtfs.FeedAssembler.tripUpdateEntities(state, stus)
+      val json = graft.gtfs.FeedAssembler.feedMessageJson(entities, "trip_update", 1704790000L)
         .first().getString(0)
       assert(json.contains("\"id\":\"tu1\"") && json.contains("\"id\":\"tu2\""))
+
+      // same streamed state serves the protobuf wire format: decode
+      // the bytes independently and find both entities + header
+      import graft.gtfs.ProtoWire
+      import graft.gtfs.ProtoWire.{PBytes, PVarint}
+      val pbf = graft.gtfs.GtfsRtProto.feedMessagePbf(entities, "trip_update", 1704790000L)
+      val msg = ProtoWire.parse(pbf)
+      val header = msg.collect { case (1, b: PBytes) => b.fields }.head
+      assert(header.collect { case (3, PVarint(v)) => v } == Seq(1704790000L))
+      val ids = msg.collect { case (2, b: PBytes) =>
+        b.fields.collect { case (1, s: PBytes) => s.utf8 }.head
+      }
+      assert(ids.toSet == Set("tu1", "tu2"))
     } finally q.stop()
   }
 }
