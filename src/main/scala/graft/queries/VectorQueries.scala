@@ -102,7 +102,30 @@ object VectorQueries {
     }
   )
 
+  /** The LSH hyperplanes are data-independent constants from a fixed
+    * seed — embedded as double literals (Double.toString is
+    * roundtrip-exact, so DuckDB parses the identical bits) the twin
+    * SQL uses to recompute the same sign buckets.
+    */
+  private def lshBucketSql(v: String): String =
+    Similarity.hyperplanes(dim = 64, nPlanes = 6).zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN list_dot_product($v, ${p.mkString("[", ", ", "]")}) >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("(", "\n       + ", ")")
+
   val oracles: Map[String, String] = Map(
+    "q_ann_lsh" ->
+      s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |           FROM embeddings WHERE vec_id <> 0),
+         |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+         |cb AS (SELECT vec_id, v, ${lshBucketSql("v")} AS bucket FROM c),
+         |qb AS (SELECT qv, ${lshBucketSql("qv")} AS q_bucket FROM q),
+         |top AS (SELECT cb.vec_id, list_cosine_similarity(cb.v, qb.qv) AS cos_sim
+         |        FROM cb, qb
+         |        WHERE bit_count(xor(CAST(cb.bucket AS BIGINT), CAST(qb.q_bucket AS BIGINT))) <= 3
+         |        ORDER BY cos_sim DESC, vec_id LIMIT 50)
+         |SELECT vec_id, round(cos_sim, 4) AS cos_sim FROM top
+         |ORDER BY cos_sim DESC, vec_id""".stripMargin,
+
     "q_ann_topk" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
         |SELECT vec_id,
