@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Duplicate-cluster resolution: near-dup detectors (C2-C5) emit
+  * PAIRS, but a pipeline must keep one document per duplicate GROUP —
+  * the connected components of the pair graph. Implemented as
+  * min-label propagation on DataFrames: every vertex repeatedly
+  * adopts the smallest label among itself and its neighbors until a
+  * fixed point.
+  *
+  * Scale shape: each iteration is one join on the vertex id + one
+  * groupBy-min — keyed shuffles over (id, label) pairs only, never
+  * document bodies. Iteration count is the graph diameter, and
+  * near-dup graphs are unions of tiny cliques (diameter 1-2), so 2-3
+  * iterations close real corpora. Convergence is checked with an
+  * O(1) driver-side count per iteration.
+  */
+object DupClusters {
+
+  /** Connected components of an undirected pair graph.
+    *
+    * @param pairs columns id_a, id_b (one row per edge)
+    * @return (doc_id, cluster_id) where cluster_id is the minimum
+    *         doc id reachable from doc_id — every member of a
+    *         duplicate group shares it. Keep `doc_id == cluster_id`
+    *         rows (one canonical survivor per group) to dedup.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").cast("bigint").as("src"), col("id_b").cast("bigint").as("dst"))
+      .union(pairs.select(col("id_b").cast("bigint").as("src"), col("id_a").cast("bigint").as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // localCheckpoint per iteration: an iterative self-referencing
+    // plan otherwise grows its lineage exponentially (the classic
+    // iterative-DataFrame trap — planning itself OOMs after ~10
+    // rounds). On a cluster, use a reliable checkpoint dir instead.
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      // labels flowing across edges: dst receives src's current label
+      val incoming = edges
+        .join(labels.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), col("label"))
+      val next = labels.select(col("id"), col("label"))
+        .union(incoming)
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
+        .localCheckpoint(true)
+      val changed = next.join(labels.withColumnRenamed("label", "old_label"), "id")
+        .filter(col("label") =!= col("old_label"))
+        .count() // O(1) result; the only driver-side value per iteration
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** One canonical row per duplicate group: the member with the
+    * minimum id survives; everything else is listed as a removal.
+    */
+  def survivors(pairs: DataFrame): DataFrame =
+    connectedComponents(pairs)
+      .withColumn("keep", col("doc_id") === col("cluster_id"))
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Dedup, TextAnalysis}
+import graft.ops.{Dedup, DupClusters, Packing, Sampling, TextAnalysis}
 
 /** Text-pipeline capability queries (SURVEY.md §2.C) over the
   * documents table.
@@ -107,6 +107,38 @@ object TextQueries {
         .orderBy(col("doc_id"))
     },
 
+    // C19: deterministic hash sampling — reproducible corpus
+    // subsetting, a pushdown filter with no shuffle.
+    "q_sample_hash" -> { (s, dir) =>
+      Sampling.hashSample(docs(s, dir), col("doc_id"), 0.1)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    },
+
+    // C19b: stratified sample — exactly n per group, hash-ordered.
+    "q_sample_stratified" -> { (s, dir) =>
+      Sampling.stratifiedSample(docs(s, dir), col("lang"), col("doc_id"), nPerGroup = 5)
+        .select(col("lang"), col("doc_id")).orderBy(col("lang"), col("doc_id"))
+    },
+
+    // C20: sequence packing — concat-then-chunk token stream per
+    // source shard, windowed prefix sum.
+    "q_pack" -> { (s, dir) =>
+      val d = docs(s, dir).select(col("doc_id"), col("source"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      Packing.packChunks(d, col("source"), col("doc_id"), col("n_tokens"), maxTokens = 4096)
+        .select(col("doc_id"), col("source"), col("start_offset"), col("chunk_id"))
+        .orderBy(col("doc_id"))
+    },
+
+    // C21: duplicate clusters — connected components over the n-gram
+    // near-dup pair graph (label propagation to a fixed point).
+    "q_dup_clusters" -> { (s, dir) =>
+      val pairs = Dedup.ngramJaccard(docsWithPlantedDups(s, dir), col("doc_id"), col("text"),
+          blockBy = col("doc_id") % 1000000L, shingleK = 3, threshold = 0.5)
+        .select(col("id_a"), col("id_b"))
+      DupClusters.connectedComponents(pairs).orderBy(col("doc_id"))
+    },
+
     // C16: exact interpolated percentiles per group.
     "q_percentiles" -> { (s, dir) =>
       Tables.read(s, dir, "events")
@@ -165,7 +197,49 @@ object TextQueries {
   private def simhashChunkSelect(c: Int): String =
     s"SELECT doc_id, simhash, $c AS chunk, (simhash >> ${c * 15}) & 32767 AS chunk_val FROM sig"
 
+  private val hash60Sql: String => String =
+    v => s"('0x' || substr(md5(CAST($v AS VARCHAR)), 1, 15))::BIGINT"
+
   val oracles: Map[String, String] = Map(
+    "q_sample_hash" ->
+      s"""SELECT doc_id FROM documents
+         |WHERE ${hash60Sql("doc_id")} < ${(BigDecimal(0.1) * BigDecimal(Sampling.HashSpace)).toLong}
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_sample_stratified" ->
+      s"""WITH r AS (SELECT lang, doc_id,
+         |  row_number() OVER (PARTITION BY lang ORDER BY ${hash60Sql("doc_id")}, doc_id) AS rk
+         |  FROM documents)
+         |SELECT lang, doc_id FROM r WHERE rk <= 5 ORDER BY lang, doc_id""".stripMargin,
+
+    "q_pack" ->
+      s"""WITH d AS (SELECT doc_id, source, ${TextAnalysis.tokenCountSql("text")} AS n_tokens
+         |           FROM documents),
+         |p AS (SELECT doc_id, source,
+         |        CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+         |      FROM d)
+         |SELECT doc_id, source, start_offset,
+         |  CAST(FLOOR(start_offset / 4096.0) AS BIGINT) AS chunk_id
+         |FROM p ORDER BY doc_id""".stripMargin,
+
+    "q_dup_clusters" ->
+      s"""WITH RECURSIVE $allDocsCte,
+         |$shinglesCte,
+         |prs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |        FROM sh a JOIN sh b
+         |          ON (a.doc_id % 1000000) = (b.doc_id % 1000000) AND a.doc_id < b.doc_id
+         |        WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+         |              / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.5),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM prs
+         |          UNION SELECT id_b, id_a FROM prs),
+         |reach(id, r) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, reach.r FROM edges e JOIN reach ON reach.id = e.src)
+         |SELECT id AS doc_id, min(r) AS cluster_id FROM reach
+         |GROUP BY id ORDER BY doc_id""".stripMargin,
+
     "q_dedup_minhash" ->
       s"""WITH $allDocsCte,
          |$shinglesCte,

@@ -1,0 +1,88 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/** Specs for the corpus-assembly operators: deterministic sampling,
+  * sequence packing, duplicate-cluster resolution.
+  */
+class PipelineOpsSpec extends AnyFunSuite with SparkTestBase {
+
+  import spark.implicits._
+
+  private lazy val docs =
+    graft.Tables.read(spark, "/root/testdata/sf0.001", "documents").persist()
+
+  test("hash sample is deterministic, order-independent, and near the target fraction") {
+    val a = Sampling.hashSample(docs, col("doc_id"), 0.2).select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.hashSample(docs.orderBy(col("n_chars")), col("doc_id"), 0.2)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b) // same sample regardless of input order
+    val frac = a.size.toDouble / docs.count()
+    assert(frac > 0.08 && frac < 0.35, s"fraction $frac") // ~0.2 at n=50..100
+    // nested property: a smaller fraction is a subset of a larger one
+    val smaller = Sampling.hashSample(docs, col("doc_id"), 0.1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(smaller.subsetOf(a))
+  }
+
+  test("stratified sample returns exactly n per group (or the whole small group)") {
+    val sizes = Sampling.stratifiedSample(docs, col("lang"), col("doc_id"), 3)
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val groupSizes = docs.groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    groupSizes.foreach { case (lang, n) =>
+      assert(sizes(lang) == math.min(3L, n), s"lang $lang")
+    }
+  }
+
+  test("mixture sample applies per-source fractions") {
+    val mixed = Sampling.mixtureSample(docs, col("source"), col("doc_id"),
+      Map("web" -> 1.0, "books" -> 0.0))
+    val bySource = mixed.groupBy("source").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val all = docs.groupBy("source").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (all.contains("web")) assert(bySource("web") == all("web")) // fraction 1.0 keeps all
+    assert(!bySource.contains("books")) // fraction 0 drops all
+    assert(bySource.keySet.subsetOf(Set("web"))) // unlisted sources dropped
+  }
+
+  test("packing matches a sequential fold per shard") {
+    val d = Seq(
+      ("s1", 1L, 100L), ("s1", 2L, 4000L), ("s1", 3L, 50L), ("s1", 4L, 8000L),
+      ("s2", 10L, 4096L), ("s2", 11L, 1L))
+      .toDF("src", "doc_id", "n_tokens")
+    val packed = Packing.packChunks(d, col("src"), col("doc_id"), col("n_tokens"), 4096)
+      .select("src", "doc_id", "start_offset", "chunk_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // s1 offsets: 0, 100, 4100, 4150 -> chunks 0, 0, 1, 1
+    // s2 offsets: 0, 4096          -> chunks 0, 1
+    assert(packed == Set(
+      ("s1", 1L, 0L, 0L), ("s1", 2L, 100L, 0L), ("s1", 3L, 4100L, 1L), ("s1", 4L, 4150L, 1L),
+      ("s2", 10L, 0L, 0L), ("s2", 11L, 4096L, 1L)))
+    val stats = Packing.chunkStats(
+      Packing.packChunks(d, col("src"), col("doc_id"), col("n_tokens"), 4096),
+      col("src"), col("n_tokens"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(stats(("s1", 0L)) == (2L, 4100L))
+    assert(stats(("s1", 1L)) == (2L, 8050L))
+  }
+
+  test("connected components merge chains and keep separate groups apart") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 3L)).toDF("id_a", "id_b")
+    val cc = DupClusters.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc(1L) == 1L && cc(2L) == 1L && cc(3L) == 1L && cc(8L) == 1L) // chain via 2-3, 8-3
+    assert(cc(5L) == 5L && cc(6L) == 5L)
+    val surv = DupClusters.survivors(pairs)
+      .filter(col("keep")).collect().map(_.getLong(0)).toSet
+    assert(surv == Set(1L, 5L))
+  }
+
+  test("connected components on a long path converge to one cluster") {
+    val chain = (1L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val cc = DupClusters.connectedComponents(chain)
+      .collect().map(r => r.getLong(1)).toSet
+    assert(cc == Set(1L)) // every vertex labeled by the path minimum
+  }
+}
