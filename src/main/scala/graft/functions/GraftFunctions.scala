@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 
-import graft.plans.{CosineSimilarityExpr, HllEstimateExpr, HllSketch, HllSketchAgg, HllUnionAgg, SimHashExpr, WordShinglesExpr}
+import graft.plans.{CosineSimilarityExpr, FreqSketch, FreqSketchAgg, HllEstimateExpr, HllSketch, HllSketchAgg, HllUnionAgg, SimHashExpr, ThetaEstimateExpr, ThetaIntersectExpr, ThetaSketch, ThetaSketchAgg, ThetaUnionAgg, WordShinglesExpr}
 
 /** SQL registration for graft's native expressions, so
   * `spark.sql("SELECT graft_cosine(a, b) ...")` works wherever the
@@ -38,6 +38,28 @@ object GraftFunctions {
     registry.createOrReplaceTempFunction(
       "graft_hll_estimate",
       exprs => HllEstimateExpr(exprs.head),
+      "built-in")
+    registry.createOrReplaceTempFunction(
+      "graft_theta_sketch",
+      exprs => ThetaSketchAgg(exprs.head,
+        if (exprs.length > 1) exprs(1).eval().asInstanceOf[Int] else ThetaSketch.DefaultK),
+      "built-in")
+    registry.createOrReplaceTempFunction(
+      "graft_theta_union",
+      exprs => ThetaUnionAgg(exprs.head),
+      "built-in")
+    registry.createOrReplaceTempFunction(
+      "graft_theta_estimate",
+      exprs => ThetaEstimateExpr(exprs.head),
+      "built-in")
+    registry.createOrReplaceTempFunction(
+      "graft_theta_intersect",
+      exprs => ThetaIntersectExpr(exprs(0), exprs(1)),
+      "built-in")
+    registry.createOrReplaceTempFunction(
+      "graft_freq_items",
+      exprs => FreqSketchAgg(exprs.head,
+        if (exprs.length > 1) exprs(1).eval().asInstanceOf[Int] else FreqSketch.DefaultK),
       "built-in")
   }
 }
