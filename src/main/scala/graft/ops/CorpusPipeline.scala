@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-corpus preparation: the composition every
+  * 100 TB data pipeline runs, wired from the individually oracled
+  * operators. Stages, in the order that minimizes work carried
+  * forward (cheap narrow filters first, pair-generating stages last,
+  * over the smallest surviving set):
+  *
+  *  1. scrub text (URLs/emails/tags/whitespace)      — narrow map
+  *  2. language filter (n-gram heuristic)            — narrow filter
+  *  3. quality filter (length/token/punct flags)     — narrow filter
+  *  4. exact dedup (md5 groupBy, min-id survivor)    — 1 shuffle
+  *  5. near-dup removal: MinHash-LSH pairs → connected components →
+  *     keep each cluster's minimum id                — banded shuffles
+  *  6. deterministic hash sampling                   — narrow filter
+  *  7. token counting + sequence packing per shard   — 1 shuffle
+  *
+  * Every stage is deterministic, so the whole pipeline is
+  * reproducible: same corpus in, same packed corpus out, on any
+  * cluster size.
+  */
+object CorpusPipeline {
+
+  final case class Config(
+      langs: Set[String] = Set("en"),
+      minQuality: Int = 2,
+      nearDupThreshold: Double = 0.7,
+      sampleFraction: Double = 1.0,
+      maxTokens: Int = 4096)
+
+  /** @param docs columns: doc_id (bigint), text, source
+    * @return surviving documents with scrubbed text and packing
+    *         columns: doc_id, source, text, lang, n_tokens,
+    *         start_offset, chunk_id
+    */
+  def prepare(docs: DataFrame, cfg: Config = Config()): DataFrame = {
+    // 1-3: narrow scrub + filters, one pass over the scan
+    val scrubbed = docs.select(
+        col("doc_id").cast("bigint").as("doc_id"),
+        col("source"),
+        TextCleaner.scrubAll(col("text")).as("text"))
+      .withColumn("lang", TextAnalysis.langId(col("text")))
+      .filter(col("lang").isin(cfg.langs.toSeq: _*))
+    val (lenOk, tokOk, punctOk) = TextAnalysis.qualityFlags(col("text"))
+    val quality = scrubbed.filter(lenOk + tokOk + punctOk >= cfg.minQuality)
+
+    // 4: exact dedup — min doc_id survives per distinct content
+    val exactDeduped = Dedup.exactRows(quality, col("doc_id"), col("text"))
+
+    // 5: near-dup clusters — drop every member except the cluster min
+    val pairs = Dedup.minHashLshAuto(exactDeduped, col("doc_id"), col("text"),
+        threshold = cfg.nearDupThreshold)
+      .select(col("id_a"), col("id_b"))
+    val removals = DupClusters.survivors(pairs)
+      .filter(!col("keep"))
+      .select(col("doc_id"))
+    val nearDeduped = exactDeduped.join(removals, Seq("doc_id"), "left_anti")
+
+    // 6: reproducible subsetting
+    val sampled =
+      if (cfg.sampleFraction >= 1.0) nearDeduped
+      else Sampling.hashSample(nearDeduped, col("doc_id"), cfg.sampleFraction)
+
+    // 7: token counts + concat-then-chunk packing per source shard
+    val withTokens = sampled.withColumn("n_tokens", TextAnalysis.tokenCount(col("text")))
+    Packing.packChunks(withTokens, col("source"), col("doc_id"), col("n_tokens"), cfg.maxTokens)
+      .select(col("doc_id"), col("source"), col("text"), col("lang"),
+        col("n_tokens"), col("start_offset"), col("chunk_id"))
+  }
+}
