@@ -16,9 +16,10 @@ object Sampling {
   final val HashSpace = 1L << 60
 
   /** Keep rows whose 60-bit md5 of `key` falls in the first
-    * `fraction` of the hash space. A pure pushdown-friendly filter:
-    * no shuffle, no state, proportional sampling independent of row
-    * order or partitioning.
+    * `fraction` of the hash space. A narrow filter — no shuffle, no
+    * state (the predicate is computed, so it does not push to the
+    * scan, but it also never moves a row); proportional sampling
+    * independent of row order or partitioning.
     */
   def hashSample(df: DataFrame, key: Column, fraction: Double): DataFrame = {
     require(fraction >= 0.0 && fraction <= 1.0)

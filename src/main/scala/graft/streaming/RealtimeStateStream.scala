@@ -106,4 +106,26 @@ object RealtimeStateStream {
       .withWatermark(tsCol, watermark)
       .groupBy(window(col(tsCol), windowLen), col(typeCol))
       .agg(count(lit(1)).as("n"), min(col("value")).as("min_value"), max(col("value")).as("max_value"))
+
+  /** Gap-based session aggregation over an event-time stream —
+    * the streaming twin of the batch sessionization query
+    * (CoreQueries q_sessionize): a session extends while events
+    * arrive within `gap` of the previous one, closes when the
+    * watermark passes the gap. State is per OPEN session (merged
+    * incrementally by the session-window state store), not per event.
+    */
+  def sessionCounts(
+      events: org.apache.spark.sql.DataFrame,
+      tsCol: String,
+      keyCol: String,
+      gap: String = "30 minutes",
+      watermark: String = "10 minutes"): org.apache.spark.sql.DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(keyCol),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
 }

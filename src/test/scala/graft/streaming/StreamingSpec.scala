@@ -105,6 +105,32 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally query.stop()
   }
 
+  test("session windows merge events within the gap and split across it") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "user", "value")
+
+    val agg = RealtimeStateStream.sessionCounts(events, "ts", "user",
+      gap = "30 minutes", watermark = "0 seconds")
+    val query = agg.writeStream
+      .format("memory").queryName("session_test").outputMode("complete").start()
+    try {
+      input.addData(
+        (java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), "u1", 1.0),
+        (java.sql.Timestamp.valueOf("2024-01-01 10:20:00"), "u1", 1.0), // same session
+        (java.sql.Timestamp.valueOf("2024-01-01 11:30:00"), "u1", 1.0), // gap > 30m: new session
+        (java.sql.Timestamp.valueOf("2024-01-01 10:10:00"), "u2", 1.0))
+      query.processAllAvailable()
+      val rows = spark.table("session_test")
+        .select(col("user"), col("session_start").cast("string"), col("n_events"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      assert(rows == Set(
+        ("u1", "2024-01-01 10:00:00", 2L),
+        ("u1", "2024-01-01 11:30:00", 1L),
+        ("u2", "2024-01-01 10:10:00", 1L)))
+    } finally query.stop()
+  }
+
   test("updateState handles TTL timeout, stale updates, and deletes") {
     import org.apache.spark.sql.streaming.TestGroupState
     // timeout fires -> state removed, nothing emitted
