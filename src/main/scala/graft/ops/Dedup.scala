@@ -185,7 +185,7 @@ object Dedup {
   /** First 60 bits of md5 as a non-negative bigint — the
     * engine-portable base hash (DuckDB: ('0x'||substr(md5(x),1,15))::BIGINT).
     */
-  private[ops] def md5Hash60(c: Column): Column =
+  def md5Hash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("bigint")
 
   /** Exact word-k-gram Jaccard over candidate pairs (the verify stage

@@ -85,6 +85,15 @@ object HllSketch {
     GraftSqlShim.column(
       HllSketchAgg(GraftSqlShim.expression(c), precision).toAggregateExpression())
 
+  /** Sketch over an ALREADY-HASHED long column (e.g. the
+    * engine-portable md5-60-bit hash) instead of hashing internally —
+    * lets another engine rebuild the identical registers.
+    */
+  def hllSketchPreHashed(c: Column, precision: Int = DefaultPrecision): Column =
+    GraftSqlShim.column(
+      HllSketchAgg(GraftSqlShim.expression(c), precision, preHashed = true)
+        .toAggregateExpression())
+
   /** Union previously built sketches (binary column) into one sketch. */
   def hllUnion(c: Column): Column =
     GraftSqlShim.column(
@@ -108,12 +117,15 @@ case class HllSketchAgg(
     child: Expression,
     precision: Int = HllSketch.DefaultPrecision,
     mutableAggBufferOffset: Int = 0,
-    inputAggBufferOffset: Int = 0)
+    inputAggBufferOffset: Int = 0,
+    preHashed: Boolean = false)
   extends TypedImperativeAggregate[Array[Byte]] with UnaryLike[Expression] {
 
   require(precision >= 4 && precision <= 16, "precision must be in [4, 16]")
 
-  override def checkInputDataTypes(): TypeCheckResult = TypeCheckResult.TypeCheckSuccess
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (!preHashed || child.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure("preHashed hll_sketch requires a bigint hash column")
 
   override def createAggregationBuffer(): Array[Byte] =
     new Array[Byte](HllSketch.numRegisters(precision))
@@ -121,7 +133,9 @@ case class HllSketchAgg(
   override def update(buffer: Array[Byte], input: InternalRow): Array[Byte] = {
     val v = child.eval(input)
     if (v != null) {
-      HllSketch.updateRegisters(buffer, XxHash64Function.hash(v, child.dataType, 42L), precision)
+      val h = if (preHashed) v.asInstanceOf[Long]
+              else XxHash64Function.hash(v, child.dataType, 42L)
+      HllSketch.updateRegisters(buffer, h, precision)
     }
     buffer
   }

@@ -139,6 +139,18 @@ object TextQueries {
       DupClusters.connectedComponents(pairs).orderBy(col("doc_id"))
     },
 
+    // C17 oracle: HLL sketch REGISTERS built by the aggregate over
+    // the portable md5 hash — integer-exact cross-engine proof of
+    // the sketch construction (the estimator is spec-covered).
+    "q_hll_registers" -> { (s, dir) =>
+      val sk = docs(s, dir).agg(
+        graft.plans.HllSketch.hllSketchPreHashed(Dedup.md5Hash60(col("text"))).as("sk"))
+      sk.select(posexplode(expr(
+          "transform(sequence(0, 4095), i -> cast(conv(substring(hex(sk), i*2+1, 2), 16, 10) as bigint))")))
+        .select(col("pos").cast("bigint").as("idx"), col("col").as("register"))
+        .orderBy(col("idx"))
+    },
+
     // C16: exact interpolated percentiles per group.
     "q_percentiles" -> { (s, dir) =>
       Tables.read(s, dir, "events")
@@ -200,7 +212,26 @@ object TextQueries {
   private val hash60Sql: String => String =
     v => s"('0x' || substr(md5(CAST($v AS VARCHAR)), 1, 15))::BIGINT"
 
+  /** HLL register rank of the 48 post-index bits of the 60-bit hash:
+    * trailing-zero count + 1, 53 (= 64-p+1, matching
+    * HllSketch.updateRegisters) when all remaining bits are zero.
+    */
+  private val hllRankCase: String = {
+    val terms = (1 to 48).map(i => s"WHEN ((hv >> 12) >> ${i - 1}) & 1 = 1 THEN $i")
+      .mkString("\n           ")
+    s"CASE WHEN (hv >> 12) = 0 THEN 53\n           $terms\n           ELSE 53 END"
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_hll_registers" ->
+      s"""WITH h AS (SELECT ('0x' || substr(md5(text), 1, 15))::BIGINT AS hv FROM documents),
+         |regs AS (SELECT CAST(hv & 4095 AS BIGINT) AS idx,
+         |         MAX($hllRankCase) AS register
+         |         FROM h GROUP BY 1)
+         |SELECT r.range AS idx, CAST(COALESCE(regs.register, 0) AS BIGINT) AS register
+         |FROM range(4096) r LEFT JOIN regs ON r.range = regs.idx
+         |ORDER BY idx""".stripMargin,
+
     "q_sample_hash" ->
       s"""SELECT doc_id FROM documents
          |WHERE ${hash60Sql("doc_id")} < ${(BigDecimal(0.1) * BigDecimal(Sampling.HashSpace)).toLong}

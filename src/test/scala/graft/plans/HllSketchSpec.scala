@@ -70,6 +70,15 @@ class HllSketchSpec extends AnyFunSuite with SparkTestBase {
     assert(math.abs(est - exact).toDouble / exact < 0.065)
   }
 
+  test("pre-hashed sketch estimates agree with the internally-hashed sketch") {
+    val exact = lineitem.select(countDistinct(col("l_orderkey"))).first().getLong(0)
+    val est = lineitem.select(HllSketch.hllEstimate(
+        HllSketch.hllSketchPreHashed(
+          graft.ops.Dedup.md5Hash60(col("l_orderkey").cast("string")))))
+      .first().getLong(0)
+    assert(math.abs(est - exact).toDouble / exact < 0.065, s"exact=$exact est=$est")
+  }
+
   test("small-range linear counting is near-exact for tiny cardinalities") {
     import spark.implicits._
     val tiny = (1 to 100).toDF("x")
