@@ -95,6 +95,14 @@ object ThetaSketch {
   def thetaSketch(c: Column, k: Int = DefaultK): Column =
     GraftSqlShim.column(ThetaSketchAgg(GraftSqlShim.expression(c), k).toAggregateExpression())
 
+  /** Sketch over an ALREADY-HASHED non-negative long column (e.g.
+    * the portable md5-60-bit hash) — lets another engine rebuild the
+    * identical k-minimum value set.
+    */
+  def thetaSketchPreHashed(c: Column, k: Int = DefaultK): Column =
+    GraftSqlShim.column(
+      ThetaSketchAgg(GraftSqlShim.expression(c), k, preHashed = true).toAggregateExpression())
+
   def thetaUnion(c: Column): Column =
     GraftSqlShim.column(ThetaUnionAgg(GraftSqlShim.expression(c)).toAggregateExpression())
 
@@ -109,7 +117,8 @@ case class ThetaSketchAgg(
     child: Expression,
     k: Int = ThetaSketch.DefaultK,
     mutableAggBufferOffset: Int = 0,
-    inputAggBufferOffset: Int = 0)
+    inputAggBufferOffset: Int = 0,
+    preHashed: Boolean = false)
   extends TypedImperativeAggregate[ThetaSketch.Buffer] with UnaryLike[Expression] {
 
   require(k >= 16, "k must be >= 16")
@@ -118,7 +127,10 @@ case class ThetaSketchAgg(
 
   override def update(buffer: ThetaSketch.Buffer, input: InternalRow): ThetaSketch.Buffer = {
     val v = child.eval(input)
-    if (v != null) ThetaSketch.insert(buffer, k, ThetaSketch.hash63(v, child.dataType))
+    if (v != null) {
+      val h = if (preHashed) v.asInstanceOf[Long] else ThetaSketch.hash63(v, child.dataType)
+      ThetaSketch.insert(buffer, k, h)
+    }
     buffer
   }
 

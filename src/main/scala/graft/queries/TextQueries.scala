@@ -151,6 +151,18 @@ object TextQueries {
         .orderBy(col("idx"))
     },
 
+    // C22 oracle: theta sketch k-minimum VALUES over the portable
+    // hash — DuckDB rebuilds the identical set (distinct + order +
+    // limit), integer-exact.
+    "q_theta_values" -> { (s, dir) =>
+      val sk = docs(s, dir).agg(
+        graft.plans.ThetaSketch.thetaSketchPreHashed(Dedup.md5Hash60(col("text"))).as("sk"))
+      sk.select(explode(expr(
+          "transform(sequence(0, cast((length(sk) - 8) / 8 as int) - 1), " +
+          "i -> cast(conv(substring(hex(sk), 17 + i*16, 16), 16, 10) as bigint))")).as("hv"))
+        .orderBy(col("hv"))
+    },
+
     // C16: exact interpolated percentiles per group.
     "q_percentiles" -> { (s, dir) =>
       Tables.read(s, dir, "events")
@@ -231,6 +243,11 @@ object TextQueries {
          |SELECT r.range AS idx, CAST(COALESCE(regs.register, 0) AS BIGINT) AS register
          |FROM range(4096) r LEFT JOIN regs ON r.range = regs.idx
          |ORDER BY idx""".stripMargin,
+
+    "q_theta_values" ->
+      """WITH h AS (SELECT DISTINCT ('0x' || substr(md5(text), 1, 15))::BIGINT AS hv
+        |           FROM documents)
+        |SELECT hv FROM h ORDER BY hv LIMIT 1024""".stripMargin,
 
     "q_sample_hash" ->
       s"""SELECT doc_id FROM documents
