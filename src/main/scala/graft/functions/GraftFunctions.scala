@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 
-import graft.plans.{CosineSimilarityExpr, FreqSketch, FreqSketchAgg, HllEstimateExpr, HllSketch, HllSketchAgg, HllUnionAgg, SimHashExpr, ThetaEstimateExpr, ThetaIntersectExpr, ThetaSketch, ThetaSketchAgg, ThetaUnionAgg, WordShinglesExpr}
+import graft.plans.{CosineSimilarityExpr, FreqSketch, FreqSketchAgg, HllEstimateExpr, HllSketch, HllSketchAgg, HllUnionAgg, QuantileEstimateExpr, QuantileSketch, QuantileSketchAgg, QuantileUnionAgg, SimHashExpr, ThetaEstimateExpr, ThetaIntersectExpr, ThetaSketch, ThetaSketchAgg, ThetaUnionAgg, WordShinglesExpr}
 
 /** SQL registration for graft's native expressions, so
   * `spark.sql("SELECT graft_cosine(a, b) ...")` works wherever the
@@ -55,6 +55,20 @@ object GraftFunctions {
     registry.createOrReplaceTempFunction(
       "graft_theta_intersect",
       exprs => ThetaIntersectExpr(exprs(0), exprs(1)),
+      "built-in")
+    registry.createOrReplaceTempFunction(
+      "graft_quantile_sketch",
+      exprs => QuantileSketchAgg(exprs.head,
+        if (exprs.length > 1) exprs(1).eval().asInstanceOf[Int] else QuantileSketch.DefaultK),
+      "built-in")
+    registry.createOrReplaceTempFunction(
+      "graft_quantile_union",
+      exprs => QuantileUnionAgg(exprs.head),
+      "built-in")
+    registry.createOrReplaceTempFunction(
+      "graft_quantile_estimate",
+      exprs => QuantileEstimateExpr(exprs(0),
+        exprs(1).eval() match { case d: org.apache.spark.sql.types.Decimal => d.toDouble; case d: Double => d; case other => other.toString.toDouble }),
       "built-in")
     registry.createOrReplaceTempFunction(
       "graft_freq_items",

@@ -105,6 +105,32 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally query.stop()
   }
 
+  test("streaming exact dedup: duplicates within the watermark emit once") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val docs = input.toDF().toDF("ts", "doc_id", "content_key")
+      .withWatermark("ts", "1 hour")
+      // state is bounded by the watermark horizon: O(keys in window),
+      // the streaming twin of Dedup.exact's content_key grouping
+      .dropDuplicatesWithinWatermark("content_key")
+
+    val query = docs.writeStream
+      .format("memory").queryName("stream_dedup_test").outputMode("append").start()
+    try {
+      input.addData(
+        (java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "k1"),
+        (java.sql.Timestamp.valueOf("2024-01-01 10:01:00"), 2L, "k1"), // dup of k1
+        (java.sql.Timestamp.valueOf("2024-01-01 10:02:00"), 3L, "k2"))
+      query.processAllAvailable()
+      input.addData(
+        (java.sql.Timestamp.valueOf("2024-01-01 10:10:00"), 4L, "k1")) // still a dup
+      query.processAllAvailable()
+      val keys = spark.table("stream_dedup_test")
+        .select("content_key").collect().map(_.getString(0)).toSeq
+      assert(keys.sorted == Seq("k1", "k2")) // each key exactly once
+    } finally query.stop()
+  }
+
   test("session windows merge events within the gap and split across it") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, String, Double)]
