@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a training-data pipeline, as pure
@@ -134,4 +134,41 @@ object TextAnalysis {
       when(n >= k, transform(starts, i => concat_ws(" ", slice(tokens, i, lit(k)))))
         .otherwise(array(concat_ws(" ", tokens))))
   }
+
+  /** Per-(doc, term) token frequency over lowercased whitespace
+    * tokens: the atom of vocabulary analysis. One explode + one
+    * count; shuffle key is (doc_id, term).
+    */
+  def termFrequencies(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.select(id.cast("bigint").as("doc_id"),
+        explode(split(trim(lower(text)), "\\s+")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Per-doc top-N terms by (tf desc, term asc) with each term's
+    * document frequency attached — keyword-extraction statistics with
+    * INTEGER-ONLY outputs (no engine-dependent log/float in sight, so
+    * the whole operator is exactly oracle-checkable).
+    */
+  def topTermsPerDoc(df: DataFrame, id: Column, text: Column, topN: Int): DataFrame = {
+    val tf = termFrequencies(df, id, text)
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("tf").desc, col("term"))
+    tf.withColumn("rk", row_number().over(w).cast("bigint"))
+      .filter(col("rk") <= topN)
+      .join(dfreq, "term")
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("rk"))
+  }
+
+  /** Corpus vocabulary: top-N terms by document frequency (ties by
+    * term), with total occurrence counts.
+    */
+  def vocabulary(df: DataFrame, id: Column, text: Column, topN: Int): DataFrame =
+    termFrequencies(df, id, text)
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("total_tf"))
+      .orderBy(col("df").desc, col("term"))
+      .limit(topN)
 }

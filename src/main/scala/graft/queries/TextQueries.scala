@@ -163,6 +163,18 @@ object TextQueries {
         .orderBy(col("hv"))
     },
 
+    // C26: per-doc top terms with document frequency — integer-only
+    // keyword statistics.
+    "q_term_stats" -> { (s, dir) =>
+      TextAnalysis.topTermsPerDoc(docs(s, dir), col("doc_id"), col("text"), topN = 3)
+        .orderBy(col("doc_id"), col("rk"))
+    },
+
+    // C26b: corpus vocabulary by document frequency.
+    "q_vocab" -> { (s, dir) =>
+      TextAnalysis.vocabulary(docs(s, dir), col("doc_id"), col("text"), topN = 100)
+    },
+
     // C16: exact interpolated percentiles per group.
     "q_percentiles" -> { (s, dir) =>
       Tables.read(s, dir, "events")
@@ -248,6 +260,27 @@ object TextQueries {
       """WITH h AS (SELECT DISTINCT ('0x' || substr(md5(text), 1, 15))::BIGINT AS hv
         |           FROM documents)
         |SELECT hv FROM h ORDER BY hv LIMIT 1024""".stripMargin,
+
+    "q_term_stats" ->
+      """WITH tf AS (
+        |  SELECT doc_id, t.term, count(*) AS tf
+        |  FROM documents, unnest(string_split_regex(trim(lower(text)), '\s+')) AS t(term)
+        |  GROUP BY doc_id, t.term),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |ranked AS (SELECT doc_id, term, tf,
+        |             row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, term) AS rk
+        |           FROM tf)
+        |SELECT r.doc_id, r.term, r.tf, d.df, CAST(r.rk AS BIGINT) AS rk
+        |FROM ranked r JOIN dfreq d ON r.term = d.term
+        |WHERE r.rk <= 3 ORDER BY r.doc_id, r.rk""".stripMargin,
+
+    "q_vocab" ->
+      """WITH tf AS (
+        |  SELECT doc_id, t.term, count(*) AS tf
+        |  FROM documents, unnest(string_split_regex(trim(lower(text)), '\s+')) AS t(term)
+        |  GROUP BY doc_id, t.term)
+        |SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf
+        |FROM tf GROUP BY term ORDER BY df DESC, term LIMIT 100""".stripMargin,
 
     "q_sample_hash" ->
       s"""SELECT doc_id FROM documents
