@@ -265,8 +265,16 @@ object GtfsFeed {
       val path = Paths.get(dir, s"$name.txt")
       val df =
         if (Files.exists(path))
+          // multiLine: quoted fields may contain embedded newlines,
+          // which Python's csv.reader (the reference ingest) accepts.
+          // Costs file-splittability — fine for static GTFS text
+          // files; the bulk-scale ingest path is GtfsZipCorpus /
+          // parquet.
           GtfsLake.alignToSchema(
-            GtfsLake.emptyNotNull(spark.read.option("header", "true").csv(path.toString)),
+            GtfsLake.emptyNotNull(spark.read
+              .option("header", "true")
+              .option("multiLine", "true")
+              .csv(path.toString)),
             schema)
         else
           spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)

@@ -187,6 +187,19 @@ class GtfsFeedSpec extends AnyFunSuite with SparkTestBase {
     assert(n == 4)
   }
 
+  test("loadStatic accepts quoted commas and embedded newlines like csv.reader") {
+    val dir = java.nio.file.Files.createTempDirectory("gtfs_quoted")
+    java.nio.file.Files.writeString(dir.resolve("stops.txt"),
+      "stop_id,stop_name,location_type,parent_station\n" +
+        "s1,\"Main St, Platform 1\",0,\n" +
+        "s2,\"Upper\nSquare\",0,\n")
+    val f = GtfsFeed.loadStatic(spark, dir.toString)
+    val names = f.table("stops").select("stop_id", "stop_name")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(names("s1") == "Main St, Platform 1")
+    assert(names("s2") == "Upper\nSquare")
+  }
+
   test("sql passthrough registers views once per feed instance") {
     val f = feed
     assert(f.sql("SELECT count(*) AS n FROM agency").first().getLong(0) >= 1)
