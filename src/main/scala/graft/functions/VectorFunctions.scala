@@ -41,6 +41,26 @@ object VectorFunctions {
   def cosineSimilarityHof(a: Column, b: Column): Column =
     dotProduct(a, b) / (l2Norm(a) * l2Norm(b))
 
+  /** Johnson-Lindenstrauss random projection to `outDim` dimensions:
+    * out[i] = v · R_i / sqrt(outDim), R a deterministic Gaussian
+    * matrix from the seed (same generator as Similarity.hyperplanes).
+    * A narrow map — the standard dimensionality-reduction step before
+    * ANN indexing; distances are preserved within the JL bound. The
+    * projection vectors are data-independent constants, so an oracle
+    * can embed them as literals.
+    */
+  def randomProject(vec: Column, inDim: Int, outDim: Int, seed: Long = 7L): Column = {
+    val rows = projectionMatrix(inDim, outDim, seed)
+    val scale = 1.0 / math.sqrt(outDim)
+    array(rows.map(r => dotProduct(vec, typedLit(r)) * scale): _*)
+  }
+
+  /** The projection rows (outDim × inDim), deterministic per seed. */
+  def projectionMatrix(inDim: Int, outDim: Int, seed: Long = 7L): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(outDim)(Seq.fill(inDim)(rnd.nextGaussian()))
+  }
+
   /** Squared euclidean distance. */
   def l2DistanceSq(a: Column, b: Column): Column =
     aggregate(

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Dedup, DupClusters, Packing, Sampling, TextAnalysis}
+import graft.ops.{CorpusDiff, Dedup, DupClusters, Packing, Sampling, TextAnalysis}
 
 /** Text-pipeline capability queries (SURVEY.md §2.C) over the
   * documents table.
@@ -175,6 +175,18 @@ object TextQueries {
       TextAnalysis.vocabulary(docs(s, dir), col("doc_id"), col("text"), topN = 100)
     },
 
+    // C28: corpus snapshot diff — "new crawl vs old": statuses per
+    // doc from md5 fingerprints (the planted-dup corpus plays the
+    // new snapshot: originals unchanged-or-changed, dups added).
+    "q_corpus_diff" -> { (s, dir) =>
+      val oldSnap = docs(s, dir)
+      val newSnap = docsWithPlantedDups(s, dir)
+        .withColumn("text",
+          when(col("doc_id") % 7 === 0, concat(col("text"), lit(" edited"))).otherwise(col("text")))
+      CorpusDiff.diff(oldSnap, newSnap, col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))
+    },
+
     // C16: exact interpolated percentiles per group.
     "q_percentiles" -> { (s, dir) =>
       Tables.read(s, dir, "events")
@@ -260,6 +272,22 @@ object TextQueries {
       """WITH h AS (SELECT DISTINCT ('0x' || substr(md5(text), 1, 15))::BIGINT AS hv
         |           FROM documents)
         |SELECT hv FROM h ORDER BY hv LIMIT 1024""".stripMargin,
+
+    "q_corpus_diff" ->
+      s"""WITH $allDocsCte,
+         |new_snap AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 7 = 0 THEN text || ' edited' ELSE text END AS text
+         |  FROM all_docs),
+         |a AS (SELECT doc_id, md5(text) AS old_md5 FROM documents),
+         |b AS (SELECT doc_id, md5(text) AS new_md5 FROM new_snap)
+         |SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+         |  CASE WHEN a.old_md5 IS NULL THEN 'added'
+         |       WHEN b.new_md5 IS NULL THEN 'removed'
+         |       WHEN a.old_md5 = b.new_md5 THEN 'unchanged'
+         |       ELSE 'changed' END AS status,
+         |  a.old_md5, b.new_md5
+         |FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+         |ORDER BY doc_id""".stripMargin,
 
     "q_term_stats" ->
       """WITH tf AS (

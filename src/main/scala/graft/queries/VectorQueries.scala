@@ -62,6 +62,18 @@ object VectorQueries {
         .orderBy(col("query_id"), col("vec_id"))
     },
 
+    // C27: JL random projection 64 -> 16 dims (ANN preprocessing),
+    // emitted as integer-scaled strings like q_vector_norm.
+    "q_project" -> { (s, dir) =>
+      emb(s, dir).select(col("vec_id"),
+          array_join(
+            transform(
+              graft.functions.VectorFunctions.randomProject(col("embedding"), inDim = 64, outDim = 16),
+              x => round(x * 10000, 0).cast("long").cast("string")),
+            ",").as("proj_e4"))
+        .orderBy(col("vec_id"))
+    },
+
     // C5: embedding-cosine near-dup pairs blocked by label.
     "q_dedup_embedding" -> { (s, dir) =>
       Dedup.embeddingCosine(emb(s, dir), col("vec_id"), col("embedding"),
@@ -112,7 +124,22 @@ object VectorQueries {
       s"(CASE WHEN list_dot_product($v, ${p.mkString("[", ", ", "]")}) >= 0 THEN ${1L << i} ELSE 0 END)"
     }.mkString("(", "\n       + ", ")")
 
+  /** Projection rows as roundtrip-exact literals (same trick as the
+    * LSH hyperplane oracle); scale 1/sqrt(16) = 0.25 is exact binary.
+    */
+  private def projectDimsSql: String = {
+    val rows = graft.functions.VectorFunctions.projectionMatrix(inDim = 64, outDim = 16)
+    rows.map { r =>
+      s"CAST(CAST(round(list_dot_product(v, ${r.mkString("[", ", ", "]")}) * 0.25 * 10000, 0) AS BIGINT) AS VARCHAR)"
+    }.mkString("concat_ws(',',\n  ", ",\n  ", ")")
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_project" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+         |SELECT vec_id, $projectDimsSql AS proj_e4
+         |FROM e ORDER BY vec_id""".stripMargin,
+
     "q_ann_lsh" ->
       s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
          |           FROM embeddings WHERE vec_id <> 0),

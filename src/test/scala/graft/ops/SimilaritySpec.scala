@@ -52,6 +52,35 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(assigned.count() == corpus.count())
   }
 
+  test("random projection matches an in-memory reference and preserves distances") {
+    import graft.functions.VectorFunctions
+    val emb = graft.Tables.read(spark, "/root/testdata/sf0.001", "embeddings").limit(40)
+    val got = emb.select(col("vec_id"),
+        VectorFunctions.randomProject(col("embedding"), 64, 16).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    val orig = emb.select(col("vec_id"), col("embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    // parity with a driver-side multiply (same left-to-right sums)
+    val rows = VectorFunctions.projectionMatrix(64, 16)
+    val scale = 1.0 / math.sqrt(16)
+    orig.foreach { case (id, v) =>
+      val expect = rows.map(r => r.zip(v).foldLeft(0.0) { case (a, (x, y)) => a + x * y } * scale)
+      assert(expect.zip(got(id).toSeq).forall { case (a, b) => a == b }, s"vec $id")
+    }
+    // JL: projected distances track original distances (loose at 16 dims)
+    def dist(a: Array[Double], b: Array[Double]) =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    val ids = orig.keys.toSeq.sorted.take(20)
+    val ratios = for {
+      i <- ids.indices; j <- (i + 1) until ids.size
+      d0 = dist(orig(ids(i)), orig(ids(j))) if d0 > 1e-9
+    } yield dist(got(ids(i)), got(ids(j))) / d0
+    val sortedR = ratios.sorted
+    val median = sortedR(sortedR.size / 2)
+    assert(median > 0.6 && median < 1.6, s"median ratio $median")
+    assert(ratios.count(r => r < 0.2 || r > 3.0) < ratios.size / 10)
+  }
+
   test("batched top-k equals per-query brute force for every query in the batch") {
     val emb = graft.Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
     val queryIds = Seq(0L, 1L, 2L)
