@@ -65,6 +65,71 @@ object Multimodal {
     }
   }
 
+  /** A sampled frame row: 1 media row explodes into up to
+    * `maxFrames` of these.
+    */
+  case class MediaFrame(
+      media_id: Long,
+      frame_index: Long,
+      frame_bytes: Array[Byte])
+
+  /** STUB resize: a real implementation decodes, scales to
+    * targetBytes-worth of pixels, re-encodes; the stand-in
+    * deterministically truncates or cycle-pads the payload so the
+    * binary→binary transform shape (and downstream size accounting)
+    * is exercised for real.
+    */
+  def resizeStub(media: DataFrame, targetBytes: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("media_type"), col("payload"))
+      .as[MediaRecord]
+      .mapPartitions { rows =>
+        // real decoder: image scaling context init once per partition
+        rows.map { r =>
+          val src = if (r.payload == null) Array.emptyByteArray else r.payload
+          val out = new Array[Byte](targetBytes)
+          if (src.nonEmpty) {
+            var i = 0
+            while (i < targetBytes) { out(i) = src(i % src.length); i += 1 }
+          }
+          MediaRecord(r.media_id, r.media_type, out)
+        }
+      }.toDF("media_id", "media_type", "payload")
+  }
+
+  /** STUB frame sampling: the cardinality-CHANGING multimodal shape —
+    * one video row becomes up to `maxFrames` frame rows (every
+    * `everyNth` fixed-size chunk of the payload stands in for a
+    * decoded frame). The flatMap shape, frame indexing, and output
+    * schema are exactly what a real video decoder feeds downstream;
+    * at 100 TB this is the stage that dictates partition sizing
+    * (output rows = input rows × frames).
+    */
+  def frameSample(
+      media: DataFrame,
+      frameBytes: Int,
+      everyNth: Int,
+      maxFrames: Int): Dataset[MediaFrame] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("media_type"), col("payload"))
+      .as[MediaRecord]
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val src = if (r.payload == null) Array.emptyByteArray else r.payload
+          val nChunks = src.length / frameBytes
+          Iterator.range(0, nChunks)
+            .filter(_ % everyNth == 0)
+            .take(maxFrames)
+            .map { c =>
+              MediaFrame(r.media_id, c.toLong,
+                java.util.Arrays.copyOfRange(src, c * frameBytes, (c + 1) * frameBytes))
+            }
+        }
+      }
+  }
+
   /** Per-partition batch feature extraction over the media table —
     * the mapPartitions shape a real decoder needs (amortize codec
     * init across a partition, stream rows, never materialize the

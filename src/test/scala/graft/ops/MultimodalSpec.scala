@@ -34,4 +34,32 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
     // empty payload -> zero vector, zero checksum
     assert(feats(2L).feature.forall(_ == 0.0f))
   }
+
+  test("resize stub normalizes payload size, deterministic") {
+    val df = Seq((1L, "abcdefgh"), (2L, "xy"), (3L, "")).toDF("id", "content")
+    val media = Multimodal.packBinary(df, col("id"), col("content"), "image/fake")
+    val resized = Multimodal.resizeStub(media, targetBytes = 4)
+      .collect().map(r => r.getAs[Long]("media_id") -> r.getAs[Array[Byte]]("payload")).toMap
+    assert(resized.values.forall(_.length == 4)) // every payload at target size
+    assert(new String(resized(1L), "UTF-8") == "abcd") // truncation
+    assert(new String(resized(2L), "UTF-8") == "xyxy") // cycle-pad
+    assert(resized(3L).forall(_ == 0)) // empty stays zeros
+  }
+
+  test("frame sampling explodes one media row into indexed frame rows") {
+    // 40-byte payload, 8-byte frames -> chunks 0..4; every 2nd -> 0,2,4; max 2 -> 0,2
+    val payload = ("0123456789" * 4)
+    val media = Multimodal.packBinary(
+      Seq((7L, payload)).toDF("id", "content"), col("id"), col("content"), "video/fake")
+    val frames = Multimodal.frameSample(media, frameBytes = 8, everyNth = 2, maxFrames = 2)
+      .collect().sortBy(_.frame_index)
+    assert(frames.map(_.frame_index).toSeq == Seq(0L, 2L))
+    assert(frames.forall(_.media_id == 7L))
+    assert(new String(frames(0).frame_bytes, "UTF-8") == "01234567")
+    assert(new String(frames(1).frame_bytes, "UTF-8") == "67890123")
+    // payload shorter than one frame -> no rows, not a partial frame
+    val tiny = Multimodal.packBinary(
+      Seq((8L, "abc")).toDF("id", "content"), col("id"), col("content"), "video/fake")
+    assert(Multimodal.frameSample(tiny, 8, 1, 10).count() == 0)
+  }
 }
