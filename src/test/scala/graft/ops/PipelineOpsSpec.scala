@@ -68,6 +68,36 @@ class PipelineOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(stats(("s1", 1L)) == (2L, 8050L))
   }
 
+  test("plan shapes: sampling is shuffle-free, stratified/packing shuffle once on their keys") {
+    // hash sampling: a narrow filter over the scan — zero exchanges
+    val hs = Sampling.hashSample(docs, col("doc_id"), 0.5)
+    assert(!hs.queryExecution.executedPlan.toString.contains("Exchange"),
+      hs.queryExecution.executedPlan.toString)
+
+    // stratified sample: exactly one shuffle (the group-key window)
+    val ss = Sampling.stratifiedSample(docs, col("lang"), col("doc_id"), 3)
+    val ssPlan = ss.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(ssPlan).size == 1, ssPlan)
+
+    // packing: exactly one shuffle (the shard-key window)
+    val pk = Packing.packChunks(
+      docs.select(col("doc_id"), col("source"), col("n_chars").as("n_tokens")),
+      col("source"), col("doc_id"), col("n_tokens"), 4096)
+    val pkPlan = pk.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(pkPlan).size == 1, pkPlan)
+  }
+
+  test("plan shape: batched ANN broadcasts queries and bounds rows before its shuffle") {
+    val emb = graft.Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val batch = Similarity.bruteForceTopKBatch(
+      emb.filter(col("vec_id") >= 3), col("vec_id"), col("embedding"), queries, k = 5)
+    val plan = batch.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"), plan)
+    assert(plan.contains("MapPartitions"), plan) // the bounded per-partition combiner
+  }
+
   test("connected components merge chains and keep separate groups apart") {
     val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 3L)).toDF("id_a", "id_b")
     val cc = DupClusters.connectedComponents(pairs)
