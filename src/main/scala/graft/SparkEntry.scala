@@ -13,12 +13,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.CoreQueries.defs ++
       graft.queries.TextQueries.defs ++
-      graft.queries.VectorQueries.defs
+      graft.queries.VectorQueries.defs ++
+      graft.queries.PipelineQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.oracles ++
       graft.queries.TextQueries.oracles ++
-      graft.queries.VectorQueries.oracles
+      graft.queries.VectorQueries.oracles ++
+      graft.queries.PipelineQueries.oracles
 }

@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** BM25 keyword retrieval over a document corpus — the inverted-index
+  * scoring shape, expressed as dataframe algebra.
+  *
+  * Scale shape: the term stream is exploded ONCE and immediately
+  * semi-joined (broadcast) against the query vocabulary, so only
+  * postings for queried terms survive past the scan — the shuffle
+  * that builds tf is keyed on (doc, term) over that filtered stream,
+  * never the full corpus term stream. Document-frequency and corpus
+  * stats are O(|vocab ∩ queries|) and O(1) and are broadcast back.
+  * Top-k per query is a ranked-window filter (partial top-k per
+  * partition before the shuffle via AQE/TakeOrdered semantics on
+  * small k).
+  *
+  * Scoring: classic Okapi BM25,
+  *   idf(t)  = ln(1 + (N − df + 0.5)/(df + 0.5))
+  *   s(q, d) = Σ_{t∈q} idf(t) · tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl))
+  */
+object Bm25 {
+
+  /** Top-k docs per query. `queries` is (query_id, term) with terms
+    * already lowercased. Returns (query_id, doc_id, score, rk) with
+    * score rounded to 4dp and rank ties broken by doc_id on the
+    * ROUNDED score (cross-engine stable ordering).
+    */
+  def topK(docs: DataFrame, id: Column, text: Column, queries: DataFrame,
+      k1: Double = 1.2, b: Double = 0.75, topK: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+
+    val toks = docs.select(id.as("doc_id"),
+      explode(split(trim(lower(text)), "\\s+")).as("term"))
+    val qvocab = queries.select(col("term")).distinct()
+    val tf = toks.join(broadcast(qvocab), "term")
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val dl = docs.select(id.as("doc_id"),
+      TextAnalysis.tokenCount(text).as("dl"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"),
+      avg(TextAnalysis.tokenCount(text)).as("avgdl"))
+
+    val contrib = tf
+      .join(broadcast(dfreq), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .join(broadcast(queries), "term")
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("part",
+        col("idf") * col("tf") * lit(k1 + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+
+    val scored = contrib.groupBy(col("query_id"), col("doc_id"))
+      .agg(round(sum(col("part")), 4).as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rk", row_number().over(w).cast("bigint"))
+      .filter(col("rk") <= topK)
+      .select(col("query_id"), col("doc_id"), col("score"), col("rk"))
+  }
+}

@@ -171,4 +171,38 @@ object TextAnalysis {
       .agg(count(lit(1)).as("df"), sum(col("tf")).as("total_tf"))
       .orderBy(col("df").desc, col("term"))
       .limit(topN)
+
+  /** Per-doc repetition metrics (Gopher-style quality rules): token
+    * and bigram repetition computed entirely with array HOFs inside
+    * one row — a NARROW map with zero shuffle, the cheapest possible
+    * shape for a 100 TB quality pass. Returns struct columns:
+    * (n_tokens, n_distinct_tokens, dup_token_frac, n_bigrams,
+    * max_bigram_count, top_bigram_frac); fractions rounded to 4dp.
+    *
+    * max_bigram_count scans distinct bigrams × bigrams per row —
+    * O(len²) in the document, O(1) across the cluster.
+    */
+  def repetitionMetrics(text: Column): Seq[(String, Column)] = {
+    val toks = split(trim(lower(text)), "\\s+")
+    val n = size(toks).cast("bigint")
+    val nDistinct = size(array_distinct(toks)).cast("bigint")
+    val bigrams = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat_ws(" ", element_at(toks, i), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val nBigrams = size(bigrams).cast("bigint")
+    val maxBigram = coalesce(
+      array_max(transform(array_distinct(bigrams),
+        x => size(filter(bigrams, y => y === x)))).cast("bigint"),
+      lit(0L))
+    Seq(
+      "n_tokens" -> n,
+      "n_distinct_tokens" -> nDistinct,
+      "dup_token_frac" ->
+        when(n > 0, round(lit(1.0) - nDistinct.cast("double") / n, 4)).otherwise(lit(0.0)),
+      "n_bigrams" -> nBigrams,
+      "max_bigram_count" -> maxBigram,
+      "top_bigram_frac" ->
+        when(nBigrams > 0, round(maxBigram.cast("double") / nBigrams, 4)).otherwise(lit(0.0)))
+  }
 }
