@@ -31,21 +31,24 @@ object Bm25 {
       k1: Double = 1.2, b: Double = 0.75, topK: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
 
-    val toks = docs.select(id.as("doc_id"),
-      explode(split(trim(lower(text)), "\\s+")).as("term"))
+    // One tokenize pass: the document length rides along with every
+    // exploded term, so no separate doc-length scan/join is needed —
+    // dl is functionally dependent on doc_id, making it a free extra
+    // group key.
+    val toks = docs
+      .select(id.as("doc_id"), split(trim(lower(text)), "\\s+").as("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("bigint").as("dl"),
+        explode(col("toks")).as("term"))
     val qvocab = queries.select(col("term")).distinct()
     val tf = toks.join(broadcast(qvocab), "term")
-      .groupBy(col("doc_id"), col("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val dl = docs.select(id.as("doc_id"),
-      TextAnalysis.tokenCount(text).as("dl"))
     val stats = docs.agg(count(lit(1)).as("n_docs"),
       avg(TextAnalysis.tokenCount(text)).as("avgdl"))
 
     val contrib = tf
       .join(broadcast(dfreq), "term")
-      .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
       .join(broadcast(queries), "term")
       .withColumn("idf",

@@ -27,20 +27,23 @@ object Contamination {
       .select(explode(TextAnalysis.wordShingles(evalText, shingleK)).as("sh"))
       .select(Dedup.md5Hash60(col("sh")).as("shash"))
       .distinct()
-    val docShingles = corpus.select(id.as("doc_id"),
-      TextAnalysis.wordShingles(text, shingleK).as("shs"))
-    val totals = docShingles
-      .select(col("doc_id"), size(col("shs")).cast("bigint").as("n_shingles"))
-    // wordShingles is distinct per doc, so a plain count after the
-    // vocabulary join is already a distinct-overlap count.
-    val hits = docShingles
-      .select(col("doc_id"), explode(col("shs")).as("sh"))
-      .select(col("doc_id"), Dedup.md5Hash60(col("sh")).as("shash"))
-      .join(broadcast(evalVocab), "shash")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_overlap"))
-    totals.join(hits, Seq("doc_id"), "left")
-      .na.fill(0L, Seq("n_overlap"))
+    // ONE corpus pass: shingle totals ride along with every exploded
+    // shingle (n_shingles is functionally dependent on doc_id), the
+    // broadcast vocabulary marks hits with a LEFT join so
+    // zero-overlap docs survive, and the per-doc sum's map-side
+    // partial aggregation shrinks the shuffle to one row per doc per
+    // map partition. wordShingles is distinct per doc, so summing
+    // hit flags is already a distinct-overlap count.
+    val counted = corpus
+      .select(id.as("doc_id"), TextAnalysis.wordShingles(text, shingleK).as("shs"))
+      .select(col("doc_id"), size(col("shs")).cast("bigint").as("n_shingles"),
+        explode(col("shs")).as("sh"))
+      .select(col("doc_id"), col("n_shingles"), Dedup.md5Hash60(col("sh")).as("shash"))
+      .join(broadcast(evalVocab.withColumn("hit", lit(1L))), Seq("shash"), "left")
+      .groupBy(col("doc_id"), col("n_shingles"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_overlap"))
+    counted
+      .select(col("doc_id"), col("n_shingles"), col("n_overlap"))
       .withColumn("overlap_frac",
         when(col("n_shingles") > 0,
           round(col("n_overlap").cast("double") / col("n_shingles"), 4))
