@@ -12,6 +12,8 @@ import org.apache.spark.sql.functions._
   *  1. scrub text (URLs/emails/tags/whitespace)      — narrow map
   *  2. language filter (n-gram heuristic)            — narrow filter
   *  3. quality filter (length/token/punct flags)     — narrow filter
+  *  3b. repetition filter (Gopher-style bigram caps) — narrow filter
+  *  3c. eval-set contamination filter (broadcast)    — broadcast join
   *  4. exact dedup (md5 groupBy, min-id survivor)    — 1 shuffle
   *  5. near-dup removal: MinHash-LSH pairs → connected components →
   *     keep each cluster's minimum id                — banded shuffles
@@ -27,16 +29,22 @@ object CorpusPipeline {
   final case class Config(
       langs: Set[String] = Set("en"),
       minQuality: Int = 2,
+      maxTopBigramFrac: Double = 1.0, // 1.0 disables the repetition cap
       nearDupThreshold: Double = 0.7,
       sampleFraction: Double = 1.0,
       maxTokens: Int = 4096)
 
   /** @param docs columns: doc_id (bigint), text, source
+    * @param evalSet optional benchmark documents (a `text` column);
+    *        docs whose shingle overlap with it reaches
+    *        contaminationFrac are dropped (decontamination)
     * @return surviving documents with scrubbed text and packing
     *         columns: doc_id, source, text, lang, n_tokens,
     *         start_offset, chunk_id
     */
-  def prepare(docs: DataFrame, cfg: Config = Config()): DataFrame = {
+  def prepare(docs: DataFrame, cfg: Config = Config(),
+      evalSet: Option[DataFrame] = None,
+      contaminationFrac: Double = 0.5): DataFrame = {
     // 1-3: narrow scrub + filters, one pass over the scan
     val scrubbed = docs.select(
         col("doc_id").cast("bigint").as("doc_id"),
@@ -47,8 +55,28 @@ object CorpusPipeline {
     val (lenOk, tokOk, punctOk) = TextAnalysis.qualityFlags(col("text"))
     val quality = scrubbed.filter(lenOk + tokOk + punctOk >= cfg.minQuality)
 
+    // 3b: repetition cap — still inside the same narrow scan pass
+    val unrepeated =
+      if (cfg.maxTopBigramFrac >= 1.0) quality
+      else {
+        val frac = TextAnalysis.repetitionMetrics(col("text"))
+          .toMap.apply("top_bigram_frac")
+        quality.filter(frac <= cfg.maxTopBigramFrac)
+      }
+
+    // 3c: decontamination against the (broadcast-small) eval set
+    val decontaminated = evalSet match {
+      case None => unrepeated
+      case Some(ev) =>
+        val flagged = Contamination.overlap(unrepeated, col("doc_id"), col("text"),
+            ev, col("text"), shingleK = 3, minFrac = contaminationFrac)
+          .filter(col("contaminated") === 1)
+          .select(col("doc_id"))
+        unrepeated.join(flagged, Seq("doc_id"), "left_anti")
+    }
+
     // 4: exact dedup — min doc_id survives per distinct content
-    val exactDeduped = Dedup.exactRows(quality, col("doc_id"), col("text"))
+    val exactDeduped = Dedup.exactRows(decontaminated, col("doc_id"), col("text"))
 
     // 5: near-dup clusters — drop every member except the cluster min
     val pairs = Dedup.minHashLshAuto(exactDeduped, col("doc_id"), col("text"),

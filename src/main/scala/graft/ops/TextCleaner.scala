@@ -39,4 +39,37 @@ object TextCleaner {
       s"$text, 'https?://[^\\s]+', '<URL>', 'g'), " +
       s"'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), " +
       s"'<[^>]+>', '', 'g'), '\\s+', ' ', 'g'))"
+
+  val Ipv4Pattern = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+  val DigitRunPattern = "[0-9]{7,}"
+
+  /** PII/pattern audit: per-doc match counts for the scrub patterns
+    * plus IPv4s and long digit runs (phone/SSN/account-number
+    * proxies), and an any-hit flag. Pure regexp_count expressions —
+    * a zero-shuffle narrow map, integer-exact cross-engine. The
+    * audit pass that decides WHAT to scrub before [[scrubAll]] does.
+    */
+  def piiCounts(text: Column): Seq[(String, Column)] = {
+    val counts = Seq(
+      "n_urls" -> UrlPattern,
+      "n_emails" -> EmailPattern,
+      "n_ipv4" -> Ipv4Pattern,
+      "n_digit_runs" -> DigitRunPattern)
+      .map { case (name, p) => name -> regexp_count(text, lit(p)).cast("bigint") }
+    counts :+ ("has_pii" ->
+      counts.map(_._2).reduce(_ + _).gt(lit(0)).cast("int"))
+  }
+
+  /** DuckDB twin of [[piiCounts]] as (alias, expression) pairs. */
+  def piiCountsSql(text: String): Seq[(String, String)] = {
+    val patterns = Seq(
+      "n_urls" -> "https?://[^\\s]+",
+      "n_emails" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+      "n_ipv4" -> "([0-9]{1,3}\\.){3}[0-9]{1,3}",
+      "n_digit_runs" -> "[0-9]{7,}")
+    val counts = patterns.map { case (name, p) =>
+      name -> s"len(regexp_extract_all($text, '$p'))" }
+    counts :+ ("has_pii" ->
+      s"CAST(CASE WHEN ${counts.map(_._2).mkString(" + ")} > 0 THEN 1 ELSE 0 END AS INTEGER)")
+  }
 }

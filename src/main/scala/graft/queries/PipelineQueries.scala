@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Bm25, Contamination, FuzzyJoin, RangeJoin, Sampling, TextAnalysis, ZOrder}
+import graft.ops.{Bm25, Contamination, FuzzyJoin, RangeJoin, Resample, Sampling, TextAnalysis, TextCleaner, ZOrder}
 
 /** Round-4 capability queries: relational widening (cube, fuzzy join,
   * range join, z-order) and training-data analytics (contamination,
@@ -95,6 +95,25 @@ object PipelineQueries {
       Bm25.topK(t(s, dir, "documents"), col("doc_id"), col("text"), queries,
           k1 = 1.2, b = 0.75, topK = 10)
         .orderBy(col("query_id"), col("rk"))
+    },
+
+    // C32: PII/pattern audit — per-doc match counts, zero-shuffle.
+    "q_pii_audit" -> { (s, dir) =>
+      val cols = TextCleaner.piiCounts(col("text")).map { case (n, c) => c.as(n) }
+      t(s, dir, "documents")
+        .select(col("doc_id") +: cols: _*)
+        .orderBy(col("doc_id"))
+    },
+
+    // A36: per-key regular-grid resample with forward fill (daily
+    // value-as-of per user over the events stream).
+    "q_resample" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          col("value"), col("event_id"))
+      Resample.resampleFfill(ev, "user_id", "us", "value", "event_id",
+          stepUs = 86400000000L)
+        .orderBy(col("user_id"), col("slot_us"))
     },
 
     // C34: z-value computation (the layout write + pruning effect is
@@ -228,6 +247,28 @@ object PipelineQueries {
          |SELECT query_id, doc_id, score, rk FROM r WHERE rk <= 10
          |ORDER BY query_id, rk""".stripMargin
     },
+
+    "q_pii_audit" -> {
+      val exprs = TextCleaner.piiCountsSql("text")
+        .map { case (n, e) => s"$e AS $n" }.mkString(",\n       ")
+      s"""SELECT doc_id, $exprs
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    "q_resample" ->
+      """WITH obs AS (
+        |  SELECT user_id, epoch_us(ts) AS obs_us, arg_max(value, event_id) AS obs_value
+        |  FROM events GROUP BY user_id, epoch_us(ts)),
+        |b AS (SELECT user_id,
+        |        (min(obs_us) + 86399999999) // 86400000000 AS slot_lo,
+        |        max(obs_us) // 86400000000 AS slot_hi
+        |      FROM obs GROUP BY user_id),
+        |grid AS (SELECT user_id, u.g * 86400000000 AS slot_us
+        |         FROM b, unnest(generate_series(slot_lo, slot_hi)) AS u(g)),
+        |f AS (SELECT g.user_id, g.slot_us, o.obs_value AS value
+        |      FROM grid g ASOF LEFT JOIN obs o
+        |        ON g.user_id = o.user_id AND o.obs_us <= g.slot_us)
+        |SELECT user_id, slot_us, value FROM f ORDER BY user_id, slot_us""".stripMargin,
 
     "q_zorder" ->
       s"""SELECT event_id, (user_id & 63) AS zx,

@@ -42,6 +42,28 @@ class CorpusPipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(ids.nonEmpty && ids.size < withPlanted.count())
   }
 
+  test("decontamination drops eval-overlapping docs; repetition cap drops loopy docs") {
+    // eval set = the texts of docs 0..9 → those docs are 100%
+    // contaminated with themselves and must be dropped
+    val eval = base.filter(col("doc_id") < 10).select(col("text"))
+    val out = CorpusPipeline.prepare(base, cfg, evalSet = Some(eval),
+      contaminationFrac = 0.8)
+    val ids = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(base.filter(col("doc_id") < 10).select("doc_id")
+      .collect().map(_.getLong(0)).forall(!ids.contains(_)))
+    assert(ids.nonEmpty)
+
+    // a degenerate "w w w ... w" doc has top_bigram_frac 1.0 and must
+    // fall to the repetition cap, while normal docs survive it
+    val loopy = base.limit(0).union(
+      Seq((999999L, Seq.fill(50)("w").mkString(" "), "web")).toDF("doc_id", "text", "source"))
+    val capped = CorpusPipeline.prepare(base.union(loopy),
+      cfg.copy(maxTopBigramFrac = 0.5))
+    val cappedIds = capped.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!cappedIds.contains(999999L))
+    assert(cappedIds.nonEmpty)
+  }
+
   test("pipeline output is deterministic and consistently packed") {
     val a = CorpusPipeline.prepare(withPlanted, cfg)
       .select("doc_id", "chunk_id", "start_offset").collect()

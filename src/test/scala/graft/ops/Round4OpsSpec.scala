@@ -193,6 +193,44 @@ class Round4OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got(2) == ((3L, 5L, 3L, 0.4, 4L, 2L, 0.5)))
   }
 
+  // ---------------------------------------------------------------- Resample
+
+  test("resample ffills a regular grid per key; sub-step keys drop; instant ties break by tie-break") {
+    val ev = Seq(
+      // key 1: obs at 5 (two rows — tie broken by max event_id), 12, 25
+      (1L, 5L, 1.0, 100L), (1L, 5L, 9.9, 200L), (1L, 12L, 2.0, 300L), (1L, 25L, 3.0, 400L),
+      // key 2: span [15,18] contains no multiple of 10 → absent
+      (2L, 15L, 7.0, 500L), (2L, 18L, 8.0, 600L))
+      .toDF("user_id", "us", "value", "event_id")
+    val got = Resample.resampleFfill(ev, "user_id", "us", "value", "event_id", stepUs = 10L)
+      .orderBy("user_id", "slot_us")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == Seq((1L, 10L, 9.9), (1L, 20L, 2.0)))
+  }
+
+  test("resample grid starts at the first aligned slot inside the span (no null fills)") {
+    val ev = Seq((1L, 10L, 1.0, 1L), (1L, 40L, 2.0, 2L)).toDF("user_id", "us", "value", "event_id")
+    val got = Resample.resampleFfill(ev, "user_id", "us", "value", "event_id", stepUs = 10L)
+      .orderBy("slot_us")
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == Seq((10L, 1.0), (20L, 1.0), (30L, 1.0), (40L, 2.0)))
+  }
+
+  // ---------------------------------------------------------------- PII audit
+
+  test("pii audit counts urls, emails, ipv4s, digit runs") {
+    val cols = TextCleaner.piiCounts(col("text")).map { case (n, c) => c.as(n) }
+    val got = Seq(
+      (1L, "visit https://x.example.com or mail a@b.co from 10.0.0.1 acct 12345678"),
+      (2L, "just plain words with a short 123 number"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id") +: cols: _*)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getInt(5))).toSeq
+    assert(got == Seq((1L, 1L, 1L, 1L, 1L, 1), (2L, 0L, 0L, 0L, 0L, 0)))
+  }
+
   test("repetition metrics plan is a zero-shuffle narrow map") {
     val metrics = TextAnalysis.repetitionMetrics(col("text")).map { case (n, c) => c.as(n) }
     val df = graft.Tables.read(spark, "/root/testdata/sf0.001", "documents")
