@@ -29,9 +29,11 @@ object DupClusters {
     *         rows (one canonical survivor per group) to dedup.
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // No distinct: min-label propagation is idempotent to duplicate
+    // edges (groupBy-min absorbs them) — a distinct here would be a
+    // full extra shuffle of the edge list for nothing.
     val edges = pairs.select(col("id_a").cast("bigint").as("src"), col("id_b").cast("bigint").as("dst"))
       .union(pairs.select(col("id_b").cast("bigint").as("src"), col("id_a").cast("bigint").as("dst")))
-      .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // localCheckpoint per iteration: an iterative self-referencing
@@ -49,10 +51,14 @@ object DupClusters {
       val incoming = edges
         .join(labels.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), col("label"))
+      // LAZY checkpoint: the convergence count below is the first
+      // action over `next`, so it materializes the checkpoint as a
+      // side effect — an eager checkpoint would run the same plan
+      // twice per iteration.
       val next = labels.select(col("id"), col("label"))
         .union(incoming)
         .groupBy(col("id")).agg(min(col("label")).as("label"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       val changed = next.join(labels.withColumnRenamed("label", "old_label"), "id")
         .filter(col("label") =!= col("old_label"))
         .count() // O(1) result; the only driver-side value per iteration

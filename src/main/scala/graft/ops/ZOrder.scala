@@ -53,12 +53,16 @@ object ZOrder {
   /** Write `df` parquet z-clustered on `z` into ~`numFiles` files:
     * range-partition on the z-value (contiguous z-ranges per file),
     * sort within each partition (monotone z within the file, so
-    * parquet row-group min/max stats are tight).
+    * parquet row-group min/max stats are tight). zstd by default —
+    * clustered data compresses better (similar rows adjacent) and
+    * zstd decodes faster per byte than the snappy default at 100 TB
+    * scan volumes.
     */
-  def writeZOrdered(df: DataFrame, z: Column, path: String, numFiles: Int): Unit =
+  def writeZOrdered(df: DataFrame, z: Column, path: String, numFiles: Int,
+      codec: String = "zstd"): Unit =
     df.withColumn("__z", z)
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
-      .write.mode("overwrite").parquet(path)
+      .write.mode("overwrite").option("compression", codec).parquet(path)
 }

@@ -116,6 +116,36 @@ object PipelineQueries {
         .orderBy(col("user_id"), col("slot_us"))
     },
 
+    // A37: trailing event-time window (1 h) per key — RANGE frame
+    // over the microsecond axis, order-insensitive aggregates only.
+    "q_rolling" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+        .rangeBetween(-3599999999L, 0)
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"),
+          col("value"))
+        .select(col("event_id"), col("user_id"), col("us"),
+          count(lit(1)).over(w).as("n_1h"),
+          min(col("value")).over(w).as("min_1h"),
+          max(col("value")).over(w).as("max_1h"))
+        .orderBy(col("event_id"))
+    },
+
+    // C33: group-wise winsorization — clip to the [p05, p95]
+    // interpolated percentiles of each event_type.
+    "q_winsorize" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("event_type"))
+      t(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"),
+          expr("percentile(value, 0.05)").over(w).as("p05"),
+          expr("percentile(value, 0.95)").over(w).as("p95"))
+        .select(col("event_id"), col("event_type"),
+          round(least(greatest(col("value"), col("p05")), col("p95")), 6).as("value_w"))
+        .orderBy(col("event_id"))
+    },
+
     // C34: z-value computation (the layout write + pruning effect is
     // spec-covered; the curve arithmetic is oracled here).
     "q_zorder" -> { (s, dir) =>
@@ -247,6 +277,26 @@ object PipelineQueries {
          |SELECT query_id, doc_id, score, rk FROM r WHERE rk <= 10
          |ORDER BY query_id, rk""".stripMargin
     },
+
+    "q_rolling" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS us,
+        |  count(*) OVER w AS n_1h,
+        |  min(value) OVER w AS min_1h,
+        |  max(value) OVER w AS max_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |             RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+
+    "q_winsorize" ->
+      """WITH p AS (
+        |  SELECT event_id, event_type, value,
+        |    quantile_cont(value, 0.05) OVER (PARTITION BY event_type) AS p05,
+        |    quantile_cont(value, 0.95) OVER (PARTITION BY event_type) AS p95
+        |  FROM events)
+        |SELECT event_id, event_type,
+        |  round(least(greatest(value, p05), p95), 6) AS value_w
+        |FROM p ORDER BY event_id""".stripMargin,
 
     "q_pii_audit" -> {
       val exprs = TextCleaner.piiCountsSql("text")

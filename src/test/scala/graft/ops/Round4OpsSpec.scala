@@ -106,6 +106,9 @@ class Round4OpsSpec extends AnyFunSuite with SparkTestBase {
 
     val zFiles = filesTouched(s"$tmp/z")
     val linearFiles = filesTouched(s"$tmp/linear_x")
+    // clustered writes default to zstd (visible in the file names)
+    assert(new java.io.File(s"$tmp/z").listFiles()
+      .exists(_.getName.endsWith(".zstd.parquet")))
     // x-sorted layout spreads every y across all files; z-order
     // confines y<8 to the low-z files.
     assert(linearFiles >= 12, s"linear layout touched $linearFiles")
