@@ -173,16 +173,37 @@ object TextAnalysis {
       .limit(topN)
 
   /** Per-doc repetition metrics (Gopher-style quality rules): token
-    * and bigram repetition computed entirely with array HOFs inside
-    * one row — a NARROW map with zero shuffle, the cheapest possible
-    * shape for a 100 TB quality pass. Returns struct columns:
-    * (n_tokens, n_distinct_tokens, dup_token_frac, n_bigrams,
-    * max_bigram_count, top_bigram_frac); fractions rounded to 4dp.
-    *
-    * max_bigram_count scans distinct bigrams × bigrams per row —
-    * O(len²) in the document, O(1) across the cluster.
+    * and bigram repetition per row — a NARROW map with zero shuffle,
+    * the cheapest possible shape for a 100 TB quality pass. Backed by
+    * the single-pass O(len) [[graft.plans.RepetitionExpr]] kernel
+    * (see there for why the HOF formulation is a scale trap).
+    * Returns columns (n_tokens, n_distinct_tokens, dup_token_frac,
+    * n_bigrams, max_bigram_count, top_bigram_frac); fractions
+    * rounded to 4dp.
     */
   def repetitionMetrics(text: Column): Seq[(String, Column)] = {
+    val m = graft.plans.RepetitionExpr.stats(text)
+    val n = m.getField("n_tokens")
+    val nDistinct = m.getField("n_distinct_tokens")
+    val nBigrams = m.getField("n_bigrams")
+    val maxBigram = m.getField("max_bigram_count")
+    Seq(
+      "n_tokens" -> n,
+      "n_distinct_tokens" -> nDistinct,
+      "dup_token_frac" ->
+        when(n > 0, round(lit(1.0) - nDistinct.cast("double") / n, 4)).otherwise(lit(0.0)),
+      "n_bigrams" -> nBigrams,
+      "max_bigram_count" -> maxBigram,
+      "top_bigram_frac" ->
+        when(nBigrams > 0, round(maxBigram.cast("double") / nBigrams, 4)).otherwise(lit(0.0)))
+  }
+
+  /** HOF formulation of the repetition statistics — the semantic
+    * baseline the native kernel is verified against. O(len²) per row
+    * and NOT safe outside codegen (captured-subtree re-evaluation;
+    * see [[graft.plans.RepetitionExpr]]) — baseline/spec use only.
+    */
+  def repetitionMetricsHof(text: Column): Seq[(String, Column)] = {
     val toks = split(trim(lower(text)), "\\s+")
     val n = size(toks).cast("bigint")
     val nDistinct = size(array_distinct(toks)).cast("bigint")
@@ -198,11 +219,7 @@ object TextAnalysis {
     Seq(
       "n_tokens" -> n,
       "n_distinct_tokens" -> nDistinct,
-      "dup_token_frac" ->
-        when(n > 0, round(lit(1.0) - nDistinct.cast("double") / n, 4)).otherwise(lit(0.0)),
       "n_bigrams" -> nBigrams,
-      "max_bigram_count" -> maxBigram,
-      "top_bigram_frac" ->
-        when(nBigrams > 0, round(maxBigram.cast("double") / nBigrams, 4)).otherwise(lit(0.0)))
+      "max_bigram_count" -> maxBigram)
   }
 }

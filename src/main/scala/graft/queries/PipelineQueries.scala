@@ -42,7 +42,7 @@ object PipelineQueries {
         .orderBy(col("gid"), col("event_type"), col("iso_dow"))
     },
 
-    // C29: blocked fuzzy self-join over distinct part names (block =
+    // A34: blocked fuzzy self-join over distinct part names (block =
     // the noun, verify = bounded levenshtein).
     "q_fuzzy_join" -> { (s, dir) =>
       val names = t(s, dir, "part").select(col("p_name")).distinct()
@@ -52,7 +52,7 @@ object PipelineQueries {
         .orderBy(col("id_a"), col("id_b"))
     },
 
-    // C30: point-in-interval join — clicks landing inside 30-minute
+    // A33: point-in-interval join — clicks landing inside 30-minute
     // windows opened by (a deterministic subset of) purchases.
     "q_range_join" -> { (s, dir) =>
       val ev = t(s, dir, "events")
@@ -69,7 +69,7 @@ object PipelineQueries {
         .orderBy(col("purchase_id"), col("click_id"))
     },
 
-    // C31: benchmark contamination — 3-shingle overlap of every doc
+    // C29: benchmark contamination — 3-shingle overlap of every doc
     // against a hash-sampled "eval set" slice of the corpus.
     "q_contamination" -> { (s, dir) =>
       val d = t(s, dir, "documents")
@@ -79,7 +79,7 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
-    // C32: per-doc repetition metrics — a zero-shuffle narrow map.
+    // C30: per-doc repetition metrics — a zero-shuffle narrow map.
     "q_repetition" -> { (s, dir) =>
       val metrics = TextAnalysis.repetitionMetrics(col("text"))
         .map { case (name, c) => c.as(name) }
@@ -88,7 +88,7 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
-    // C33: BM25 top-10 per keyword query.
+    // C31: BM25 top-10 per keyword query.
     "q_bm25" -> { (s, dir) =>
       import s.implicits._
       val queries = Bm25Queries.toDF("query_id", "term")
@@ -146,7 +146,7 @@ object PipelineQueries {
         .orderBy(col("event_id"))
     },
 
-    // C34: z-value computation (the layout write + pruning effect is
+    // A35: z-value computation (the layout write + pruning effect is
     // spec-covered; the curve arithmetic is oracled here).
     "q_zorder" -> { (s, dir) =>
       t(s, dir, "events")

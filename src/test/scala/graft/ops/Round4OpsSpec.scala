@@ -234,6 +234,19 @@ class Round4OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got == Seq((1L, 1L, 1L, 1L, 1L, 1), (2L, 0L, 0L, 0L, 0L, 0)))
   }
 
+  test("repetition kernel matches the HOF baseline on real documents") {
+    val docs = graft.Tables.read(spark, "/root/testdata/sf0.001", "documents").limit(100)
+    def grab(cols: Seq[(String, org.apache.spark.sql.Column)]) =
+      docs.select(col("doc_id") +: cols.map { case (n, c) => c.as(n) }: _*)
+        .orderBy("doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSeq
+    val kernel = grab(TextAnalysis.repetitionMetrics(col("text"))
+      .filter { case (n, _) => !n.endsWith("_frac") })
+    val hof = grab(TextAnalysis.repetitionMetricsHof(col("text")))
+    assert(kernel == hof)
+  }
+
   test("repetition metrics plan is a zero-shuffle narrow map") {
     val metrics = TextAnalysis.repetitionMetrics(col("text")).map { case (n, c) => c.as(n) }
     val df = graft.Tables.read(spark, "/root/testdata/sf0.001", "documents")
