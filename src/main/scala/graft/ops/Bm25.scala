@@ -31,21 +31,31 @@ object Bm25 {
       k1: Double = 1.2, b: Double = 0.75, topK: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
 
-    // One tokenize pass: the document length rides along with every
-    // exploded term, so no separate doc-length scan/join is needed —
-    // dl is functionally dependent on doc_id, making it a free extra
-    // group key.
-    val toks = docs
+    // The query vocabulary is tiny by definition (it is a search
+    // request), so it is materialized into literals and pushed INTO
+    // the per-row token filter: only query-term occurrences are ever
+    // exploded (≈ |queries|·|docs| rows, not the 10⁴× larger corpus
+    // token stream), and no post-explode join is needed. The doc
+    // length rides along (functionally dependent on doc_id → a free
+    // extra group key), so one tokenize pass feeds both tf and dl.
+    val qTerms = queries.select(col("term")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    // ONE tokenize pass over the corpus: project down to
+    // (doc_id, dl, query-term matches) — the text column is gone, so
+    // persisting the projection is cheap even at corpus scale — and
+    // serve both the corpus stats (n_docs, avgdl) and the postings
+    // from it.
+    val base = docs
       .select(id.as("doc_id"), split(trim(lower(text)), "\\s+").as("toks"))
       .select(col("doc_id"), size(col("toks")).cast("bigint").as("dl"),
-        explode(col("toks")).as("term"))
-    val qvocab = queries.select(col("term")).distinct()
-    val tf = toks.join(broadcast(qvocab), "term")
+        filter(col("toks"), t => t.isInCollection(qTerms)).as("qtoks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tf = base
+      .select(col("doc_id"), col("dl"), explode(col("qtoks")).as("term"))
       .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val stats = docs.agg(count(lit(1)).as("n_docs"),
-      avg(TextAnalysis.tokenCount(text)).as("avgdl"))
+    val stats = base.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
 
     val contrib = tf
       .join(broadcast(dfreq), "term")
