@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 
-import graft.plans.{CosineSimilarityExpr, FreqSketch, FreqSketchAgg, HllEstimateExpr, HllSketch, HllSketchAgg, HllUnionAgg, QuantileEstimateExpr, QuantileSketch, QuantileSketchAgg, QuantileUnionAgg, SimHashExpr, ThetaEstimateExpr, ThetaIntersectExpr, ThetaSketch, ThetaSketchAgg, ThetaUnionAgg, WordShinglesExpr}
+import graft.plans.{CosineSimilarityExpr, FreqSketch, FreqSketchAgg, HllEstimateExpr, HllSketch, HllSketchAgg, HllUnionAgg, QuantileEstimateExpr, QuantileSketch, QuantileSketchAgg, QuantileUnionAgg, RepetitionStatsExpr, SimHashExpr, ThetaEstimateExpr, ThetaIntersectExpr, ThetaSketch, ThetaSketchAgg, ThetaUnionAgg, WordpieceCountExpr, WordpieceTokensExpr, WordShinglesExpr}
 
 /** SQL registration for graft's native expressions, so
   * `spark.sql("SELECT graft_cosine(a, b) ...")` works wherever the
@@ -75,5 +75,23 @@ object GraftFunctions {
       exprs => FreqSketchAgg(exprs.head,
         if (exprs.length > 1) exprs(1).eval().asInstanceOf[Int] else FreqSketch.DefaultK),
       "built-in")
+    registry.createOrReplaceTempFunction(
+      "graft_repetition_stats",
+      exprs => RepetitionStatsExpr(exprs.head),
+      "built-in")
+    registry.createOrReplaceTempFunction(
+      "graft_wordpiece_count",
+      exprs => WordpieceCountExpr(exprs.head, evalVocab(exprs(1))),
+      "built-in")
+    registry.createOrReplaceTempFunction(
+      "graft_wordpiece_tokens",
+      exprs => WordpieceTokensExpr(exprs.head, evalVocab(exprs(1))),
+      "built-in")
   }
+
+  /** Evaluate a foldable array('a', 'b', ...) vocabulary argument. */
+  private def evalVocab(e: org.apache.spark.sql.catalyst.expressions.Expression): Seq[String] =
+    e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toArray[org.apache.spark.unsafe.types.UTF8String](org.apache.spark.sql.types.StringType)
+      .map(_.toString).toSeq
 }

@@ -234,6 +234,14 @@ class Round4OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got == Seq((1L, 1L, 1L, 1L, 1L, 1), (2L, 0L, 0L, 0L, 0L, 0)))
   }
 
+  test("repetition kernel interpreted path (direct eval) matches expectations") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val row = graft.plans.RepetitionOps.compute(UTF8String.fromString("A a a b"))
+    assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3)) == ((4L, 2L, 3L, 2L)))
+    val empty = graft.plans.RepetitionOps.compute(UTF8String.fromString(""))
+    assert((empty.getLong(0), empty.getLong(2)) == ((1L, 0L))) // one empty token, no bigrams
+  }
+
   test("repetition kernel matches the HOF baseline on real documents") {
     val docs = graft.Tables.read(spark, "/root/testdata/sf0.001", "documents").limit(100)
     def grab(cols: Seq[(String, org.apache.spark.sql.Column)]) =

@@ -45,5 +45,16 @@ class GtfsZipCorpusSpec extends AnyFunSuite with SparkTestBase {
     assert(r.getDouble(0) == 1.0)
     assert(r.getLong(1) != 0L)
     assert(r.getInt(2) == 3)
+
+    val r2 = spark.sql(
+      """SELECT graft_repetition_stats(text).n_tokens AS nt,
+        |       graft_repetition_stats('a a b').max_bigram_count AS mb,
+        |       graft_wordpiece_count('unaffable', array('un', '##aff', '##able')) AS wp,
+        |       graft_wordpiece_tokens('unaffable', array('un', '##aff', '##able'))[0] AS w0
+        |FROM fn_test""".stripMargin).first()
+    assert(r2.getLong(0) == 5L)
+    assert(r2.getLong(1) == 1L) // bigrams of "a a b": [a a, a b] -> max 1
+    assert(r2.getLong(2) == 3L)
+    assert(r2.getString(3) == "un")
   }
 }
