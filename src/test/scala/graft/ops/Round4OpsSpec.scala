@@ -115,6 +115,25 @@ class Round4OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(zFiles <= 8, s"z-order layout touched $zFiles files")
   }
 
+  // ---------------------------------------------------------------- Compaction
+
+  test("compaction merges small files shuffle-free and preserves the data") {
+    val tmp = java.nio.file.Files.createTempDirectory("compact").toString + "/t"
+    val df = spark.range(4096).selectExpr("id", "id % 7 AS k")
+    df.repartition(64).write.parquet(tmp)
+    val before = spark.read.parquet(tmp).inputFiles.length
+    assert(before >= 32)
+    val (b, a) = Compaction.compact(spark, tmp, targetFileBytes = 256 * 1024)
+    assert(b == before && a < before)
+    val back = spark.read.parquet(tmp)
+    assert(back.inputFiles.length == a)
+    assert(back.count() == 4096)
+    assert(back.selectExpr("sum(id)").first().getLong(0) == 4096L * 4095 / 2)
+    // idempotent once at/below target
+    val (b2, a2) = Compaction.compact(spark, tmp, targetFileBytes = 256 * 1024)
+    assert(b2 == a && a2 == a)
+  }
+
   // ---------------------------------------------------------------- Contamination
 
   test("contamination overlap counts shared distinct shingles against the eval set") {
