@@ -59,4 +59,42 @@ object Sampling {
     }
     df.filter(Dedup.md5Hash60(key.cast("string")) < thresholdCol)
   }
+
+  /** Cumulative hash thresholds for a named split spec: `splits` is
+    * (label, fraction) with fractions summing to ≤ 1; any remainder
+    * of the hash space goes to the LAST label. Shared by the Spark
+    * column and the SQL twin so both sides draw identical boundaries.
+    */
+  private[ops] def splitBounds(splits: Seq[(String, Double)]): Seq[(String, Long)] = {
+    require(splits.nonEmpty && splits.map(_._2).sum <= 1.0 + 1e-9)
+    val cum = splits.scanLeft(BigDecimal(0)) { case (acc, (_, f)) => acc + BigDecimal(f) }.tail
+    val bounds = splits.map(_._1).zip(cum.map(c => (c * BigDecimal(HashSpace)).toLong))
+    bounds.init :+ (bounds.last._1 -> HashSpace) // last label absorbs rounding remainder
+  }
+
+  /** Deterministic disjoint-and-exhaustive dataset split (train /
+    * valid / test …): the 60-bit content hash of `key` is bucketed by
+    * cumulative fraction boundaries. A pure narrow expression — no
+    * shuffle, no state; the same row lands in the same split on any
+    * cluster, under any partitioning, and after corpus growth (new
+    * rows never move old rows between splits, unlike row_number
+    * striping). Disjointness/exhaustiveness hold by construction:
+    * the boundaries partition [0, 2^60).
+    */
+  def assignSplit(key: Column, splits: Seq[(String, Double)]): Column = {
+    val h = Dedup.md5Hash60(key.cast("string"))
+    val bounds = splitBounds(splits)
+    bounds.init.foldRight(lit(bounds.last._1): Column) { case ((label, hi), acc) =>
+      when(h < lit(hi), lit(label)).otherwise(acc)
+    }
+  }
+
+  /** DuckDB twin of [[assignSplit]] over the same boundaries. */
+  def assignSplitSql(keyExpr: String, splits: Seq[(String, Double)]): String = {
+    val h = s"('0x' || substr(md5(CAST($keyExpr AS VARCHAR)), 1, 15))::BIGINT"
+    val bounds = splitBounds(splits)
+    val whens = bounds.init
+      .map { case (label, hi) => s"WHEN $h < $hi THEN '$label'" }.mkString(" ")
+    s"CASE $whens ELSE '${bounds.last._1}' END"
+  }
 }

@@ -14,6 +14,9 @@ object TextQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.read(s, dir, "documents")
 
+  /** Split spec shared by the q_split_assign query and its oracle. */
+  private val trainValTest = Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1)
+
   /** documents ∪ planted near-duplicates (same text + a marker token,
     * id + 1,000,000) — gives the near-dup detectors a deterministic
     * ground truth to surface.
@@ -118,6 +121,15 @@ object TextQueries {
     "q_sample_stratified" -> { (s, dir) =>
       Sampling.stratifiedSample(docs(s, dir), col("lang"), col("doc_id"), nPerGroup = 5)
         .select(col("lang"), col("doc_id")).orderBy(col("lang"), col("doc_id"))
+    },
+
+    // C19c: named train/valid/test split — disjoint, exhaustive, and
+    // growth-stable (new rows never move old rows between splits).
+    "q_split_assign" -> { (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"),
+          Sampling.assignSplit(col("doc_id"), trainValTest).as("split"))
+        .orderBy(col("doc_id"))
     },
 
     // C20: sequence packing — concat-then-chunk token stream per
@@ -320,6 +332,10 @@ object TextQueries {
          |  row_number() OVER (PARTITION BY lang ORDER BY ${hash60Sql("doc_id")}, doc_id) AS rk
          |  FROM documents)
          |SELECT lang, doc_id FROM r WHERE rk <= 5 ORDER BY lang, doc_id""".stripMargin,
+
+    "q_split_assign" ->
+      s"""SELECT doc_id, ${Sampling.assignSplitSql("doc_id", trainValTest)} AS split
+         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_pack" ->
       s"""WITH d AS (SELECT doc_id, source, ${TextAnalysis.tokenCountSql("text")} AS n_tokens

@@ -47,6 +47,42 @@ class PipelineOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(bySource.keySet.subsetOf(Set("web"))) // unlisted sources dropped
   }
 
+  test("split assignment is disjoint, exhaustive, and consistent with hash sampling") {
+    val splits = Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1)
+    val assigned = docs.select(col("doc_id"),
+      Sampling.assignSplit(col("doc_id"), splits).as("split")).persist()
+    // exhaustive: every row gets exactly one of the declared labels
+    assert(assigned.count() == docs.count())
+    val labels = assigned.select("split").distinct().collect().map(_.getString(0)).toSet
+    assert(labels.subsetOf(Set("train", "valid", "test")))
+    // prefix property: the train split IS the 0.8 hash sample (so a
+    // corpus sampled at f and a split with train=f select identical rows)
+    val train = assigned.filter(col("split") === "train")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val hs = Sampling.hashSample(docs, col("doc_id"), 0.8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(train == hs)
+    // growth stability: assignments computed on a subset agree with the full corpus
+    val sub = docs.filter(col("doc_id") % 2 === 0)
+    val subAssigned = sub.select(col("doc_id"),
+      Sampling.assignSplit(col("doc_id"), splits).as("split"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val full = assigned.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    subAssigned.foreach { case (id, sp) => assert(full(id) == sp) }
+    assigned.unpersist()
+  }
+
+  test("split bounds give the remainder of the hash space to the last label") {
+    val bounds = Sampling.splitBounds(Seq("a" -> 0.5, "b" -> 0.25))
+    assert(bounds == Seq("a" -> (Sampling.HashSpace / 2), "b" -> Sampling.HashSpace))
+    // fractions summing to 1 also end exactly at the top of the space
+    val exact = Sampling.splitBounds(Seq("x" -> 0.9, "y" -> 0.1))
+    assert(exact.last._2 == Sampling.HashSpace)
+    intercept[IllegalArgumentException] {
+      Sampling.splitBounds(Seq("a" -> 0.9, "b" -> 0.2)) // sums past 1
+    }
+  }
+
   test("packing matches a sequential fold per shard") {
     val d = Seq(
       ("s1", 1L, 100L), ("s1", 2L, 4000L), ("s1", 3L, 50L), ("s1", 4L, 8000L),
