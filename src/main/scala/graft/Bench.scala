@@ -33,9 +33,15 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> (0 until math.max(1, passes)).map(_ => timeOnce(fn)).min
-    }
+    // optional comma-separated allowlist for local iteration
+    // (SPARK_GRAFT_BENCH_ONLY=q_bm25,q_vocab); unset = all queries.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
+        name -> (0 until math.max(1, passes)).map(_ => timeOnce(fn)).min
+      }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0

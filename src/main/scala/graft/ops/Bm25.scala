@@ -7,14 +7,17 @@ import org.apache.spark.sql.functions._
   * scoring shape, expressed as dataframe algebra.
   *
   * Scale shape: the term stream is exploded ONCE and immediately
-  * semi-joined (broadcast) against the query vocabulary, so only
-  * postings for queried terms survive past the scan — the shuffle
-  * that builds tf is keyed on (doc, term) over that filtered stream,
-  * never the full corpus term stream. Document-frequency and corpus
-  * stats are O(|vocab ∩ queries|) and O(1) and are broadcast back.
-  * Top-k per query is a ranked-window filter (partial top-k per
-  * partition before the shuffle via AQE/TakeOrdered semantics on
-  * small k).
+  * filtered against the query vocabulary (pushed into the per-row
+  * token filter as literals), so only postings for queried terms
+  * survive past the scan — the shuffle that builds tf is keyed on
+  * (doc, term) over that filtered stream, never the full corpus term
+  * stream. The persisted projection is text-free (doc_id, dl, qtoks):
+  * one long + a near-always-empty array per document, O(rows) not
+  * O(bytes), and it feeds both the postings and the corpus stats so
+  * the text is tokenized exactly once. Document-frequency + corpus
+  * stats are tiny and ride ONE broadcast-build job (dfreq ⨯ stats ⨯
+  * query terms), not one job each. Top-k per query is a ranked-window
+  * filter.
   *
   * Scoring: classic Okapi BM25,
   *   idf(t)  = ln(1 + (N − df + 0.5)/(df + 0.5))
@@ -31,20 +34,14 @@ object Bm25 {
       k1: Double = 1.2, b: Double = 0.75, topK: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
 
-    // The query vocabulary is tiny by definition (it is a search
-    // request), so it is materialized into literals and pushed INTO
-    // the per-row token filter: only query-term occurrences are ever
-    // exploded (≈ |queries|·|docs| rows, not the 10⁴× larger corpus
-    // token stream), and no post-explode join is needed. The doc
-    // length rides along (functionally dependent on doc_id → a free
-    // extra group key), so one tokenize pass feeds both tf and dl.
-    val qTerms = queries.select(col("term")).distinct()
-      .collect().map(_.getString(0)).toSeq
-    // ONE tokenize pass over the corpus: project down to
-    // (doc_id, dl, query-term matches) — the text column is gone, so
-    // persisting the projection is cheap even at corpus scale — and
-    // serve both the corpus stats (n_docs, avgdl) and the postings
-    // from it.
+    // The query set is a search request — small by definition, and in
+    // practice a local relation: collect WITHOUT a distinct so no
+    // Spark job is needed, and dedup driver-side.
+    val qTerms = queries.select(col("term"))
+      .collect().map(_.getString(0)).toSeq.distinct
+
+    // ONE tokenize pass over the corpus, projected down to text-free
+    // rows and cached; serves both the postings and the corpus stats.
     val base = docs
       .select(id.as("doc_id"), split(trim(lower(text)), "\\s+").as("toks"))
       .select(col("doc_id"), size(col("toks")).cast("bigint").as("dl"),
@@ -54,13 +51,15 @@ object Bm25 {
       .select(col("doc_id"), col("dl"), explode(col("qtoks")).as("term"))
       .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val stats = base.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+
+    // df-per-term ⨯ (n_docs, avgdl) ⨯ query terms: one small build
+    // side, broadcast once.
+    val qdim = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .crossJoin(base.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl")))
+      .join(queries, "term")
 
     val contrib = tf
-      .join(broadcast(dfreq), "term")
-      .crossJoin(broadcast(stats))
-      .join(broadcast(queries), "term")
+      .join(broadcast(qdim), "term")
       .withColumn("idf",
         log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
       .withColumn("part",

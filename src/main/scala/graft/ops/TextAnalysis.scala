@@ -141,6 +141,17 @@ object TextAnalysis {
     */
   def termFrequencies(df: DataFrame, id: Column, text: Column): DataFrame =
     df.select(id.cast("bigint").as("doc_id"),
+        explode(graft.plans.TermCountsExpr.termCounts(text)).as(Seq("term", "tf")))
+
+  /** The explode + hash-aggregate formulation of [[termFrequencies]]
+    * — semantically identical (spec-proven), kept as the parity
+    * baseline. The kernel path computes the per-doc counts inside the
+    * row (a document's tokens all live in one row), so it needs no
+    * aggregation at all; this one materializes the full corpus token
+    * stream through an exchangeless partial agg first.
+    */
+  def termFrequenciesExplode(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.select(id.cast("bigint").as("doc_id"),
         explode(split(trim(lower(text)), "\\s+")).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))

@@ -280,4 +280,34 @@ class Round4OpsSpec extends AnyFunSuite with SparkTestBase {
       .select(col("doc_id") +: metrics: _*)
     assert(!df.queryExecution.executedPlan.toString.contains("Exchange"))
   }
+
+  test("term-counts kernel matches the explode formulation on real documents") {
+    val docs = graft.Tables.read(spark, "/root/testdata/sf0.001", "documents").limit(100)
+    def grab(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id", "term")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    val kernel = grab(TextAnalysis.termFrequencies(docs, col("doc_id"), col("text")))
+    val explode = grab(TextAnalysis.termFrequenciesExplode(docs, col("doc_id"), col("text")))
+    assert(kernel == explode)
+    // edge cases: empty text and repeated whitespace
+    import spark.implicits._
+    val edge = Seq((1L, ""), (2L, "  a  a b  "), (3L, "A a\ta")).toDF("doc_id", "text")
+    val k = grab(TextAnalysis.termFrequencies(edge, col("doc_id"), col("text")))
+    val e = grab(TextAnalysis.termFrequenciesExplode(edge, col("doc_id"), col("text")))
+    assert(k == e)
+    assert(k.contains((3L, "a", 3L))) // case folding + tab split
+  }
+
+  test("term-counts kernel makes per-doc tf a zero-shuffle narrow map") {
+    val docs = graft.Tables.read(spark, "/root/testdata/sf0.001", "documents")
+    val tf = TextAnalysis.termFrequencies(docs, col("doc_id"), col("text"))
+    assert(!tf.queryExecution.executedPlan.toString.contains("Exchange"),
+      tf.queryExecution.executedPlan.toString)
+    // and it is registered for the SQL passthrough surface
+    graft.functions.GraftFunctions.register(spark)
+    docs.limit(5).createOrReplaceTempView("tc_docs")
+    val viaSql = spark.sql(
+      "SELECT doc_id, explode(graft_term_counts(lower(text))) AS (term, tf) FROM tc_docs")
+    assert(viaSql.count() > 0)
+  }
 }
