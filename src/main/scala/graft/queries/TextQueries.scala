@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{CorpusDiff, Dedup, DupClusters, Packing, Sampling, TextAnalysis}
+import graft.ops.{Chunking, CorpusDiff, Dedup, DupClusters, Packing, Sampling, TextAnalysis}
 
 /** Text-pipeline capability queries (SURVEY.md §2.C) over the
   * documents table.
@@ -130,6 +130,13 @@ object TextQueries {
         .select(col("doc_id"),
           Sampling.assignSplit(col("doc_id"), trainValTest).as("split"))
         .orderBy(col("doc_id"))
+    },
+
+    // C35: sliding-window chunking — RAG/context-window preparation,
+    // zero-shuffle narrow map.
+    "q_chunk" -> { (s, dir) =>
+      Chunking.chunk(docs(s, dir), col("doc_id"), col("text"), size = 64, overlap = 16)
+        .orderBy(col("doc_id"), col("chunk_id"))
     },
 
     // C20: sequence packing — concat-then-chunk token stream per
@@ -336,6 +343,10 @@ object TextQueries {
     "q_split_assign" ->
       s"""SELECT doc_id, ${Sampling.assignSplitSql("doc_id", trainValTest)} AS split
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_chunk" ->
+      (Chunking.chunkSql("documents", "doc_id", "text", size = 64, overlap = 16) +
+        "\nORDER BY doc_id, chunk_id"),
 
     "q_pack" ->
       s"""WITH d AS (SELECT doc_id, source, ${TextAnalysis.tokenCountSql("text")} AS n_tokens

@@ -83,6 +83,28 @@ class PipelineOpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("chunking emits the exact sliding windows, and the plan is a zero-shuffle narrow map") {
+    import spark.implicits._
+    // 10 tokens, size 4, overlap 1 -> stride 3: starts 0,3,6,9
+    val d = Seq((1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"), (2L, ""), (3L, "a b")).toDF("doc_id", "text")
+    val got = Chunking.chunk(d, col("doc_id"), col("text"), size = 4, overlap = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))).toSet
+    def m(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got == Set(
+      (1L, 0L, 0L, 4L, m("t0 t1 t2 t3")),
+      (1L, 1L, 3L, 4L, m("t3 t4 t5 t6")),
+      (1L, 2L, 6L, 4L, m("t6 t7 t8 t9")),
+      (1L, 3L, 9L, 1L, m("t9")),
+      (2L, 0L, 0L, 1L, m("")), // empty text = one empty token
+      (3L, 0L, 0L, 2L, m("a b"))))
+    // consecutive chunks share exactly `overlap` tokens by construction
+    val docs01 = graft.Tables.read(spark, "/root/testdata/sf0.001", "documents")
+    val plan = Chunking.chunk(docs01, col("doc_id"), col("text"), 64, 16)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("packing matches a sequential fold per shard") {
     val d = Seq(
       ("s1", 1L, 100L), ("s1", 2L, 4000L), ("s1", 3L, 50L), ("s1", 4L, 8000L),
