@@ -14,7 +14,8 @@ object SparkEntry {
     graft.queries.CoreQueries.defs ++
       graft.queries.TextQueries.defs ++
       graft.queries.VectorQueries.defs ++
-      graft.queries.PipelineQueries.defs
+      graft.queries.PipelineQueries.defs ++
+      graft.queries.CorpusQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -22,5 +23,6 @@ object SparkEntry {
     graft.queries.CoreQueries.oracles ++
       graft.queries.TextQueries.oracles ++
       graft.queries.VectorQueries.oracles ++
-      graft.queries.PipelineQueries.oracles
+      graft.queries.PipelineQueries.oracles ++
+      graft.queries.CorpusQueries.oracles
 }

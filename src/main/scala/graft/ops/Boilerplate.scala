@@ -49,9 +49,10 @@ object Boilerplate {
     * with columns (doc_id, text).
     */
   def removeCommonLinesSql(table: String, maxDocFreq: Int): String =
-    s"""lines AS (
-       |  SELECT doc_id, u.pos, u.line, md5(u.line) AS k
-       |  FROM $table, unnest(string_split(text, chr(10))) WITH ORDINALITY AS u(line, pos)),
+    s"""lns AS (SELECT doc_id, string_split(text, chr(10)) AS lst FROM $table),
+       |lines AS (
+       |  SELECT doc_id, p.pos, lst[p.pos] AS line, md5(lst[p.pos]) AS k
+       |  FROM lns, unnest(range(1, len(lst) + 1)) AS p(pos)),
        |common AS (
        |  SELECT k FROM lines GROUP BY k HAVING count(DISTINCT doc_id) > $maxDocFreq),
        |cleaned AS (

@@ -89,6 +89,66 @@ object Sampling {
     }
   }
 
+  /** Temperature-weighted source mixing (alpha = 0.5): per-group
+    * sampling targets proportional to sqrt(group size), normalized —
+    * the standard up-weight-the-tail mixture used when assembling a
+    * multi-source / multilingual corpus (plain proportional sampling
+    * lets the biggest source drown the rest; temperature flattening
+    * re-balances without discarding the head entirely).
+    *
+    * Alpha is fixed at 0.5 because sqrt is correctly rounded under
+    * IEEE-754 in every engine — `pow(x, alpha)` is not, and a last-ulp
+    * difference could move a floor() target boundary between Spark
+    * and the oracle. The normalizing denominator is folded LEFT TO
+    * RIGHT over the group-name-sorted counts (a group-by sum of
+    * doubles would be aggregation-order-dependent), so the weights
+    * are bit-identical across engines and runs.
+    *
+    * Scale shape: group counts are one partial-aggregated shuffle;
+    * the fold runs on the tiny per-group table; targets broadcast
+    * back onto the per-group hash-ranked rows (one shuffle on the
+    * group key for the rank window). Returns the input rows that made
+    * the cut, plus (mix_rank, n_target).
+    */
+  def temperatureSample(df: DataFrame, group: Column, key: Column, budget: Int): DataFrame = {
+    require(budget > 0)
+    val base = df.withColumn("graft_g", group)
+    val counts = base.groupBy(col("graft_g")).agg(count(lit(1)).as("n"))
+    val denom = counts.agg(
+      aggregate(
+        sort_array(collect_list(struct(col("graft_g"), col("n")))),
+        lit(0.0),
+        (acc, x) => acc + sqrt(x.getField("n").cast("double"))).as("denom"))
+    val targets = counts.crossJoin(broadcast(denom))
+      .select(col("graft_g"),
+        least(col("n"),
+          floor(lit(budget.toDouble) * sqrt(col("n").cast("double")) / col("denom"))
+            .cast("bigint")).as("n_target"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("graft_g"))
+      .orderBy(Dedup.md5Hash60(key.cast("string")), key)
+    base.withColumn("mix_rank", row_number().over(w).cast("bigint"))
+      .join(broadcast(targets), Seq("graft_g"))
+      .filter(col("mix_rank") <= col("n_target"))
+      .drop("graft_g")
+  }
+
+  /** DuckDB twin of [[temperatureSample]]'s target computation over a
+    * relation `table`: CTEs `tcounts` (group, n) and `ttargets`
+    * (group, n_target) for a grouping expression `groupExpr`.
+    */
+  def temperatureTargetsSql(table: String, groupExpr: String, budget: Int): String =
+    s"""tcounts AS (SELECT $groupExpr AS g, count(*) AS n FROM $table GROUP BY 1),
+       |tdenom AS (SELECT list_reduce(
+       |    list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(list(n ORDER BY g), x -> sqrt(CAST(x AS DOUBLE)))),
+       |    (a, b) -> a + b) AS denom FROM tcounts),
+       |ttargets AS (
+       |  SELECT g, least(n,
+       |    CAST(floor(CAST($budget AS DOUBLE) * sqrt(CAST(n AS DOUBLE)) / denom) AS BIGINT))
+       |    AS n_target
+       |  FROM tcounts, tdenom)""".stripMargin
+
   /** DuckDB twin of [[assignSplit]] over the same boundaries. */
   def assignSplitSql(keyExpr: String, splits: Seq[(String, Double)]): String = {
     val h = s"('0x' || substr(md5(CAST($keyExpr AS VARCHAR)), 1, 15))::BIGINT"

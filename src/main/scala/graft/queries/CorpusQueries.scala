@@ -1,0 +1,189 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.{Boilerplate, DupSpans, NgramLm, Packing, Sampling, TextAnalysis}
+
+/** Round-5 capability queries: substring-level duplication (dup
+  * spans, boilerplate lines), n-gram LM scoring, temperature source
+  * mixing, length-bucketed batching, grouping sets, and JSON
+  * property extraction. Oracle rules per SURVEY §4.
+  */
+object CorpusQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.read(s, dir, name)
+
+  private val hash60: String => String =
+    v => s"('0x' || substr(md5(CAST($v AS VARCHAR)), 1, 15))::BIGINT"
+
+  val SpanK = 5
+  val LineTokens = 10
+  val LineMaxDocFreq = 2
+  val MixBudget = 200
+  val BatchBucketWidth = 32
+  val BatchMaxTokens = 512
+
+  /** 10-token lines rejoined with newlines — the derived multi-line
+    * text both engines feed to the boilerplate pass (the synthetic
+    * documents are single-line, so lines are materialized from fixed
+    * token windows).
+    */
+  private def linedText(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val toks = split(trim(text), "\\s+")
+    val nLines = ceil(size(toks) / lit(LineTokens.toDouble)).cast("int")
+    array_join(
+      transform(sequence(lit(0), nLines - 1),
+        g => array_join(slice(toks, g * LineTokens + 1, lit(LineTokens)), " ")),
+      "\n")
+  }
+
+  private val linedTextSql: String =
+    s"""array_to_string(list_transform(
+       |      range(0, CAST(ceil(len(toks) / ${LineTokens.toDouble}) AS BIGINT)),
+       |      g -> array_to_string(list_slice(toks, g * $LineTokens + 1, g * $LineTokens + $LineTokens), ' ')),
+       |    chr(10))""".stripMargin
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // C35: duplicate k-token spans across documents.
+    "q_dup_spans" -> { (s, dir) =>
+      DupSpans.duplicatedSpans(t(s, dir, "documents"), col("doc_id"), col("text"), SpanK)
+        .orderBy(col("doc_id"))
+    },
+
+    // C36: line-level boilerplate removal over the 10-token lines.
+    "q_boilerplate" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), linedText(col("text")).as("text"))
+      Boilerplate.removeCommonLines(docs, col("doc_id"), col("text"), LineMaxDocFreq)
+        .orderBy(col("doc_id"))
+    },
+
+    // C37: interpolated bigram LM scoring (the perplexity filter).
+    "q_lm_score" -> { (s, dir) =>
+      NgramLm.bigramScore(t(s, dir, "documents"), col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))
+    },
+
+    // C38: temperature-weighted (alpha=0.5) language mixing.
+    "q_temperature_mix" -> { (s, dir) =>
+      Sampling.temperatureSample(t(s, dir, "documents"), col("lang"), col("doc_id"), MixBudget)
+        .select(col("lang"), col("doc_id"), col("mix_rank"))
+        .orderBy(col("lang"), col("mix_rank"))
+    },
+
+    // C39: length-bucketed batch assembly under a padded-token budget.
+    "q_length_batch" -> { (s, dir) =>
+      val base = t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+      Packing.lengthBatches(base, col("doc_id"), col("n_tokens"),
+          BatchBucketWidth, BatchMaxTokens)
+        .orderBy(col("doc_id"))
+    },
+
+    // A38: explicit GROUPING SETS lattice (partial cube — only the
+    // requested subtotal combinations, unlike cube/rollup).
+    "q_grouping_sets" -> { (s, dir) =>
+      Tables.registerViews(s, dir)
+      s.sql("""SELECT coalesce(l_returnflag, 'ALL') AS rf,
+              |       coalesce(l_linestatus, 'ALL') AS ls,
+              |       CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS INT) AS gid,
+              |       count(*) AS n,
+              |       sum(CAST(l_quantity AS BIGINT)) AS sum_qty,
+              |       min(l_extendedprice) AS min_price,
+              |       max(l_extendedprice) AS max_price
+              |FROM lineitem
+              |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+              |ORDER BY gid, rf, ls""".stripMargin)
+    },
+
+    // A39: JSON property extraction from the events props column,
+    // aggregated per event type — integer-exact outputs.
+    "q_json_extract" -> { (s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("bigint").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"))
+        .orderBy(col("event_type"))
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_dup_spans" ->
+      s"""WITH tok AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+         |             FROM documents),
+         |sp AS (SELECT doc_id,
+         |         list_distinct(CASE WHEN len(toks) >= $SpanK
+         |           THEN list_transform(range(1, len(toks) - ${SpanK - 2}),
+         |                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4])
+         |           ELSE [array_to_string(toks, ' ')] END) AS spans
+         |       FROM tok),
+         |ex AS (SELECT doc_id, ${hash60("u.s")} AS shash FROM sp, unnest(sp.spans) AS u(s)),
+         |dup AS (SELECT shash FROM ex GROUP BY shash HAVING count(*) >= 2),
+         |hits AS (SELECT doc_id, count(*) AS n_dup FROM ex JOIN dup USING (shash) GROUP BY doc_id)
+         |SELECT sp.doc_id, CAST(len(spans) AS BIGINT) AS n_spans,
+         |  CAST(coalesce(h.n_dup, 0) AS BIGINT) AS n_dup_spans,
+         |  CASE WHEN len(spans) > 0
+         |    THEN round(CAST(coalesce(h.n_dup, 0) AS DOUBLE) / len(spans), 4)
+         |    ELSE 0.0 END AS dup_span_frac
+         |FROM sp LEFT JOIN hits h USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_boilerplate" ->
+      s"""WITH dtoks AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+         |               FROM documents),
+         |docs_n AS (SELECT doc_id, $linedTextSql AS text FROM dtoks),
+         |${Boilerplate.removeCommonLinesSql("docs_n", LineMaxDocFreq)}
+         |SELECT doc_id, clean_md5, CAST(n_kept AS BIGINT) AS n_kept,
+         |  CAST(n_removed AS BIGINT) AS n_removed
+         |FROM cleaned ORDER BY doc_id""".stripMargin,
+
+    "q_lm_score" ->
+      s"""WITH ${NgramLm.bigramScoreSql("documents")}
+         |SELECT doc_id, n_bigrams, avg_logprob FROM scored ORDER BY doc_id""".stripMargin,
+
+    "q_temperature_mix" ->
+      s"""WITH ${Sampling.temperatureTargetsSql("documents", "lang", MixBudget)},
+         |r AS (SELECT lang, doc_id,
+         |        CAST(row_number() OVER (PARTITION BY lang
+         |          ORDER BY ${hash60("doc_id")}, doc_id) AS BIGINT) AS mix_rank
+         |      FROM documents)
+         |SELECT r.lang, r.doc_id, r.mix_rank
+         |FROM r JOIN ttargets t ON r.lang = t.g
+         |WHERE r.mix_rank <= t.n_target
+         |ORDER BY lang, mix_rank""".stripMargin,
+
+    "q_length_batch" ->
+      s"""WITH base AS (SELECT doc_id,
+         |    CAST(${TextAnalysis.tokenCountSql("text")} AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |${Packing.lengthBatchesSql("base", BatchBucketWidth, BatchMaxTokens)}
+         |SELECT doc_id, n_tokens, bucket, padded_len, batch_id
+         |FROM lbatch ORDER BY doc_id""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |       coalesce(l_linestatus, 'ALL') AS ls,
+        |       CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS INT) AS gid,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |       min(l_extendedprice) AS min_price,
+        |       max(l_extendedprice) AS max_price
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY gid, rf, ls""".stripMargin,
+
+    "q_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum((props::JSON ->> 'k')::BIGINT) AS BIGINT) AS sum_k,
+        |  min((props::JSON ->> 'k')::BIGINT) AS min_k,
+        |  max((props::JSON ->> 'k')::BIGINT) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+  )
+}
