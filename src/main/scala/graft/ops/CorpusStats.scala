@@ -1,0 +1,88 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-distribution drift statistics — the mixture-monitoring
+  * pass of a training-data pipeline: how far does each source's
+  * unigram distribution sit from the corpus-wide distribution
+  * (KL(source ∥ corpus)), and how concentrated is each source
+  * (unigram Shannon entropy)? Sources that drift far are candidates
+  * for re-weighting; entropy collapse flags template/boilerplate
+  * farms before they dominate a mixture.
+  *
+  * Scale shape: one tokenize pass feeds two partial-aggregated
+  * count shuffles — (source, token) and per-source totals; the
+  * corpus-wide distribution is derived from the (source, token)
+  * counts by a second partial agg on token (no re-scan). Every
+  * exchanged row is (fixed-width key, count). Per-term KL/entropy
+  * contributions are quantized to integer micro-nats before the
+  * per-source sum, so results are aggregation-order independent
+  * (see NgramLm for the same device).
+  */
+object CorpusStats {
+
+  /** Per-source drift row: (source, n_distinct_terms, n_tokens,
+    * entropy, kl_vs_corpus) — entropy and KL in nats, rounded 4dp,
+    * both exact integer-micro-nat sums underneath.
+    */
+  def sourceDrift(df: DataFrame, source: Column, text: Column): DataFrame = {
+    val st = df
+      .select(source.cast("string").as("source"),
+        explode(split(trim(lower(text)), "\\s+")).as("w"))
+      .groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("c"))
+
+    val totals = st.groupBy(col("source")).agg(sum(col("c")).as("ts"))
+    val corpus = st.groupBy(col("w")).agg(sum(col("c")).as("cw"))
+    val grand = corpus.agg(sum(col("cw")).as("t"))
+
+    val p = col("c").cast("double") / col("ts")
+    val q = col("cw").cast("double") / col("t")
+    val contrib = st
+      .join(totals, Seq("source"))
+      .join(corpus, Seq("w"))
+      .crossJoin(broadcast(grand))
+      .select(col("source"), col("c"),
+        floor(p * log(p / q) * 1e6).cast("bigint").as("kl_micro"),
+        floor(-p * log(p) * 1e6).cast("bigint").as("ent_micro"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_distinct_terms"),
+        sum(col("c")).as("n_tokens"),
+        sum(col("ent_micro")).as("ent_sum"),
+        sum(col("kl_micro")).as("kl_sum"))
+
+    contrib.select(col("source"),
+      col("n_distinct_terms"), col("n_tokens"),
+      round(col("ent_sum").cast("double") / 1e6, 4).as("entropy"),
+      round(col("kl_sum").cast("double") / 1e6, 4).as("kl_vs_corpus"))
+  }
+
+  /** DuckDB twin of [[sourceDrift]] over `table(source, text)`;
+    * final relation is `drift`.
+    */
+  def sourceDriftSql(table: String): String =
+    s"""stok AS (SELECT CAST(source AS VARCHAR) AS source,
+       |                string_split_regex(trim(lower(text)), '\\s+') AS toks
+       |         FROM $table),
+       |st AS (SELECT source, u.w AS w, count(*) AS c
+       |       FROM stok, unnest(toks) AS u(w) GROUP BY source, u.w),
+       |totals AS (SELECT source, sum(c) AS ts FROM st GROUP BY source),
+       |corpus AS (SELECT w, sum(c) AS cw FROM st GROUP BY w),
+       |grand AS (SELECT sum(cw) AS t FROM corpus),
+       |contrib AS (
+       |  SELECT st.source, st.c,
+       |    CAST(floor((CAST(st.c AS DOUBLE) / totals.ts)
+       |      * ln((CAST(st.c AS DOUBLE) / totals.ts) / (CAST(corpus.cw AS DOUBLE) / grand.t))
+       |      * 1e6) AS BIGINT) AS kl_micro,
+       |    CAST(floor(-(CAST(st.c AS DOUBLE) / totals.ts)
+       |      * ln(CAST(st.c AS DOUBLE) / totals.ts) * 1e6) AS BIGINT) AS ent_micro
+       |  FROM st JOIN totals USING (source) JOIN corpus USING (w) CROSS JOIN grand),
+       |drift AS (
+       |  SELECT source,
+       |    CAST(count(*) AS BIGINT) AS n_distinct_terms,
+       |    CAST(sum(c) AS BIGINT) AS n_tokens,
+       |    round(CAST(sum(ent_micro) AS DOUBLE) / 1e6, 4) AS entropy,
+       |    round(CAST(sum(kl_micro) AS DOUBLE) / 1e6, 4) AS kl_vs_corpus
+       |  FROM contrib GROUP BY source)""".stripMargin
+}

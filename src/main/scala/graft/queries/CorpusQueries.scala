@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Boilerplate, DupSpans, NgramLm, Packing, Sampling, TextAnalysis}
+import graft.ops.{Boilerplate, CorpusStats, DupSpans, NgramLm, Packing, QualityClassifier, Sampling, TextAnalysis}
 
 /** Round-5 capability queries: substring-level duplication (dup
   * spans, boilerplate lines), n-gram LM scoring, temperature source
@@ -99,6 +99,18 @@ object CorpusQueries {
               |ORDER BY gid, rf, ls""".stripMargin)
     },
 
+    // C41: hashed linear quality classifier (fastText-style gate).
+    "q_quality_score" -> { (s, dir) =>
+      QualityClassifier.score(t(s, dir, "documents"), col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))
+    },
+
+    // C42: per-source unigram entropy + KL drift vs the corpus.
+    "q_source_drift" -> { (s, dir) =>
+      CorpusStats.sourceDrift(t(s, dir, "documents"), col("source"), col("text"))
+        .orderBy(col("source"))
+    },
+
     // A39: JSON property extraction from the events props column,
     // aggregated per event type — integer-exact outputs.
     "q_json_extract" -> { (s, dir) =>
@@ -178,6 +190,16 @@ object CorpusQueries {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         |ORDER BY gid, rf, ls""".stripMargin,
+
+    "q_quality_score" ->
+      s"""WITH ${QualityClassifier.scoreSql("documents")}
+         |SELECT doc_id, n_features, logit_milli, score, keep
+         |FROM qscored ORDER BY doc_id""".stripMargin,
+
+    "q_source_drift" ->
+      s"""WITH ${CorpusStats.sourceDriftSql("documents")}
+         |SELECT source, n_distinct_terms, n_tokens, entropy, kl_vs_corpus
+         |FROM drift ORDER BY source""".stripMargin,
 
     "q_json_extract" ->
       """SELECT event_type, count(*) AS n,

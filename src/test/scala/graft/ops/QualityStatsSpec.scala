@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/** Specs for the hashed linear quality classifier and the per-source
+  * drift statistics.
+  */
+class QualityStatsSpec extends AnyFunSuite with SparkTestBase {
+
+  import spark.implicits._
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  private def hash60(s: String): Long =
+    java.lang.Long.parseLong(md5Hex(s).substring(0, 15), 16)
+
+  private def weightMilli(term: String): Long = {
+    val bucket = hash60(term) % QualityClassifier.Buckets
+    hash60("qw:" + bucket) % 2001L - 1000L
+  }
+
+  // -------------------------------------------------- QualityClassifier
+
+  test("quality score matches the hand-computed hashed-feature sum") {
+    val docs = Seq((1L, "good clean prose"), (2L, "a"), (3L, "x y")).toDF("doc_id", "text")
+    val got = QualityClassifier.score(docs, col("doc_id"), col("text"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))))
+      .toMap
+
+    def expected(terms: Seq[String]): (Long, Long, Double, Boolean) = {
+      val logit = terms.map(weightMilli).sum
+      val score = BigDecimal(logit.toDouble / (terms.size * 1000.0))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (terms.size.toLong, logit, score, logit > 0)
+    }
+
+    assert(got(1L) == expected(Seq("good", "clean", "prose", "good clean", "clean prose")))
+    assert(got(2L) == expected(Seq("a")))
+    assert(got(3L) == expected(Seq("x", "y", "x y")))
+  }
+
+  test("quality score is case/whitespace-normalized and repartition-stable") {
+    val a = Seq((1L, "Alpha  Beta gamma"), (2L, "q r s")).toDF("doc_id", "text")
+    val b = Seq((1L, "alpha beta gamma"), (2L, "q r s")).toDF("doc_id", "text")
+    val ra = QualityClassifier.score(a, col("doc_id"), col("text")).collect().map(_.toSeq).toSet
+    val rb = QualityClassifier.score(b.repartition(5), col("doc_id"), col("text"))
+      .collect().map(_.toSeq).toSet
+    assert(ra == rb)
+  }
+
+  // --------------------------------------------------------- CorpusStats
+
+  test("source drift matches hand-computed entropy and KL") {
+    // s1: "a a b" (a=2, b=1, T=3); s2: "a c" (a=1, c=1, T=2).
+    // corpus: a=3, b=1, c=1, T=5.
+    val docs = Seq(("s1", "a a b"), ("s2", "a c")).toDF("source", "text")
+    val got = CorpusStats.sourceDrift(docs, col("source"), col("text"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+
+    def micro(x: Double): Long = math.floor(x * 1e6).toLong
+    def r4(sumMicro: Long): Double =
+      BigDecimal(sumMicro.toDouble / 1e6).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+    val s1Ent = micro(-(2.0 / 3) * math.log(2.0 / 3)) + micro(-(1.0 / 3) * math.log(1.0 / 3))
+    val s1Kl = micro((2.0 / 3) * math.log((2.0 / 3) / (3.0 / 5))) +
+      micro((1.0 / 3) * math.log((1.0 / 3) / (1.0 / 5)))
+    val s2Ent = micro(-(1.0 / 2) * math.log(1.0 / 2)) * 2
+    val s2Kl = micro((1.0 / 2) * math.log((1.0 / 2) / (3.0 / 5))) +
+      micro((1.0 / 2) * math.log((1.0 / 2) / (1.0 / 5)))
+
+    assert(got("s1") == ((2L, 3L, r4(s1Ent), r4(s1Kl))))
+    assert(got("s2") == ((2L, 2L, r4(s2Ent), r4(s2Kl))))
+  }
+
+  test("source drift: a single source has zero KL and gibbs-inequality keeps KL >= 0") {
+    val one = Seq(("only", "a b c a")).toDF("source", "text")
+    val r1 = CorpusStats.sourceDrift(one, col("source"), col("text")).collect()
+    assert(r1.length == 1 && r1(0).getDouble(4) == 0.0)
+
+    val many = (1 to 40).map(i => (s"s${i % 4}", s"w${i % 7} w${i % 5} w${i % 3}"))
+      .toDF("source", "text")
+    val kls = CorpusStats.sourceDrift(many, col("source"), col("text"))
+      .collect().map(_.getDouble(4))
+    // quantization floors each term, so allow the micro-nat epsilon
+    assert(kls.forall(_ >= -1e-4))
+  }
+}
