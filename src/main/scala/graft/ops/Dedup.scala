@@ -261,7 +261,7 @@ object Dedup {
     * `chunkBits`, candidates share a chunk value (any pair with
     * hamming <= 3 must), verified by bit_count(xor).
     */
-  private def hammingPairs(sigTable: DataFrame, chunkBits: Int, maxHamming: Int): DataFrame = {
+  private[ops] def hammingPairs(sigTable: DataFrame, chunkBits: Int, maxHamming: Int): DataFrame = {
     val sigs = sigTable.persist(StorageLevel.MEMORY_AND_DISK)
     val mask = (1L << chunkBits) - 1
     val chunks = sigs.select(col("doc_id"), col("simhash"), explode(array(

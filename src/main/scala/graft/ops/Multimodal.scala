@@ -130,6 +130,53 @@ object Multimodal {
       }
   }
 
+  /** Perceptual hash (aHash-family) per media row: decode to a
+    * `bits`-cell grayscale grid, threshold each cell against the
+    * grid mean, pack into a 64-bit signature. Mean-thresholding makes
+    * the hash invariant to uniform brightness shifts, so re-encoded /
+    * slightly-edited copies land within a small hamming distance.
+    * Decode is the [[FakeDecoder]] stub; the hash arithmetic, batch
+    * shape (mapPartitions, codec init amortized), and signature
+    * schema are the production shape.
+    */
+  def perceptualHash(media: DataFrame, bits: Int = 64): DataFrame = {
+    require(bits >= 2 && bits <= 64, "bits must be in [2, 64]")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("media_type"), col("payload"))
+      .as[MediaRecord]
+      .mapPartitions { rows =>
+        // real decoder: init codec context once per partition here
+        rows.map { r =>
+          val grid = FakeDecoder.decode(r.payload, bits)
+          var mean = 0.0
+          var i = 0
+          while (i < bits) { mean += grid(i); i += 1 }
+          mean /= bits
+          var sig = 0L
+          i = 0
+          while (i < bits) {
+            if (grid(i) > mean) sig |= (1L << i)
+            i += 1
+          }
+          (r.media_id, sig)
+        }
+      }.toDF("media_id", "phash")
+  }
+
+  /** Near-duplicate media pairs by perceptual hash: pigeonhole
+    * 4×16-bit chunk candidates (guaranteed complete for
+    * maxHamming <= 3) + exact hamming verify — the image analog of
+    * document SimHash dedup, sharing its candidate/verify plumbing.
+    * Shuffles only (media_id, 8-byte signature) rows, never payloads.
+    */
+  def nearDupMedia(media: DataFrame, maxHamming: Int = 3): DataFrame =
+    Dedup.hammingPairs(
+      perceptualHash(media)
+        .select(col("media_id").as("doc_id"), col("phash").as("simhash")),
+      chunkBits = 16, maxHamming = maxHamming)
+      .select(col("id_a").as("media_a"), col("id_b").as("media_b"), col("hamming"))
+
   /** Per-partition batch feature extraction over the media table —
     * the mapPartitions shape a real decoder needs (amortize codec
     * init across a partition, stream rows, never materialize the

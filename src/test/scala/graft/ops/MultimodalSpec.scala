@@ -62,4 +62,41 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
       Seq((8L, "abc")).toDF("id", "content"), col("id"), col("content"), "video/fake")
     assert(Multimodal.frameSample(tiny, 8, 1, 10).count() == 0)
   }
+
+  test("perceptual hash: deterministic, mean-thresholded, and distinct payloads differ") {
+    val base = "the quick brown fox jumps over the lazy dog, twice over"
+    val media = Multimodal.packBinary(
+      Seq((1L, base), (2L, base), (3L, "completely different payload bytes here !!"))
+        .toDF("id", "content"),
+      col("id"), col("content"), "image/fake")
+    val h = Multimodal.perceptualHash(media).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h(1L) == h(2L))        // same bytes -> same hash
+    assert(h(1L) != h(3L))        // different bytes -> different hash
+    // mean-threshold: roughly balanced bit population, never all-0/all-1
+    val pop = java.lang.Long.bitCount(h(1L))
+    assert(pop > 0 && pop < 64)
+  }
+
+  test("near-dup media: exact copies pair at hamming 0, a small edit stays within range") {
+    val base = ("A" * 40) + ("B" * 40) + ("C" * 48)   // 128 bytes, 2 bytes/cell
+    val edited = base.updated(5, 'D').toString         // one-byte edit: one grid cell moves
+    val far = (1 to 128).map(i => ('a' + (i * 37) % 26).toChar).mkString
+    val media = Multimodal.packBinary(
+      Seq((1L, base), (2L, base), (3L, edited), (4L, far)).toDF("id", "content"),
+      col("id"), col("content"), "image/fake")
+
+    val pairs = Multimodal.nearDupMedia(media, maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs((1L, 2L)) == 0L) // exact copy
+    // the single-cell edit pairs with both exact copies at small hamming
+    assert(pairs.contains((1L, 3L)) && pairs((1L, 3L)) <= 3L)
+    assert(pairs.contains((2L, 3L)))
+    // the unrelated payload pairs with nothing
+    assert(!pairs.keys.exists(k => k._1 == 4L || k._2 == 4L))
+    // plan shape: candidates come from the chunk equi-join, never a cross product
+    val plan = Multimodal.nearDupMedia(media, maxHamming = 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
 }
