@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Boilerplate, CorpusStats, DupSpans, NgramLm, Packing, QualityClassifier, Sampling, TextAnalysis}
+import graft.ops.{Boilerplate, CorpusStats, DupSpans, NgramLm, Packing, PageRank, QualityClassifier, Sampling, TextAnalysis}
 
 /** Round-5 capability queries: substring-level duplication (dup
   * spans, boilerplate lines), n-gram LM scoring, temperature source
@@ -111,6 +111,18 @@ object CorpusQueries {
         .orderBy(col("source"))
     },
 
+    // C44: integer PageRank over the customer<->supplier trade graph
+    // (the link-centrality quality prior), 3 fixed iterations.
+    "q_pagerank" -> { (s, dir) =>
+      val orders = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val pairs = orders.join(li, col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("p"))
+      val edges = pairs.select(col("c").as("src"), col("p").as("dst"))
+        .unionAll(pairs.select(col("p").as("src"), col("c").as("dst")))
+      PageRank.ranks(edges, iters = 3).orderBy(col("node"))
+    },
+
     // A39: JSON property extraction from the events props column,
     // aggregated per event type — integer-exact outputs.
     "q_json_extract" -> { (s, dir) =>
@@ -200,6 +212,17 @@ object CorpusQueries {
       s"""WITH ${CorpusStats.sourceDriftSql("documents")}
          |SELECT source, n_distinct_terms, n_tokens, entropy, kl_vs_corpus
          |FROM drift ORDER BY source""".stripMargin,
+
+    "q_pagerank" -> {
+      val edgeSql =
+        """SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+          |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+          |UNION ALL
+          |SELECT l_suppkey * 2 + 1 AS src, o_custkey * 2 AS dst
+          |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey""".stripMargin
+      s"""WITH ${PageRank.ranksSql(edgeSql, iters = 3)}
+         |SELECT node, rank_scaled, rank FROM prank ORDER BY node""".stripMargin
+    },
 
     "q_json_extract" ->
       """SELECT event_type, count(*) AS n,

@@ -92,4 +92,40 @@ class QualityStatsSpec extends AnyFunSuite with SparkTestBase {
     // quantization floors each term, so allow the micro-nat epsilon
     assert(kls.forall(_ >= -1e-4))
   }
+
+  // ------------------------------------------------------------ PageRank
+
+  test("integer pagerank matches the hand-iterated fixed-point values") {
+    // edges: 1->2, 1->3, 2->1. outdeg: 1:2, 2:1; node 3 dangles.
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 1L)).toDF("src", "dst")
+    val U = PageRank.Unit
+    val tp = U - 850L * U / 1000L
+
+    // iter1: in(1)=U; in(2)=in(3)=U/2
+    val r1_1 = tp + 850L * U / 1000L
+    val r1_23 = tp + 850L * (U / 2) / 1000L
+    // iter2: in(1)=r1(2); in(2)=in(3)=r1(1)/2
+    val r2_1 = tp + 850L * r1_23 / 1000L
+    val r2_23 = tp + 850L * (r1_1 / 2) / 1000L
+    // iter3
+    val r3_1 = tp + 850L * r2_23 / 1000L
+    val r3_23 = tp + 850L * (r2_1 / 2) / 1000L
+
+    val got = PageRank.ranks(edges, iters = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> r3_1, 2L -> r3_23, 3L -> r3_23))
+  }
+
+  test("pagerank: a sink hub outranks its spokes, and results are repartition-stable") {
+    // star: every spoke points to hub 100 and back
+    val spokes = (1L to 20L)
+    val edges = (spokes.map(s => (s, 100L)) ++ spokes.map(s => (100L, s))).toDF("src", "dst")
+    val ranks = PageRank.ranks(edges, iters = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(spokes.forall(s => ranks(100L) > ranks(s)))
+
+    val re = PageRank.ranks(edges.repartition(7, col("dst")), iters = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(re == ranks)
+  }
 }
