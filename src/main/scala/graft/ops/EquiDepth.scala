@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Equi-depth (equal-frequency) histogram — the selectivity-estimation
+  * and skew-inspection complement of the fixed-width histogram (A29):
+  * bucket boundaries chosen so each bucket holds ~n/B rows.
+  *
+  * Scale shape: the global order runs over the DISTINCT-VALUE
+  * histogram, not the rows — one partial-agg shuffle collapses the
+  * corpus to (value, count), and the cumulative window then ranks
+  * |distinct values| entries (prices, lengths, scores: bounded and
+  * tiny next to row count; for truly-unbounded doubles, quantize
+  * first or use the C25 mergeable quantile sketch to get boundaries).
+  * Every row of a value lands in the bucket of that value's first
+  * row (`floor(cum_before * B / n)`) — pure integer arithmetic, so
+  * ties break identically in any engine and the result is
+  * oracle-exact, unlike `ntile` over raw rows whose intra-tie order
+  * is engine-private.
+  */
+object EquiDepth {
+
+  /** (bucket, n_rows, n_values, min_val, max_val) over `value` cast
+    * to bigint, with `buckets` target buckets.
+    */
+  def histogram(df: DataFrame, value: Column, buckets: Int): DataFrame = {
+    require(buckets >= 1)
+    val counts = df.select(value.cast("bigint").as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("c"))
+
+    val w = Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, -1)
+    val total = counts.agg(sum(col("c")).as("n"))
+
+    counts
+      .withColumn("cum_before", coalesce(sum(col("c")).over(w), lit(0L)))
+      .crossJoin(broadcast(total))
+      .select(col("v"), col("c"),
+        expr(s"(cum_before * $buckets) DIV n").as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(sum(col("c")).as("n_rows"), count(lit(1)).as("n_values"),
+        min(col("v")).as("min_val"), max(col("v")).as("max_val"))
+  }
+
+  /** DuckDB twin of [[histogram]] over `valueExpr` from `table`;
+    * final relation is `edepth`.
+    */
+  def histogramSql(table: String, valueExpr: String, buckets: Int): String =
+    s"""edc AS (SELECT CAST($valueExpr AS BIGINT) AS v, count(*) AS c
+       |        FROM $table GROUP BY 1),
+       |edcum AS (
+       |  SELECT v, c,
+       |    coalesce(sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before,
+       |    sum(c) OVER () AS n
+       |  FROM edc),
+       |edepth AS (
+       |  SELECT (cum_before * $buckets) // n AS bucket,
+       |    CAST(sum(c) AS BIGINT) AS n_rows,
+       |    CAST(count(*) AS BIGINT) AS n_values,
+       |    min(v) AS min_val, max(v) AS max_val
+       |  FROM edcum GROUP BY 1)""".stripMargin
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Boilerplate, CorpusStats, DupSpans, NgramLm, Packing, PageRank, QualityClassifier, Sampling, TextAnalysis}
+import graft.ops.{Boilerplate, BpePairs, CorpusStats, DupSpans, EquiDepth, NgramLm, Packing, PageRank, Profiler, QualityClassifier, Sampling, TextAnalysis}
 
 /** Round-5 capability queries: substring-level duplication (dup
   * spans, boilerplate lines), n-gram LM scoring, temperature source
@@ -123,6 +123,25 @@ object CorpusQueries {
       PageRank.ranks(edges, iters = 3).orderBy(col("node"))
     },
 
+    // C45: BPE merge-candidate scoring (top adjacent char pairs).
+    "q_bpe_pairs" -> { (s, dir) =>
+      BpePairs.topPairs(t(s, dir, "documents"), col("text"), k = 40)
+        .orderBy(col("n_total").desc, col("pair"))
+    },
+
+    // A40: equi-depth histogram over the distinct-value histogram.
+    "q_equidepth" -> { (s, dir) =>
+      EquiDepth.histogram(t(s, dir, "lineitem"), floor(col("l_extendedprice")), buckets = 16)
+        .orderBy(col("bucket"))
+    },
+
+    // C46: long-format column profile (ingest data-quality audit).
+    "q_profile" -> { (s, dir) =>
+      Profiler.profile(t(s, dir, "documents"),
+          Seq("doc_id", "lang", "source", "n_chars"))
+        .orderBy(col("column"))
+    },
+
     // A39: JSON property extraction from the events props column,
     // aggregated per event type — integer-exact outputs.
     "q_json_extract" -> { (s, dir) =>
@@ -223,6 +242,18 @@ object CorpusQueries {
       s"""WITH ${PageRank.ranksSql(edgeSql, iters = 3)}
          |SELECT node, rank_scaled, rank FROM prank ORDER BY node""".stripMargin
     },
+
+    "q_bpe_pairs" -> BpePairs.topPairsSql("documents", k = 40),
+
+    "q_equidepth" ->
+      s"""WITH ${EquiDepth.histogramSql("lineitem", "floor(l_extendedprice)", buckets = 16)}
+         |SELECT bucket, n_rows, n_values, min_val, max_val
+         |FROM edepth ORDER BY bucket""".stripMargin,
+
+    "q_profile" ->
+      s"""SELECT * FROM (
+         |${Profiler.profileSql("documents", Seq("doc_id", "lang", "source", "n_chars"))}
+         |) ORDER BY "column"""".stripMargin,
 
     "q_json_extract" ->
       """SELECT event_type, count(*) AS n,

@@ -1,0 +1,108 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.sources.JsonlCorpus
+
+/** Specs for BPE pair scoring, equi-depth histograms, column
+  * profiling, and the JSONL corpus source.
+  */
+class ProfilingOpsSpec extends AnyFunSuite with SparkTestBase {
+
+  import spark.implicits._
+
+  // ----------------------------------------------------------- BpePairs
+
+  test("bpe pair scores: weighted by word frequency, positions across distinct words") {
+    // corpus: "abab abab cd" -> words: abab(x2), cd(x1)
+    // abab pairs: ab(pos1), ba(pos2), ab(pos3) -> ab:2 positions, ba:1
+    // weighted: ab 2*2=4, ba 1*2=2, cd 1*1=1
+    val docs = Seq((1L, "abab abab cd")).toDF("doc_id", "text")
+    val got = BpePairs.topPairs(docs, col("text"), k = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(("ab", 2L, 4L), ("ba", 1L, 2L), ("cd", 1L, 1L)))
+  }
+
+  test("bpe pairs: single-char words are skipped, ordering breaks ties by pair") {
+    val docs = Seq((1L, "a b c xy xz")).toDF("doc_id", "text")
+    val got = BpePairs.topPairs(docs, col("text"), k = 10).collect()
+      .map(r => (r.getString(0), r.getLong(2)))
+    assert(got.toSeq == Seq(("xy", 1L), ("xz", 1L)))
+  }
+
+  // ---------------------------------------------------------- EquiDepth
+
+  test("equi-depth histogram: near-equal bucket depths, values never split") {
+    // 100 rows of value i%10 -> 10 distinct values x 10 rows
+    val df = (0 until 100).map(i => i % 10).toDF("x")
+    val got = EquiDepth.histogram(df, col("x"), buckets = 5).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    // cum_before for v: v*10; bucket = v*10*5/100 = v/2 -> pairs (0,1)->0 ...
+    assert(got == Map(
+      0L -> ((20L, 2L, 0L, 1L)), 1L -> ((20L, 2L, 2L, 3L)), 2L -> ((20L, 2L, 4L, 5L)),
+      3L -> ((20L, 2L, 6L, 7L)), 4L -> ((20L, 2L, 8L, 9L))))
+  }
+
+  test("equi-depth: one dominant value owns its bucket(s); totals preserved") {
+    val df = (Seq.fill(90)(7) ++ (1 to 10)).toDF("x")   // 7 x90 (+1 from range), rest x1
+    val got = EquiDepth.histogram(df, col("x"), buckets = 4).collect()
+    assert(got.map(_.getLong(1)).sum == 100L)
+    // the skewed value 7 sits in exactly one bucket
+    val with7 = got.filter(r => r.getLong(3) <= 7 && 7 <= r.getLong(4))
+    assert(with7.length == 1 && with7.head.getLong(1) >= 91L)
+  }
+
+  // ----------------------------------------------------------- Profiler
+
+  test("column profile: nulls, distincts, min/max as strings, one row per column") {
+    val df = Seq(
+      (1L, Some("en"), 10L),
+      (2L, None, 20L),
+      (3L, Some("de"), 20L)
+    ).toDF("id", "lang", "n")
+    val got = Profiler.profile(df, Seq("id", "lang", "n")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5))))
+      .toMap
+    assert(got("id") == ((3L, 0L, 3L, "1", "3")))
+    assert(got("lang") == ((3L, 1L, 2L, "de", "en")))
+    assert(got("n") == ((3L, 0L, 2L, "10", "20")))
+  }
+
+  // -------------------------------------------------------- JsonlCorpus
+
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType)))
+
+  test("jsonl roundtrip preserves rows; maxRecordsPerFile bounds shard size") {
+    val dir = Files.createTempDirectory("graft_jsonl").toString + "/out"
+    val df = (1L to 50L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    JsonlCorpus.write(df, dir, maxRecordsPerFile = 10)
+    val back = JsonlCorpus.readClean(spark, dir, docSchema)
+    assert(back.collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      (1L to 50L).map(i => (i, s"doc $i")).toSet)
+    val files = new java.io.File(dir).listFiles().count(_.getName.endsWith(".json"))
+    assert(files >= 5)
+  }
+
+  test("corrupt jsonl lines are quarantined, clean rows survive") {
+    val dir = Files.createTempDirectory("graft_jsonl").toString
+    val f = new java.io.PrintWriter(dir + "/shard.jsonl")
+    f.println("""{"doc_id": 1, "text": "ok one"}""")
+    f.println("""{"doc_id": 2 "text": "missing comma"}""")
+    f.println("""not json at all""")
+    f.println("""{"doc_id": 3, "text": "ok two"}""")
+    f.close()
+
+    val clean = JsonlCorpus.readClean(spark, dir + "/shard.jsonl", docSchema)
+    assert(clean.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+    val bad = JsonlCorpus.readCorrupt(spark, dir + "/shard.jsonl", docSchema)
+      .collect().map(_.getString(0))
+    assert(bad.length == 2 && bad.exists(_.contains("missing comma")))
+  }
+}
