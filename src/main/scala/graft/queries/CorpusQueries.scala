@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Boilerplate, BpePairs, CorpusStats, DupSpans, EquiDepth, NgramLm, Packing, PageRank, Profiler, QualityClassifier, Sampling, TextAnalysis}
+import graft.ops.{Boilerplate, BpePairs, CorpusStats, DupSpans, EquiDepth, NgramLm, Packing, PageRank, Profiler, QualityClassifier, RetrievalEval, Sampling, TextAnalysis}
 
 /** Round-5 capability queries: substring-level duplication (dup
   * spans, boilerplate lines), n-gram LM scoring, temperature source
@@ -142,6 +142,28 @@ object CorpusQueries {
         .orderBy(col("column"))
     },
 
+    // C47: retrieval eval metrics (recall@k / MRR / nDCG@k) over a
+    // deterministic pseudo-retrieval: each label queries a hash-
+    // ranked candidate pool (vec_id ≡ label mod 7); qrels are the
+    // same-label vectors.
+    "q_retrieval_eval" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id").cast("bigint").as("doc_id"),
+          col("label").cast("bigint").as("label"))
+      val labels = emb.select(col("label").as("query_id")).distinct()
+      val pool = labels.join(emb, pmod(col("doc_id"), lit(7L)) === pmod(col("query_id"), lit(7L)))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(graft.ops.Dedup.md5Hash60(
+          concat(col("query_id").cast("string"), lit(":"), col("doc_id").cast("string"))),
+          col("doc_id"))
+      val rankings = pool
+        .select(col("query_id"), col("doc_id"), row_number().over(w).cast("bigint").as("rank"))
+        .filter(col("rank") <= 10)
+      val qrels = emb.select(col("label").as("query_id"), col("doc_id"))
+      RetrievalEval.metrics(rankings, qrels, k = 10).orderBy(col("query_id"))
+    },
+
     // A39: JSON property extraction from the events props column,
     // aggregated per event type — integer-exact outputs.
     "q_json_extract" -> { (s, dir) =>
@@ -254,6 +276,23 @@ object CorpusQueries {
       s"""SELECT * FROM (
          |${Profiler.profileSql("documents", Seq("doc_id", "lang", "source", "n_chars"))}
          |) ORDER BY "column"""".stripMargin,
+
+    "q_retrieval_eval" -> {
+      val rankSql =
+        """SELECT query_id, doc_id, rank FROM (
+          |  SELECT l.query_id, e.vec_id AS doc_id,
+          |    row_number() OVER (PARTITION BY l.query_id
+          |      ORDER BY ('0x' || substr(md5(CAST(l.query_id AS VARCHAR) || ':' || CAST(e.vec_id AS VARCHAR)), 1, 15))::BIGINT,
+          |        e.vec_id) AS rank
+          |  FROM (SELECT DISTINCT CAST(label AS BIGINT) AS query_id FROM embeddings) l
+          |  JOIN embeddings e ON e.vec_id % 7 = l.query_id % 7)
+          |WHERE rank <= 10""".stripMargin
+      val qrelSql =
+        "SELECT CAST(label AS BIGINT) AS query_id, vec_id AS doc_id FROM embeddings"
+      s"""WITH ${RetrievalEval.metricsSql(rankSql, qrelSql, k = 10)}
+         |SELECT query_id, n_relevant, n_hits, recall_at_k, mrr, ndcg_at_k
+         |FROM reval ORDER BY query_id""".stripMargin
+    },
 
     "q_json_extract" ->
       """SELECT event_type, count(*) AS n,

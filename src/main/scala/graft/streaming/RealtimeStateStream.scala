@@ -107,6 +107,30 @@ object RealtimeStateStream {
       .groupBy(window(col(tsCol), windowLen), col(typeCol))
       .agg(count(lit(1)).as("n"), min(col("value")).as("min_value"), max(col("value")).as("max_value"))
 
+  /** Watermarked windowed DISTINCT counting via the mergeable HLL
+    * sketch aggregate (C17): `count(DISTINCT x)` is unsupported on
+    * streams (exact distinct state is unbounded), but the sketch's
+    * partial/merge contract is exactly what incremental execution
+    * needs — per-micro-batch partials merge into windowed state of
+    * constant size (2^precision registers per open window), and the
+    * emitted estimate converges on the true distinct count. The
+    * batch-vs-stream parity spec is the B-section proof that the
+    * sketch family composes with Structured Streaming.
+    */
+  def windowedDistinct(
+      events: org.apache.spark.sql.DataFrame,
+      tsCol: String,
+      typeCol: String,
+      distinctCol: String,
+      windowLen: String = "1 hour",
+      watermark: String = "10 minutes"): org.apache.spark.sql.DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen), col(typeCol))
+      .agg(count(lit(1)).as("n"),
+        graft.plans.HllSketch.hllEstimate(
+          graft.plans.HllSketch.hllSketch(col(distinctCol))).as("n_distinct_est"))
+
   /** Gap-based session aggregation over an event-time stream —
     * the streaming twin of the batch sessionization query
     * (CoreQueries q_sessionize): a session extends while events

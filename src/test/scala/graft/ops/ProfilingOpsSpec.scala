@@ -74,6 +74,37 @@ class ProfilingOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got("n") == ((3L, 0L, 2L, "10", "20")))
   }
 
+  // ------------------------------------------------------ RetrievalEval
+
+  test("retrieval metrics: hand-computed recall/mrr/ndcg, zero-hit and no-qrel queries") {
+    val rankings = Seq(
+      (1L, 1L, 1L), (1L, 2L, 2L), (1L, 3L, 3L),   // q1 hits doc 2 at rank 2
+      (2L, 8L, 1L), (2L, 9L, 2L),                 // q2: no relevant docs retrieved
+      (9L, 1L, 1L)                                // q9 has no qrels -> omitted
+    ).toDF("query_id", "doc_id", "rank")
+    val qrels = Seq((1L, 2L), (1L, 5L), (1L, 7L), (2L, 4L)).toDF("query_id", "doc_id")
+
+    val got = RetrievalEval.metrics(rankings, qrels, k = 10).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+
+    def g(rank: Long): Long = math.floor(1e6 / (math.log(rank + 1.0) / math.log(2.0))).toLong
+    val ndcg1 = BigDecimal(g(2).toDouble / (g(1) + g(2) + g(3)).toDouble)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+    assert(got.keySet == Set(1L, 2L))
+    assert(got(1L) == ((3L, 1L, 0.3333, 0.5, ndcg1)))
+    assert(got(2L) == ((1L, 0L, 0.0, 0.0, 0.0)))
+  }
+
+  test("retrieval metrics: perfect ranking scores 1.0 across the board") {
+    val rankings = Seq((1L, 10L, 1L), (1L, 11L, 2L)).toDF("query_id", "doc_id", "rank")
+    val qrels = Seq((1L, 10L), (1L, 11L)).toDF("query_id", "doc_id")
+    val r = RetrievalEval.metrics(rankings, qrels, k = 10).collect().head
+    assert((r.getDouble(3), r.getDouble(4), r.getDouble(5)) == ((1.0, 1.0, 1.0)))
+  }
+
   // -------------------------------------------------------- JsonlCorpus
 
   private val docSchema = StructType(Seq(

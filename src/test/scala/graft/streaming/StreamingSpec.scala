@@ -105,6 +105,45 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally query.stop()
   }
 
+  test("streaming windowed distinct via HLL sketch: partials merge across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, Long)]
+    val events = input.toDF().toDF("ts", "event_type", "user_id")
+
+    val agg = RealtimeStateStream.windowedDistinct(events, "ts", "event_type", "user_id",
+      windowLen = "1 hour", watermark = "0 seconds")
+    val query = agg.writeStream
+      .format("memory").queryName("windowed_distinct_test").outputMode("complete").start()
+    try {
+      val t = (m: String) => java.sql.Timestamp.valueOf(s"2024-01-01 10:$m:00")
+      // batch 1: users 1..30 click (10 duplicated)
+      input.addData((1L to 30L).map(u => (t("05"), "click", u)) ++
+        (1L to 10L).map(u => (t("10"), "click", u)): _*)
+      query.processAllAvailable()
+      // batch 2: users 21..50 click -> global distinct 1..50; state merged, not recounted
+      input.addData((21L to 50L).map(u => (t("20"), "click", u)): _*)
+      query.processAllAvailable()
+
+      val row = spark.table("windowed_distinct_test")
+        .select(col("n"), col("n_distinct_est")).collect().head
+      assert(row.getLong(0) == 70L)
+      // small-cardinality HLL is near-exact; allow 2%
+      assert(math.abs(row.getLong(1) - 50L) <= 1L)
+
+      // parity: the same frame aggregated in batch gives the same estimate
+      val batchEst = spark.table("windowed_distinct_test").sparkSession
+        .createDataFrame(((1L to 30L).map(u => (t("05"), "click", u)) ++
+          (1L to 10L).map(u => (t("10"), "click", u)) ++
+          (21L to 50L).map(u => (t("20"), "click", u))))
+        .toDF("ts", "event_type", "user_id")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(graft.plans.HllSketch.hllEstimate(
+          graft.plans.HllSketch.hllSketch(col("user_id"))).as("est"))
+        .select("est").collect().head.getLong(0)
+      assert(batchEst == row.getLong(1))
+    } finally query.stop()
+  }
+
   test("streaming exact dedup: duplicates within the watermark emit once") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, Long, String)]
