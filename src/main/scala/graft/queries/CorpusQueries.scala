@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Boilerplate, BpePairs, CorpusStats, DupSpans, EquiDepth, NgramLm, Packing, PageRank, Profiler, QualityClassifier, RetrievalEval, Sampling, TextAnalysis}
+import graft.ops.{Boilerplate, BpePairs, Cooccurrence, CorpusStats, DupSpans, EquiDepth, IncrementalAgg, NgramLm, Packing, PageRank, Profiler, QualityClassifier, RetrievalEval, Sampling, TextAnalysis}
 
 /** Round-5 capability queries: substring-level duplication (dup
   * spans, boilerplate lines), n-gram LM scoring, temperature source
@@ -164,6 +164,25 @@ object CorpusQueries {
       RetrievalEval.metrics(rankings, qrels, k = 10).orderBy(col("query_id"))
     },
 
+    // C48: incremental aggregate maintenance — two "daily" halves
+    // aggregated separately then merged; the oracle is the one-shot
+    // groupBy of the full table (merge(agg(A),agg(B)) == agg(A∪B)).
+    "q_incremental_agg" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      def half(m: Int) = IncrementalAgg.aggregate(
+        li.filter(pmod(col("l_orderkey"), lit(2)) === m),
+        col("l_returnflag"), floor(col("l_quantity")), col("l_partkey"))
+      IncrementalAgg.merge(half(0), half(1))
+        .select(col("group").as("grp"), col("n"), col("sum_v"), col("min_v"), col("max_v"))
+        .orderBy(col("grp"))
+    },
+
+    // C49: co-occurrence PMI pairs (collocation mining, window 2).
+    "q_pmi" -> { (s, dir) =>
+      Cooccurrence.pmiPairs(t(s, dir, "documents"), col("text"), window = 2, k = 50)
+        .orderBy(col("n_pair").desc, col("w1"), col("w2"))
+    },
+
     // A39: JSON property extraction from the events props column,
     // aggregated per event type — integer-exact outputs.
     "q_json_extract" -> { (s, dir) =>
@@ -293,6 +312,15 @@ object CorpusQueries {
          |SELECT query_id, n_relevant, n_hits, recall_at_k, mrr, ndcg_at_k
          |FROM reval ORDER BY query_id""".stripMargin
     },
+
+    "q_incremental_agg" ->
+      """SELECT l_returnflag AS grp, count(*) AS n,
+        |  CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_v,
+        |  CAST(min(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS min_v,
+        |  CAST(max(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS max_v
+        |FROM lineitem GROUP BY l_returnflag ORDER BY grp""".stripMargin,
+
+    "q_pmi" -> Cooccurrence.pmiPairsSql("documents", window = 2, k = 50),
 
     "q_json_extract" ->
       """SELECT event_type, count(*) AS n,

@@ -105,6 +105,68 @@ class ProfilingOpsSpec extends AnyFunSuite with SparkTestBase {
     assert((r.getDouble(3), r.getDouble(4), r.getDouble(5)) == ((1.0, 1.0, 1.0)))
   }
 
+  // ----------------------------------------------------- IncrementalAgg
+
+  test("incremental merge equals one-shot aggregation, including sketch bytes") {
+    val full = (1L to 200L).map(i => (s"g${i % 3}", i % 40, i % 17)).toDF("g", "v", "k")
+    val b1 = full.filter(col("v") < 20)
+    val b2 = full.filter(col("v") >= 20)
+
+    val merged = IncrementalAgg.merge(
+      IncrementalAgg.aggregate(b1, col("g"), col("v"), col("k")),
+      IncrementalAgg.aggregate(b2, col("g"), col("v"), col("k")))
+    val oneShot = IncrementalAgg.aggregate(full, col("g"), col("v"), col("k"))
+
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getAs[Array[Byte]](5).toSeq)
+    }.toSet
+    assert(key(merged) == key(oneShot))
+
+    // estimates view decodes the sketch
+    val est = IncrementalAgg.estimates(merged).collect()
+      .map(r => r.getString(0) -> r.getLong(5)).toMap
+    assert(est.keySet == Set("g0", "g1", "g2") && est.values.forall(e => e > 0 && e <= 17))
+  }
+
+  test("incremental merge is order- and batching-insensitive") {
+    val full = (1L to 90L).map(i => (s"g${i % 2}", i, i % 5)).toDF("g", "v", "k")
+    val parts = Seq(0L, 1L, 2L).map(m =>
+      IncrementalAgg.aggregate(full.filter(pmod(col("v"), lit(3)) === m),
+        col("g"), col("v"), col("k")))
+    val a = IncrementalAgg.merge(parts: _*)
+    val b = IncrementalAgg.merge(parts.reverse: _*)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getAs[Array[Byte]](5).toSeq)
+    }.toSet
+    assert(key(a) == key(b))
+  }
+
+  // ------------------------------------------------------- Cooccurrence
+
+  test("pmi pairs: hand-counted window-2 co-occurrences and exact pmi arithmetic") {
+    // doc: "a b a" -> d1 pairs: (a,b),(b,a); d2 pairs: (a,a)
+    val docs = Seq((1L, "a b a")).toDF("doc_id", "text")
+    val got = Cooccurrence.pmiPairs(docs, col("text"), window = 2, k = 10).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+
+    // pair stream: (a,b) (b,a) (a,a) -> t=3; c1: a=2,b=1; c2: a=2,b=1
+    def pmi(c12: Long, c1: Long, c2: Long): Double =
+      math.floor(math.log(3.0 * c12 / (c1 * c2)) * 1e6) / 1e6
+    assert(got.keySet == Set(("a", "b"), ("b", "a"), ("a", "a")))
+    assert(got(("a", "b")) == ((1L, BigDecimal(pmi(1, 2, 1)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    assert(got(("a", "a")) == ((1L, BigDecimal(pmi(1, 2, 2)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+  }
+
+  test("pmi pairs: collocations outrank independent pairs") {
+    // "x y" always adjacent; "p"/"q" scattered independently
+    val docs = (1 to 30).map(i => (i.toLong, s"x y filler$i p other$i q")).toDF("doc_id", "text")
+    val got = Cooccurrence.pmiPairs(docs, col("text"), window = 2, k = 200).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(3)).toMap
+    assert(got(("x", "y")) > got(("p", "other1")))
+  }
+
   // -------------------------------------------------------- JsonlCorpus
 
   private val docSchema = StructType(Seq(
