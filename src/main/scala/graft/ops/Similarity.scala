@@ -122,4 +122,44 @@ object Similarity {
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(k)
   }
+
+  /** Persist the LSH index: the corpus written PARTITIONED BY its
+    * sign-bucket, so a probe's partition filter reads only the
+    * query-adjacent buckets from disk (mirrors IvfIndex.writeIndex —
+    * the C7 analog of A26's partition pruning). The bucketing is
+    * data-independent (fixed seeded hyperplanes), so the index never
+    * needs refitting as the corpus grows — new shards append into
+    * the same bucket layout.
+    */
+  def writeLshIndex(corpus: DataFrame, id: Column, vec: Column, path: String,
+      dim: Int, nPlanes: Int = 8): Unit = {
+    val planes = hyperplanes(dim, nPlanes)
+    graft.gtfs.GtfsLake.writePartitioned(
+      corpus.select(id.as("vec_id"), vec.as("v"), lshBucket(vec, planes).as("bucket")),
+      path, "bucket")
+  }
+
+  /** Probe a persisted LSH index: the bucket predicate is a literal
+    * IN-list over the query's hamming-≤probeHamming neighborhood, so
+    * it prunes PARTITIONS at the scan (PartitionFilters), reading
+    * 1 + nPlanes files' worth of a 2^nPlanes-bucket layout for
+    * probeHamming = 1.
+    */
+  def probeLshIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      query: DataFrame, k: Int, dim: Int, nPlanes: Int = 8,
+      probeHamming: Int = 1): DataFrame = {
+    val planes = hyperplanes(dim, nPlanes)
+    val qRow = query.select(lshBucket(col("qv"), planes).as("q_bucket")).first()
+    val qBucket = qRow.getLong(0)
+    val probeBuckets = (0 until (1 << nPlanes))
+      .filter(b => java.lang.Long.bitCount(b.toLong ^ qBucket) <= probeHamming)
+      .map(_.toLong)
+    spark.read.parquet(path)
+      .filter(col("bucket").isin(probeBuckets: _*))
+      .crossJoin(broadcast(query.select(col("qv"))))
+      .select(col("vec_id"),
+        VectorFunctions.cosineSimilarity(col("v"), col("qv")).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(k)
+  }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Boilerplate, BpePairs, Cooccurrence, CorpusStats, DupSpans, EquiDepth, IncrementalAgg, NgramLm, Packing, PageRank, Profiler, QualityClassifier, RetrievalEval, Sampling, TextAnalysis}
+import graft.ops.{Boilerplate, BpePairs, CdcApply, Cooccurrence, CorpusStats, DupSpans, EquiDepth, IncrementalAgg, NgramLm, Packing, PageRank, Profiler, QualityClassifier, RetrievalEval, Sampling, TextAnalysis}
 
 /** Round-5 capability queries: substring-level duplication (dup
   * spans, boilerplate lines), n-gram LM scoring, temperature source
@@ -183,6 +183,26 @@ object CorpusQueries {
         .orderBy(col("n_pair").desc, col("w1"), col("w2"))
     },
 
+    // A41: CDC merge-apply — an ordered I/U/D change log derived from
+    // the customer table applied to it in one pass; the oracle derives
+    // the expected final state independently.
+    "q_cdc_apply" -> { (s, dir) =>
+      val cust = t(s, dir, "customer").select(col("c_custkey").cast("bigint").as("k"),
+        col("c_name").as("name"), col("c_nationkey").cast("bigint").as("nat"))
+      val updates = cust.filter(pmod(col("k"), lit(7L)) === 0)
+        .select(col("k"), lit(1L).as("version"), lit("U").as("op"),
+          concat(lit("upd_"), col("k")).as("name"), col("nat"))
+      val deletes = cust.filter(pmod(col("k"), lit(10L)) === 0)
+        .select(col("k"), lit(2L).as("version"), lit("D").as("op"),
+          lit(null).cast("string").as("name"), lit(null).cast("bigint").as("nat"))
+      val inserts = cust.filter(pmod(col("k"), lit(13L)) === 0)
+        .select((col("k") + lit(1000000L)).as("k"), lit(1L).as("version"), lit("U").as("op"),
+          concat(lit("new_"), col("k")).as("name"), col("nat"))
+      CdcApply.apply(cust, updates.unionByName(deletes).unionByName(inserts),
+          "k", "version", "op", Seq("name", "nat"))
+        .orderBy(col("k"))
+    },
+
     // A39: JSON property extraction from the events props column,
     // aggregated per event type — integer-exact outputs.
     "q_json_extract" -> { (s, dir) =>
@@ -321,6 +341,18 @@ object CorpusQueries {
         |FROM lineitem GROUP BY l_returnflag ORDER BY grp""".stripMargin,
 
     "q_pmi" -> Cooccurrence.pmiPairsSql("documents", window = 2, k = 50),
+
+    "q_cdc_apply" ->
+      """SELECT * FROM (
+        |  SELECT c_custkey AS k,
+        |    CASE WHEN c_custkey % 7 = 0 THEN 'upd_' || c_custkey ELSE c_name END AS name,
+        |    CAST(c_nationkey AS BIGINT) AS nat
+        |  FROM customer WHERE c_custkey % 10 <> 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000 AS k, 'new_' || c_custkey AS name,
+        |    CAST(c_nationkey AS BIGINT) AS nat
+        |  FROM customer WHERE c_custkey % 13 = 0
+        |) ORDER BY k""".stripMargin,
 
     "q_json_extract" ->
       """SELECT event_type, count(*) AS n,

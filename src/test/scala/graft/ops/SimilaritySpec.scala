@@ -149,4 +149,24 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     // 500 vectors should spread over many of the buckets
     assert(buckets.count() > 32)
   }
+
+  test("lsh persisted index: probe matches in-flight lshTopK and prunes partitions") {
+    val emb = graft.Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
+    val query = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val path = java.nio.file.Files.createTempDirectory("lsh_index").toString + "/idx"
+    Similarity.writeLshIndex(corpus, col("vec_id"), col("embedding"), path, dim = 64)
+
+    val probed = Similarity.probeLshIndex(spark, path, query, k = 20, dim = 64)
+    val inFlight = Similarity.lshTopK(corpus, col("vec_id"), col("embedding"), query, 20, dim = 64)
+      .collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e6))).toSeq
+    assert(probed.collect().map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e6))).toSeq
+      == inFlight)
+
+    // bucket IN-list reaches the scan as a PartitionFilter: only the
+    // hamming-neighborhood directories are read
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bucket"),
+      s"expected partition pruning on bucket, plan:\n$plan")
+  }
 }
