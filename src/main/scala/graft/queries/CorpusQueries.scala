@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Boilerplate, BpePairs, CdcApply, Cooccurrence, CorpusStats, DupSpans, EquiDepth, IncrementalAgg, NgramLm, Packing, PageRank, Profiler, QualityClassifier, RetrievalEval, Sampling, TextAnalysis}
+import graft.ops.{Boilerplate, BpePairs, CdcApply, Cooccurrence, CorpusStats, DupSpans, EquiDepth, IncrementalAgg, Mixing, NgramLm, Packing, PageRank, Profiler, QualityClassifier, RateLimit, RetrievalEval, Sampling, TextAnalysis}
 
 /** Round-5 capability queries: substring-level duplication (dup
   * spans, boilerplate lines), n-gram LM scoring, temperature source
@@ -203,6 +203,24 @@ object CorpusQueries {
         .orderBy(col("k"))
     },
 
+    // A42: per-key windowed rate limiting (first 3 events per user
+    // per hour, deterministic tiebreak).
+    "q_rate_limit" -> { (s, dir) =>
+      RateLimit.keepFirstNPerHour(
+          t(s, dir, "events").select(col("event_id"), col("user_id"), col("ts")),
+          col("user_id"), col("ts"), col("event_id"), n = 3)
+        .select(col("event_id"), col("user_id"), col("hour_us"), col("seq"))
+        .orderBy(col("event_id"))
+    },
+
+    // C50: deterministic weighted source interleaving (the global
+    // training order of the mixture).
+    "q_interleave" -> { (s, dir) =>
+      val weights = (0 until 20).map(i => s"src$i" -> (1 + (i % 4) * 2)).toMap
+      Mixing.interleave(t(s, dir, "documents"), col("source"), col("doc_id"), weights)
+        .orderBy(col("vkey"), col("source"), col("src_rank"))
+    },
+
     // A39: JSON property extraction from the events props column,
     // aggregated per event type — integer-exact outputs.
     "q_json_extract" -> { (s, dir) =>
@@ -353,6 +371,25 @@ object CorpusQueries {
         |    CAST(c_nationkey AS BIGINT) AS nat
         |  FROM customer WHERE c_custkey % 13 = 0
         |) ORDER BY k""".stripMargin,
+
+    "q_rate_limit" ->
+      """SELECT event_id, user_id, hour_us, seq FROM (
+        |  SELECT event_id, user_id,
+        |    epoch_us(CAST(date_trunc('hour', ts) AS TIMESTAMP)) AS hour_us,
+        |    CAST(row_number() OVER (
+        |      PARTITION BY user_id, date_trunc('hour', ts)
+        |      ORDER BY ts, event_id) AS BIGINT) AS seq
+        |  FROM events)
+        |WHERE seq <= 3 ORDER BY event_id""".stripMargin,
+
+    "q_interleave" -> {
+      val values = (0 until 20)
+        .map(i => s"('src$i', ${1 + (i % 4) * 2})").mkString(", ")
+      s"""WITH ${Mixing.interleaveSql("documents", "source", "doc_id",
+           s"SELECT * FROM (VALUES $values) AS t(source, w)")}
+         |SELECT source, doc_id, src_rank, vkey FROM mixed
+         |ORDER BY vkey, source, src_rank""".stripMargin
+    },
 
     "q_json_extract" ->
       """SELECT event_type, count(*) AS n,

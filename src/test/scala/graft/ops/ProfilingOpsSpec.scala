@@ -167,6 +167,43 @@ class ProfilingOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got(("x", "y")) > got(("p", "other1")))
   }
 
+  // ----------------------------------------------------------- RateLimit
+
+  test("rate limit: first n per key per hour survive, deterministic tiebreak") {
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    def ts(m: Int) = new java.sql.Timestamp(t0.getTime + m * 60000L)
+    val df = Seq(
+      (1L, 7L, ts(1)), (2L, 7L, ts(2)), (3L, 7L, ts(3)), (4L, 7L, ts(4)), // user 7: 4 in hour
+      (5L, 7L, ts(70)),                                                   // next hour resets
+      (6L, 8L, ts(1)), (7L, 8L, ts(1))                                    // same ts: id tiebreak
+    ).toDF("event_id", "user_id", "ts")
+    val kept = RateLimit.keepFirstNPerHour(df, col("user_id"), col("ts"), col("event_id"), n = 2)
+      .select("event_id", "seq").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kept == Map(1L -> 1L, 2L -> 2L, 5L -> 1L, 6L -> 1L, 7L -> 2L))
+  }
+
+  // -------------------------------------------------------------- Mixing
+
+  test("weighted interleave: every prefix approximates the weight mixture") {
+    val docs = (1L to 300L).map(i => (s"s${i % 3}", i)).toDF("source", "doc_id")
+    val mixed = Mixing.interleave(docs, col("source"), col("doc_id"),
+        Map("s0" -> 1, "s1" -> 2, "s2" -> 3))
+      .orderBy(col("vkey"), col("source"), col("src_rank"))
+      .collect().map(_.getString(0))
+    // first 60 positions: s2 (w=3) appears ~3x as often as s0 (w=1)
+    val prefix = mixed.take(60).groupBy(identity).view.mapValues(_.length).toMap
+    assert(prefix("s2") > 2 * prefix("s0"))
+    assert(prefix("s1") > prefix("s0") && prefix("s2") > prefix("s1"))
+  }
+
+  test("weighted interleave: vkey arithmetic is exact and rank-deterministic") {
+    val docs = Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("source", "doc_id")
+    val got = Mixing.interleave(docs, col("source"), col("doc_id"), Map("a" -> 2))
+      .collect().map(r => (r.getString(0), r.getLong(2)) -> r.getLong(3)).toMap
+    assert(got(("a", 1L)) == 500000L && got(("a", 2L)) == 1000000L)
+    assert(got(("b", 1L)) == 1000000L) // missing source defaults to weight 1
+  }
+
   // -------------------------------------------------------- JsonlCorpus
 
   private val docSchema = StructType(Seq(
