@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 
-import graft.plans.{CosineSimilarityExpr, FreqSketch, FreqSketchAgg, HllEstimateExpr, HllSketch, HllSketchAgg, HllUnionAgg, QuantileEstimateExpr, QuantileSketch, QuantileSketchAgg, QuantileUnionAgg, RepetitionStatsExpr, SimHashExpr, TermCountsExpr, ThetaEstimateExpr, ThetaIntersectExpr, ThetaSketch, ThetaSketchAgg, ThetaUnionAgg, WordpieceCountExpr, WordpieceTokensExpr, WordShinglesExpr}
+import graft.plans.{CosineSimilarityExpr, FreqSketch, FreqSketchAgg, HllEstimateExpr, HllSketch, HllSketchAgg, HllUnionAgg, QuantileEstimateExpr, QuantileSketch, QuantileSketchAgg, QuantileUnionAgg, QualityScoreExpr, RepetitionStatsExpr, SimHashExpr, TermCountsExpr, ThetaEstimateExpr, ThetaIntersectExpr, ThetaSketch, ThetaSketchAgg, ThetaUnionAgg, WordpieceCountExpr, WordpieceTokensExpr, WordShinglesExpr}
 
 /** SQL registration for graft's native expressions, so
   * `spark.sql("SELECT graft_cosine(a, b) ...")` works wherever the
@@ -82,6 +82,10 @@ object GraftFunctions {
     registry.createOrReplaceTempFunction(
       "graft_term_counts",
       exprs => TermCountsExpr(exprs.head),
+      "built-in")
+    registry.createOrReplaceTempFunction(
+      "graft_quality_stats",
+      exprs => QualityScoreExpr(exprs.head),
       "built-in")
     registry.createOrReplaceTempFunction(
       "graft_wordpiece_count",

@@ -45,9 +45,27 @@ object QualityClassifier {
     * keep) where n_features counts unigrams+bigrams, logit_milli is
     * the exact integer sum of per-feature milli-weights, score is
     * the mean feature weight in [-1, 1] rounded to 4dp, and keep is
-    * the score > 0 gate. Docs with no tokens score 0 / keep=false.
+    * the score > 0 gate.
+    *
+    * Hot path: the single-pass [[graft.plans.QualityScoreExpr]]
+    * kernel — a pure narrow map, zero shuffle (the composed
+    * explode+agg path below exchanges 2×tokens rows per doc and is
+    * retained as the spec-verified semantic baseline).
     */
-  def score(df: DataFrame, id: Column, text: Column): DataFrame = {
+  def score(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.select(id.cast("bigint").as("doc_id"),
+        graft.plans.QualityScoreExpr.qualityStats(text).as("qs"))
+      .select(col("doc_id"),
+        col("qs.n_features").as("n_features"),
+        col("qs.logit_milli").as("logit_milli"),
+        round(col("qs.logit_milli").cast("double") / (col("qs.n_features") * 1000.0), 4)
+          .as("score"))
+      .withColumn("keep", col("logit_milli") > 0)
+
+  /** The composed explode+aggregate formulation — the semantic
+    * baseline [[score]]'s kernel is verified against.
+    */
+  def scoreComposed(df: DataFrame, id: Column, text: Column): DataFrame = {
     val toks = df.select(id.cast("bigint").as("doc_id"),
       split(trim(lower(text)), "\\s+").as("toks"))
 

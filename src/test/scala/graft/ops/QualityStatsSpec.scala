@@ -45,6 +45,29 @@ class QualityStatsSpec extends AnyFunSuite with SparkTestBase {
     assert(got(3L) == expected(Seq("x", "y", "x y")))
   }
 
+  test("quality kernel matches the composed explode+agg path on real documents") {
+    val docs = graft.Tables.read(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id"), col("text"))
+    val kernel = QualityClassifier.score(docs, col("doc_id"), col("text"))
+      .collect().map(_.toSeq).toSet
+    val composed = QualityClassifier.scoreComposed(docs, col("doc_id"), col("text"))
+      .collect().map(_.toSeq).toSet
+    assert(kernel == composed && kernel.nonEmpty)
+
+    // edge strings: empty, single token, repeated whitespace, unicode
+    val edge = Seq((1L, ""), (2L, "one"), (3L, "  a   b  "), (4L, "héllo wörld héllo"))
+      .toDF("doc_id", "text")
+    assert(QualityClassifier.score(edge, col("doc_id"), col("text"))
+      .collect().map(_.toSeq).toSet ==
+      QualityClassifier.scoreComposed(edge, col("doc_id"), col("text"))
+        .collect().map(_.toSeq).toSet)
+
+    // kernel path is a pure narrow map: zero Exchange in the plan
+    val plan = QualityClassifier.score(docs, col("doc_id"), col("text"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"expected zero-shuffle plan:\n$plan")
+  }
+
   test("quality score is case/whitespace-normalized and repartition-stable") {
     val a = Seq((1L, "Alpha  Beta gamma"), (2L, "q r s")).toDF("doc_id", "text")
     val b = Seq((1L, "alpha beta gamma"), (2L, "q r s")).toDF("doc_id", "text")
