@@ -62,4 +62,17 @@ object JsonlCorpus {
     (if (maxRecordsPerFile > 0) w.option("maxRecordsPerFile", maxRecordsPerFile.toLong) else w)
       .json(path)
   }
+
+  /** Schema-evolved parquet corpus read: shards written before a
+    * column existed surface it as NULL, and the union schema comes
+    * from footer merge (`mergeSchema`), not inference over data. The
+    * corpus-versioning contract: adding a metadata column (a new
+    * quality score, a license flag) must never force a rewrite of
+    * historical shards — readers see one table across generations.
+    * Pass the shard directories explicitly (generation roots), or a
+    * glob; schema merging is a footer-only pass, parallelized by
+    * Spark, not a data scan.
+    */
+  def readEvolved(spark: SparkSession, paths: String*): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(paths: _*)
 }

@@ -220,6 +220,24 @@ class ProfilingOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(files >= 5)
   }
 
+  test("schema-evolved corpus: old shards null-fill new columns, no rewrite needed") {
+    val root = Files.createTempDirectory("graft_evolve").toString
+    // generation 1: (doc_id, text)
+    (1L to 10L).map(i => (i, s"old $i")).toDF("doc_id", "text")
+      .write.parquet(root + "/gen1")
+    // generation 2 adds a quality column
+    (11L to 20L).map(i => (i, s"new $i", i * 0.1)).toDF("doc_id", "text", "quality")
+      .write.parquet(root + "/gen2")
+
+    val all = JsonlCorpus.readEvolved(spark, root + "/gen1", root + "/gen2")
+    assert(all.columns.toSet == Set("doc_id", "text", "quality"))
+    assert(all.count() == 20L)
+    val old = all.filter(col("doc_id") <= 10L)
+    assert(old.filter(col("quality").isNull).count() == 10L)
+    val newRows = all.filter(col("doc_id") === 15L).collect()
+    assert(newRows.head.getAs[Double]("quality") == 1.5)
+  }
+
   test("corrupt jsonl lines are quarantined, clean rows survive") {
     val dir = Files.createTempDirectory("graft_jsonl").toString
     val f = new java.io.PrintWriter(dir + "/shard.jsonl")
