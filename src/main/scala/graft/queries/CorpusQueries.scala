@@ -221,6 +221,38 @@ object CorpusQueries {
         .orderBy(col("vkey"), col("source"), col("src_rank"))
     },
 
+    // A43: per-group correlation + least-squares fit, computed from
+    // integer-exact moment sums (floored/scaled measures keep
+    // n·Σy² inside int64 at the bench SF) so the final doubles
+    // derive identically in any engine: corr, slope, intercept per
+    // returnflag. At petabyte row counts the moment sums need
+    // DECIMAL accumulators or a merge of per-partition Welford
+    // states; the integer formulation is the oracle-exact twin.
+    "q_corr_regress" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem").select(col("l_returnflag").as("grp"),
+        floor(col("l_quantity")).cast("bigint").as("x"),
+        floor(col("l_extendedprice") / 100).cast("bigint").as("y"))
+      val m = li.groupBy(col("grp")).agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      m.select(col("grp"), col("n"),
+          (col("n") * col("sxy") - col("sx") * col("sy")).as("cov_num"),
+          (col("n") * col("sxx") - col("sx") * col("sx")).as("var_x_num"),
+          (col("n") * col("syy") - col("sy") * col("sy")).as("var_y_num"),
+          col("sx"), col("sy"))
+        .select(col("grp"), col("n"), col("cov_num"), col("var_x_num"), col("var_y_num"),
+          round(col("cov_num").cast("double") /
+            sqrt(col("var_x_num").cast("double") * col("var_y_num").cast("double")), 4)
+            .as("corr"),
+          round(col("cov_num").cast("double") / col("var_x_num"), 4).as("slope"),
+          round((col("sy") - col("cov_num").cast("double") / col("var_x_num") * col("sx"))
+            / col("n"), 4).as("intercept"))
+        .orderBy(col("grp"))
+    },
+
     // A39: JSON property extraction from the events props column,
     // aggregated per event type — integer-exact outputs.
     "q_json_extract" -> { (s, dir) =>
@@ -390,6 +422,27 @@ object CorpusQueries {
          |SELECT source, doc_id, src_rank, vkey FROM mixed
          |ORDER BY vkey, source, src_rank""".stripMargin
     },
+
+    "q_corr_regress" ->
+      """WITH m AS (
+        |  SELECT l_returnflag AS grp, count(*) AS n,
+        |    sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+        |  FROM (SELECT l_returnflag,
+        |          CAST(floor(l_quantity) AS BIGINT) AS x,
+        |          CAST(floor(l_extendedprice / 100) AS BIGINT) AS y
+        |        FROM lineitem)
+        |  GROUP BY 1)
+        |SELECT grp, CAST(n AS BIGINT) AS n,
+        |  CAST(n * sxy - sx * sy AS BIGINT) AS cov_num,
+        |  CAST(n * sxx - sx * sx AS BIGINT) AS var_x_num,
+        |  CAST(n * syy - sy * sy AS BIGINT) AS var_y_num,
+        |  round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)), 4) AS corr,
+        |  round(CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS BIGINT), 4) AS slope,
+        |  round((sy - CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS BIGINT) * sx)
+        |    / n, 4) AS intercept
+        |FROM m ORDER BY grp""".stripMargin,
 
     "q_json_extract" ->
       """SELECT event_type, count(*) AS n,
