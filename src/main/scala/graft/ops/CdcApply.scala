@@ -21,18 +21,23 @@ object CdcApply {
 
   /** Latest change per key from an (op, version)-stamped log.
     * Version ties break toward deletes (a delete and upsert at the
-    * same version = delete wins — deterministic, engine-portable).
+    * same version = delete wins); a residual tie between two upserts
+    * at the same version breaks on a hash of the full log row, so
+    * the collapse is deterministic under any partitioning even on
+    * logs that violate version uniqueness.
     */
   def collapseLog(log: DataFrame, key: Column, version: Column, op: Column): DataFrame = {
+    val rowTb = xxhash64(log.columns.map(col): _*)
     val w = Window.partitionBy(col("__k"))
-      .orderBy(col("__v").desc, col("__del").desc)
+      .orderBy(col("__v").desc, col("__del").desc, col("__tb"))
     log
       .withColumn("__k", key)
       .withColumn("__v", version)
       .withColumn("__del", (op === "D").cast("int"))
+      .withColumn("__tb", rowTb)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
-      .drop("__rn")
+      .drop("__rn", "__tb")
   }
 
   /** Apply the collapsed log to `snapshot`: deletes drop the row,

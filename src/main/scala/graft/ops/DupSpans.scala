@@ -53,7 +53,10 @@ object DupSpans {
     val hits = ex.join(duplicated, Seq("shash"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_dup_spans"))
-    docs.select(col("doc_id"), size(col("spans")).cast("bigint").as("n_spans"))
+    // doc totals come from the SAME persisted hash stream (one row
+    // per distinct span per doc, and every doc has >= 1 span), so the
+    // tokenize+shingle kernel runs exactly once over the corpus
+    ex.groupBy(col("doc_id")).agg(count(lit(1)).as("n_spans"))
       .join(hits, Seq("doc_id"), "left")
       .select(
         col("doc_id"), col("n_spans"),

@@ -27,7 +27,11 @@ object EquiDepth {
     */
   def histogram(df: DataFrame, value: Column, buckets: Int): DataFrame = {
     require(buckets >= 1)
+    // NULLs are excluded on BOTH sides (engines disagree on null sort
+    // order: Spark windows default NULLS FIRST, DuckDB nulls_last —
+    // including them would shift every bucket boundary differently).
     val counts = df.select(value.cast("bigint").as("v"))
+      .filter(col("v").isNotNull)
       .groupBy(col("v")).agg(count(lit(1)).as("c"))
 
     val w = Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, -1)
@@ -48,7 +52,7 @@ object EquiDepth {
     */
   def histogramSql(table: String, valueExpr: String, buckets: Int): String =
     s"""edc AS (SELECT CAST($valueExpr AS BIGINT) AS v, count(*) AS c
-       |        FROM $table GROUP BY 1),
+       |        FROM $table WHERE $valueExpr IS NOT NULL GROUP BY 1),
        |edcum AS (
        |  SELECT v, c,
        |    coalesce(sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before,

@@ -72,7 +72,10 @@ object Packing {
       .partitionBy(col("bucket"))
       .orderBy(Dedup.md5Hash60(col("doc_id").cast("string")), col("doc_id"))
     df.select(id.cast("bigint").as("doc_id"), tokens.cast("bigint").as("n_tokens"))
-      .withColumn("bucket", floor((col("n_tokens") - 1) / bucketWidth).cast("bigint"))
+      // clamp to >= 1 token: n_tokens <= 0 would otherwise produce a
+      // negative bucket here and a division-by-zero in the SQL twin
+      .withColumn("bucket",
+        floor((greatest(col("n_tokens"), lit(1L)) - 1) / bucketWidth).cast("bigint"))
       .withColumn("padded_len", (col("bucket") + 1) * bucketWidth)
       .withColumn("batch_size",
         greatest(lit(1L), floor(lit(maxBatchTokens.toLong) / col("padded_len")).cast("bigint")))
@@ -87,8 +90,8 @@ object Packing {
   def lengthBatchesSql(table: String, bucketWidth: Int, maxBatchTokens: Int): String =
     s"""lb AS (
        |  SELECT doc_id, n_tokens,
-       |    CAST((n_tokens - 1) // $bucketWidth AS BIGINT) AS bucket,
-       |    CAST(((n_tokens - 1) // $bucketWidth + 1) * $bucketWidth AS BIGINT) AS padded_len
+       |    CAST((greatest(n_tokens, 1) - 1) // $bucketWidth AS BIGINT) AS bucket,
+       |    CAST(((greatest(n_tokens, 1) - 1) // $bucketWidth + 1) * $bucketWidth AS BIGINT) AS padded_len
        |  FROM $table),
        |lbatch AS (
        |  SELECT doc_id, n_tokens, bucket, padded_len,

@@ -56,10 +56,11 @@ object QualityClassifier {
     df.select(id.cast("bigint").as("doc_id"),
         graft.plans.QualityScoreExpr.qualityStats(text).as("qs"))
       .select(col("doc_id"),
-        col("qs.n_features").as("n_features"),
-        col("qs.logit_milli").as("logit_milli"),
-        round(col("qs.logit_milli").cast("double") / (col("qs.n_features") * 1000.0), 4)
-          .as("score"))
+        coalesce(col("qs.n_features"), lit(0L)).as("n_features"),
+        coalesce(col("qs.logit_milli"), lit(0L)).as("logit_milli"),
+        coalesce(
+          round(col("qs.logit_milli").cast("double") / (col("qs.n_features") * 1000.0), 4),
+          lit(0.0)).as("score"))
       .withColumn("keep", col("logit_milli") > 0)
 
   /** The composed explode+aggregate formulation — the semantic

@@ -149,8 +149,13 @@ object Similarity {
       query: DataFrame, k: Int, dim: Int, nPlanes: Int = 8,
       probeHamming: Int = 1): DataFrame = {
     val planes = hyperplanes(dim, nPlanes)
-    val qRow = query.select(lshBucket(col("qv"), planes).as("q_bucket")).first()
-    val qBucket = qRow.getLong(0)
+    // one-row contract (same as lshTopK): partition pruning is
+    // derived from THE query's bucket — a multi-row frame would
+    // silently prune away other rows' neighborhoods
+    val qRows = query.select(lshBucket(col("qv"), planes).as("q_bucket")).head(2)
+    require(qRows.length == 1,
+      s"probeLshIndex expects exactly one query row with column qv, got ${qRows.length}")
+    val qBucket = qRows(0).getLong(0)
     val probeBuckets = (0 until (1 << nPlanes))
       .filter(b => java.lang.Long.bitCount(b.toLong ^ qBucket) <= probeHamming)
       .map(_.toLong)

@@ -75,7 +75,12 @@ object QualityScoreOps {
 
   def compute(text: UTF8String): GenericInternalRow = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    val tokens = text.toString.toLowerCase.trim.split("\\s+")
+    // Exact parity with the composed split(trim(lower(text)), "\\s+")
+    // path: UTF8String.toLowerCase is locale-independent (Java
+    // String.toLowerCase is not), UTF8String.trim strips ONLY
+    // 0x20 (Java trims all <= 0x20, e.g. trailing \n), and Spark's
+    // split keeps trailing empty strings (Java's default drops them).
+    val tokens = text.toLowerCase.trim.toString.split("\\s+", -1)
     var n = 0L
     var logit = 0L
     var i = 0

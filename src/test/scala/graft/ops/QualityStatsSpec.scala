@@ -54,8 +54,12 @@ class QualityStatsSpec extends AnyFunSuite with SparkTestBase {
       .collect().map(_.toSeq).toSet
     assert(kernel == composed && kernel.nonEmpty)
 
-    // edge strings: empty, single token, repeated whitespace, unicode
-    val edge = Seq((1L, ""), (2L, "one"), (3L, "  a   b  "), (4L, "héllo wörld héllo"))
+    // edge strings: empty, single token, repeated whitespace, unicode,
+    // trailing newline (Java trim would strip it, Spark trim must not),
+    // tabs, and NULL text (kernel null-out must coalesce like the
+    // composed left join)
+    val edge = Seq((1L, ""), (2L, "one"), (3L, "  a   b  "), (4L, "héllo wörld héllo"),
+        (5L, "foo bar\n"), (6L, "\tlead tab"), (7L, null.asInstanceOf[String]))
       .toDF("doc_id", "text")
     assert(QualityClassifier.score(edge, col("doc_id"), col("text"))
       .collect().map(_.toSeq).toSet ==
