@@ -92,6 +92,62 @@ object RealtimeStateStream {
       .flatMapGroupsWithState(OutputMode.Update, timeout)(updateState(ttlMs))
   }
 
+  /** An event admitted by [[rateLimitedStream]], tagged with its
+    * 1-based rank inside its (key, hour) quota window.
+    */
+  case class AdmittedEvent(key: String, eventTimeMs: Long, payload: String, seq: Int)
+
+  /** A rate-limit input event. */
+  case class QuotaEvent(key: String, eventTimeMs: Long, payload: String)
+
+  /** Rate-limiter state: one (hour, count) pair per live key. */
+  case class QuotaState(hourStartMs: Long, admitted: Int)
+
+  /** Streaming per-key rate limiting — the continuous twin of the
+    * batch `ops.RateLimit` (A42): admit at most `n` events per key
+    * per hour of EVENT time, drop the rest as they arrive. State per
+    * key is a single (hour, count) pair — O(live keys), independent
+    * of stream volume; a processing-time TTL evicts idle keys.
+    * Within a micro-batch events are admitted in (eventTime, payload)
+    * order so replays of the same batch admit the same set. The
+    * single-counter state assumes per-key hours are non-decreasing
+    * across batches (an out-of-order PREVIOUS-hour event reopens a
+    * fresh window) — the honest trade for O(1) state per key.
+    */
+  def rateLimitedStream(
+      spark: SparkSession,
+      events: Dataset[QuotaEvent],
+      n: Int,
+      ttlMs: Option[Long] = Some(2 * 60 * 60 * 1000L)): Dataset[AdmittedEvent] = {
+    import spark.implicits._
+    require(n >= 1)
+    val timeout =
+      if (ttlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+
+    def admit(key: String, updates: Iterator[QuotaEvent],
+        state: GroupState[QuotaState]): Iterator[AdmittedEvent] = {
+      if (state.hasTimedOut) { state.remove(); Iterator.empty }
+      else {
+        val out = scala.collection.mutable.ArrayBuffer.empty[AdmittedEvent]
+        var st = state.getOption.getOrElse(QuotaState(-1L, 0))
+        updates.toSeq.sortBy(e => (e.eventTimeMs, e.payload)).foreach { e =>
+          val hour = e.eventTimeMs - java.lang.Math.floorMod(e.eventTimeMs, 3600000L)
+          if (hour != st.hourStartMs) st = QuotaState(hour, 0)
+          if (st.admitted < n) {
+            st = st.copy(admitted = st.admitted + 1)
+            out += AdmittedEvent(key, e.eventTimeMs, e.payload, st.admitted)
+          }
+        }
+        state.update(st)
+        ttlMs.foreach(state.setTimeoutDuration)
+        out.iterator
+      }
+    }
+
+    events.groupByKey(_.key).flatMapGroupsWithState(OutputMode.Append, timeout)(admit)
+  }
+
   /** Watermarked tumbling-window aggregation over an event stream —
     * the monitoring-counter shape (B2). Append mode: windows close
     * once the watermark passes.

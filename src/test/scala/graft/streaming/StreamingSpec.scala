@@ -144,6 +144,34 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally query.stop()
   }
 
+  test("streaming rate limit: n per key-hour across micro-batches, counter survives batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import RealtimeStateStream.{AdmittedEvent, QuotaEvent}
+    val input = MemoryStream[QuotaEvent]
+    val admitted = RealtimeStateStream.rateLimitedStream(spark, input.toDS(), n = 3, ttlMs = None)
+    val query = admitted.writeStream
+      .format("memory").queryName("rate_limit_test").outputMode("append").start()
+    try {
+      val h0 = 1704103200000L // some hour boundary
+      // batch 1: 4 events for u in one hour -> 3 admitted; v gets 1
+      input.addData(
+        QuotaEvent("u", h0 + 1000, "a"), QuotaEvent("u", h0 + 2000, "b"),
+        QuotaEvent("u", h0 + 3000, "c"), QuotaEvent("u", h0 + 4000, "d"),
+        QuotaEvent("v", h0 + 1000, "x"))
+      query.processAllAvailable()
+      // batch 2: same hour -> still over quota for u; next hour resets
+      input.addData(
+        QuotaEvent("u", h0 + 5000, "e"),
+        QuotaEvent("u", h0 + 3600000 + 1000, "f"))
+      query.processAllAvailable()
+
+      val got = spark.table("rate_limit_test").as[AdmittedEvent].collect()
+      val uPayloads = got.filter(_.key == "u").sortBy(_.eventTimeMs).map(e => (e.payload, e.seq))
+      assert(uPayloads.toSeq == Seq(("a", 1), ("b", 2), ("c", 3), ("f", 1)))
+      assert(got.filter(_.key == "v").map(_.payload).toSeq == Seq("x"))
+    } finally query.stop()
+  }
+
   test("streaming exact dedup: duplicates within the watermark emit once") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, Long, String)]
