@@ -65,4 +65,92 @@ object DupSpans {
           round(coalesce(col("n_dup_spans"), lit(0L)).cast("double") / col("n_spans"), 4))
           .otherwise(lit(0.0)).as("dup_span_frac"))
   }
+
+  /** Span REMOVAL — the rewrite step behind span-level dedup: every
+    * token covered by at least one k-token span that occurs in >= 2
+    * distinct documents is dropped, and each document is reassembled
+    * from its surviving tokens in order. Returns (doc_id, n_tokens,
+    * n_removed, clean_md5) with clean_md5 = md5 of the space-joined
+    * survivors (md5('') when everything was duplicated — the doc row
+    * never disappears). Docs shorter than k tokens carry no k-spans
+    * and are never rewritten.
+    *
+    * Scale shape: positions and span hashes explode narrowly from
+    * one tokenize pass (persisted once); duplicated-hash detection is
+    * one partial-agg shuffle of 60-bit keys counting DISTINCT docs;
+    * coverage expansion re-keys (doc, position) pairs — fixed-width
+    * integers; reassembly is one doc-keyed shuffle whose payload is
+    * the surviving tokens. Text never shuffles before reassembly.
+    */
+  def removeDuplicatedSpans(df: DataFrame, id: Column, text: Column, k: Int): DataFrame = {
+    require(k >= 2, s"span width must be >= 2 tokens, got $k")
+    val toks = df.select(id.cast("bigint").as("doc_id"),
+        split(trim(lower(text)), "\\s+").as("toks"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // all span positions (1-based), including within-doc repeats
+    val spans = toks
+      .filter(size(col("toks")) >= k)
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(1), size(col("toks")) - (k - 1)),
+          p => struct(p.as("p"),
+            Dedup.md5Hash60(array_join(slice(col("toks"), p, lit(k)), " ")).as("shash"))))
+        .as("sp"))
+      .select(col("doc_id"), col("sp.p").as("p"), col("sp.shash").as("shash"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val duplicated = spans.groupBy(col("shash"))
+      .agg(countDistinct(col("doc_id")).as("ndocs"))
+      .filter(col("ndocs") >= 2)
+      .select(col("shash"))
+
+    val covered = spans.join(duplicated, Seq("shash"))
+      .select(col("doc_id"), explode(sequence(col("p"), col("p") + (k - 1))).as("cp"))
+      .distinct()
+
+    val kept = toks
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("p0", "w")))
+      .select(col("doc_id"), (col("p0") + 1).as("cp"), col("w"))
+      .join(covered, Seq("doc_id", "cp"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        md5(array_join(transform(array_sort(collect_list(struct(col("cp"), col("w")))),
+          s => s.getField("w")), " ")).as("clean_md5"))
+
+    toks.select(col("doc_id"), size(col("toks")).cast("bigint").as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("clean_md5"), lit(md5Empty)).as("clean_md5"))
+  }
+
+  private val md5Empty = "d41d8cd98f00b204e9800998ecf8427e" // md5("")
+
+  /** DuckDB twin of [[removeDuplicatedSpans]] over `table(doc_id,
+    * text)`; final relation `sremoved`.
+    */
+  def removeDuplicatedSpansSql(table: String, k: Int): String =
+    s"""srt AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+       |        FROM $table),
+       |srsp AS (
+       |  SELECT doc_id, p.i AS p,
+       |    ('0x' || substr(md5(array_to_string(list_slice(toks, p.i, p.i + ${k - 1}), ' ')), 1, 15))::BIGINT AS shash
+       |  FROM srt, unnest(range(1, len(toks) - ${k - 2})) AS p(i)
+       |  WHERE len(toks) >= $k),
+       |srdup AS (SELECT shash FROM srsp GROUP BY shash HAVING count(DISTINCT doc_id) >= 2),
+       |srcov AS (
+       |  SELECT DISTINCT doc_id, c.cp AS cp
+       |  FROM srsp JOIN srdup USING (shash), unnest(range(p, p + $k)) AS c(cp)),
+       |srkept AS (
+       |  SELECT t.doc_id, count(*) AS n_kept,
+       |    md5(string_agg(t.w, ' ' ORDER BY t.cp)) AS clean_md5
+       |  FROM (SELECT doc_id, u.i AS cp, toks[u.i] AS w
+       |        FROM srt, unnest(range(1, len(toks) + 1)) AS u(i)) t
+       |  ANTI JOIN srcov c ON t.doc_id = c.doc_id AND t.cp = c.cp
+       |  GROUP BY t.doc_id),
+       |sremoved AS (
+       |  SELECT srt.doc_id, CAST(len(srt.toks) AS BIGINT) AS n_tokens,
+       |    CAST(len(srt.toks) - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed,
+       |    coalesce(k.clean_md5, '$md5Empty') AS clean_md5
+       |  FROM srt LEFT JOIN srkept k USING (doc_id))""".stripMargin
 }

@@ -99,6 +99,13 @@ object CorpusQueries {
               |ORDER BY gid, rf, ls""".stripMargin)
     },
 
+    // C51: span-level dedup REWRITE — tokens covered by cross-doc
+    // duplicated 5-token spans removed, docs reassembled.
+    "q_dup_span_removal" -> { (s, dir) =>
+      DupSpans.removeDuplicatedSpans(t(s, dir, "documents"), col("doc_id"), col("text"), SpanK)
+        .orderBy(col("doc_id"))
+    },
+
     // C41: hashed linear quality classifier (fastText-style gate).
     "q_quality_score" -> { (s, dir) =>
       QualityClassifier.score(t(s, dir, "documents"), col("doc_id"), col("text"))
@@ -332,6 +339,11 @@ object CorpusQueries {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         |ORDER BY gid, rf, ls""".stripMargin,
+
+    "q_dup_span_removal" ->
+      s"""WITH ${DupSpans.removeDuplicatedSpansSql("documents", SpanK)}
+         |SELECT doc_id, n_tokens, n_removed, clean_md5
+         |FROM sremoved ORDER BY doc_id""".stripMargin,
 
     "q_quality_score" ->
       s"""WITH ${QualityClassifier.scoreSql("documents")}

@@ -46,6 +46,35 @@ class Round5OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got(3L) == ((1L, 1L)))
   }
 
+  test("span removal: cross-doc duplicated spans drop their covered tokens, others survive") {
+    // docs 1 and 2 share "p q r s t"; doc 3 is clean; doc 4 repeats
+    // a span WITHIN itself only (not cross-doc -> kept).
+    val docs = Seq(
+      (1L, "x p q r s t y"),
+      (2L, "p q r s t z"),
+      (3L, "a b c d e f"),
+      (4L, "m n o p m n o p q q")
+    ).toDF("doc_id", "text")
+    val got = DupSpans.removeDuplicatedSpans(docs, col("doc_id"), col("text"), k = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) == ((7L, 5L, md5Hex("x y"))))
+    assert(got(2L) == ((6L, 5L, md5Hex("z"))))
+    assert(got(3L) == ((6L, 0L, md5Hex("a b c d e f"))))
+    assert(got(4L) == ((10L, 0L, md5Hex("m n o p m n o p q q"))))
+  }
+
+  test("span removal: fully-duplicated docs keep their row with the empty md5; short docs untouched") {
+    val docs = Seq(
+      (1L, "p q r s t"), (2L, "p q r s t"),   // exact 5-token dups -> everything removed
+      (3L, "tiny doc")                         // < k tokens: no spans, untouched
+    ).toDF("doc_id", "text")
+    val got = DupSpans.removeDuplicatedSpans(docs, col("doc_id"), col("text"), k = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) == ((5L, 5L, md5Hex(""))))
+    assert(got(2L) == ((5L, 5L, md5Hex(""))))
+    assert(got(3L) == ((2L, 0L, md5Hex("tiny doc"))))
+  }
+
   // -------------------------------------------------------------- Boilerplate
 
   test("boilerplate lines in > maxDocFreq docs are stripped; doc reassembles in order") {
