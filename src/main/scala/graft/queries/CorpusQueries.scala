@@ -260,6 +260,23 @@ object CorpusQueries {
         .orderBy(col("grp"))
     },
 
+    // A44: per-group mode (argmax by count with deterministic
+    // smallest-value tie-break — `mode()` builtins tie arbitrarily,
+    // this composition is engine-portable): two partial-agg shuffles,
+    // the second over |group × distinct value| count rows only.
+    "q_mode" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val counts = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag").as("grp"),
+          floor(col("l_quantity")).cast("bigint").as("v"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("grp")).orderBy(col("c").desc, col("v"))
+      counts.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("grp"), col("v").as("mode_val"), col("c").as("mode_count"))
+        .orderBy(col("grp"))
+    },
+
     // A39: JSON property extraction from the events props column,
     // aggregated per event type — integer-exact outputs.
     "q_json_extract" -> { (s, dir) =>
@@ -455,6 +472,15 @@ object CorpusQueries {
         |  round((sy - CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS BIGINT) * sx)
         |    / n, 4) AS intercept
         |FROM m ORDER BY grp""".stripMargin,
+
+    "q_mode" ->
+      """SELECT grp, mode_val, mode_count FROM (
+        |  SELECT grp, v AS mode_val, c AS mode_count,
+        |    row_number() OVER (PARTITION BY grp ORDER BY c DESC, v) AS rn
+        |  FROM (SELECT l_returnflag AS grp,
+        |          CAST(floor(l_quantity) AS BIGINT) AS v, count(*) AS c
+        |        FROM lineitem GROUP BY 1, 2))
+        |WHERE rn = 1 ORDER BY grp""".stripMargin,
 
     "q_json_extract" ->
       """SELECT event_type, count(*) AS n,
