@@ -17,6 +17,43 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+def type_classes(arrow_table):
+    """Per-column rendered-type class, mirroring what the driver's
+    type-sensitive hasher distinguishes. The key case: DuckDB window
+    sums / integer sums produce HUGEINT (arrow decimal128(38,0)) and
+    DECIMAL stays decimal — both render differently from int64/float64
+    even at equal values (SURVEY §4; the r5 q_equidepth miss, which
+    pandas-value comparison could not see because .df() collapses
+    HUGEINT/DECIMAL to float64).
+    """
+    import pyarrow.types as pt
+    classes = {}
+    for field in arrow_table.schema:
+        t = field.type
+        if pt.is_decimal(t):
+            c = "decimal"
+        elif pt.is_integer(t):
+            c = "int"
+        elif pt.is_floating(t):
+            c = "float"
+        elif pt.is_boolean(t):
+            c = "bool"
+        elif pt.is_timestamp(t):
+            c = "timestamp"
+        elif pt.is_date(t):
+            c = "date"
+        elif pt.is_string(t) or pt.is_large_string(t):
+            c = "string"
+        elif pt.is_binary(t) or pt.is_large_binary(t):
+            c = "binary"
+        elif pt.is_list(t) or pt.is_large_list(t) or pt.is_fixed_size_list(t):
+            c = "list"
+        else:
+            c = str(t)
+        classes[field.name] = c
+    return classes
+
+
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
     # normalize dtypes to comparable forms
@@ -53,16 +90,25 @@ def main():
             print(f"FAIL  {name}: no parquet output")
             n_fail += 1
             continue
-        got = con.sql(f"SELECT * FROM '{qdir}/*.parquet'").df()
+        got_arrow = con.sql(f"SELECT * FROM '{qdir}/*.parquet'").arrow()
+        got = got_arrow.to_pandas()
         if name not in oracles:
             status = "ok" if len(got) > 0 else "EMPTY"
             print(f"ROWS  {name}: {len(got)} rows ({status})")
             n_rows_only += 1
             continue
         try:
-            exp = con.sql(oracles[name]).df()
+            exp_arrow = con.sql(oracles[name]).arrow()
+            exp = exp_arrow.to_pandas()
         except Exception as e:
             print(f"FAIL  {name}: oracle error: {e}")
+            n_fail += 1
+            continue
+        gt, et = type_classes(got_arrow), type_classes(exp_arrow)
+        if gt != et:
+            diff = {c: (gt.get(c), et.get(c)) for c in set(gt) | set(et)
+                    if gt.get(c) != et.get(c)}
+            print(f"FAIL  {name}: type mismatch (spark, oracle): {diff}")
             n_fail += 1
             continue
         g, e = normalize(got), normalize(exp)

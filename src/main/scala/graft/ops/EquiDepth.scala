@@ -59,7 +59,11 @@ object EquiDepth {
        |    sum(c) OVER () AS n
        |  FROM edc),
        |edepth AS (
-       |  SELECT (cum_before * $buckets) // n AS bucket,
+       |  -- cum_before and n are window-sum HUGEINTs in DuckDB; the
+       |  -- floor-div inherits that, and the type-sensitive hash gate
+       |  -- renders HUGEINT differently from Spark's BIGINT even at
+       |  -- equal values (SURVEY §4) — cast the bucket id back down.
+       |  SELECT CAST((cum_before * $buckets) // n AS BIGINT) AS bucket,
        |    CAST(sum(c) AS BIGINT) AS n_rows,
        |    CAST(count(*) AS BIGINT) AS n_values,
        |    min(v) AS min_val, max(v) AS max_val

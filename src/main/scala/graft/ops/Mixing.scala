@@ -59,8 +59,11 @@ object Mixing {
     s"""mranked AS (
        |  SELECT CAST($sourceExpr AS VARCHAR) AS source, CAST($keyExpr AS BIGINT) AS doc_id,
        |    CAST(row_number() OVER (PARTITION BY $sourceExpr
-       |      ORDER BY ('0x' || substr(md5(CAST($keyExpr AS VARCHAR)), 1, 15))::BIGINT,
-       |        $keyExpr) AS BIGINT) AS src_rank
+       |      -- hash the BIGINT-cast key's rendering, mirroring the Spark
+       |      -- side's doc_id.cast(bigint).cast(string): a non-canonical
+       |      -- numeric key ('007', 7.0) must hash identically in both
+       |      ORDER BY ('0x' || substr(md5(CAST(CAST($keyExpr AS BIGINT) AS VARCHAR)), 1, 15))::BIGINT,
+       |        CAST($keyExpr AS BIGINT)) AS BIGINT) AS src_rank
        |  FROM $table),
        |mweights AS ($weightsSql),
        |mixed AS (

@@ -36,8 +36,10 @@ object RetrievalEval {
   def metrics(rankings: DataFrame, qrels: DataFrame, k: Int): DataFrame = {
     val r = rankings.select(col("query_id").cast("bigint").as("query_id"),
       col("doc_id").cast("bigint").as("doc_id"), col("rank").cast("bigint").as("rank"))
+    // dedupe qrels: a duplicate (query, doc) relevant pair would
+    // multiply join rows, inflating n_hits/dcg and pushing recall > 1
     val q = qrels.select(col("query_id").cast("bigint").as("query_id"),
-      col("doc_id").cast("bigint").as("doc_id"))
+      col("doc_id").cast("bigint").as("doc_id")).distinct()
 
     val rel = q.groupBy(col("query_id")).agg(count(lit(1)).as("n_relevant"))
 
@@ -73,7 +75,7 @@ object RetrievalEval {
     s"""rr AS (SELECT CAST(query_id AS BIGINT) AS query_id,
        |              CAST(doc_id AS BIGINT) AS doc_id, CAST(rank AS BIGINT) AS rank
        |       FROM ($rankSql)),
-       |qq AS (SELECT CAST(query_id AS BIGINT) AS query_id, CAST(doc_id AS BIGINT) AS doc_id
+       |qq AS (SELECT DISTINCT CAST(query_id AS BIGINT) AS query_id, CAST(doc_id AS BIGINT) AS doc_id
        |       FROM ($qrelSql)),
        |rel AS (SELECT query_id, count(*) AS n_relevant FROM qq GROUP BY query_id),
        |hits AS (

@@ -58,18 +58,22 @@ object Similarity {
       .as[(Long, Long, Double)]
 
     // partial top-k per (partition, query): a bounded ordered buffer
-    // per query id — the map-side combine Spark's window can't do
+    // per query id — the map-side combine Spark's window can't do.
+    // PriorityQueue, NOT TreeSet: a set would collapse duplicate
+    // (vec_id, sim) corpus rows into one entry and return fewer
+    // candidates than bruteForceTopK, which keeps both.
     val partial = scored.mapPartitions { rows =>
-      // ordering: best cos_sim first, then smallest vec_id (ties)
-      implicit val ord: Ordering[(Long, Long, Double)] =
+      // max under this ordering = WORST candidate (lowest cos_sim,
+      // then largest vec_id) — exactly what the bound evicts
+      val ord: Ordering[(Long, Long, Double)] =
         Ordering.by { case (_, vecId, sim) => (-sim, vecId) }
-      val heaps = scala.collection.mutable.Map.empty[Long, scala.collection.mutable.TreeSet[(Long, Long, Double)]]
+      val heaps = scala.collection.mutable.Map.empty[Long, scala.collection.mutable.PriorityQueue[(Long, Long, Double)]]
       rows.foreach { r =>
-        val h = heaps.getOrElseUpdate(r._1, scala.collection.mutable.TreeSet.empty)
+        val h = heaps.getOrElseUpdate(r._1, scala.collection.mutable.PriorityQueue.empty(ord))
         h += r
-        if (h.size > k) h -= h.last
+        if (h.size > k) h.dequeue()
       }
-      heaps.valuesIterator.flatten
+      heaps.valuesIterator.flatMap(_.iterator)
     }.toDF("query_id", "vec_id", "cos_sim")
 
     val w = org.apache.spark.sql.expressions.Window

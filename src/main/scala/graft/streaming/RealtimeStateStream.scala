@@ -58,15 +58,21 @@ object RealtimeStateStream {
       state.remove()
       Iterator.empty
     } else {
-      val incoming = updates.toSeq
-      val deleted = incoming.exists(_.isDeleted)
-      val newest = (incoming.filterNot(_.isDeleted).map(u => EntityState(u.entityId, u.timestamp, u.payload)) ++
-        state.getOption.toSeq).sortBy(-_.timestamp).headOption
-      if (deleted) {
-        state.remove()
-        Iterator.empty
-      } else newest match {
-        case Some(s) =>
+      // Newest-timestamp-wins applies to deletes too: a stale delete
+      // arriving in the same batch as (or after) a newer upsert must
+      // NOT remove the entity. Pick the single winning record across
+      // incoming updates and stored state, then apply its flag; at
+      // equal timestamps a delete beats an upsert (the A41 CDC rule).
+      val stored = state.getOption.map(s =>
+        EntityUpdate(s.entityId, s.timestamp, s.payload, isDeleted = false))
+      val winner = (updates.toSeq ++ stored)
+        .sortBy(u => (-u.timestamp, !u.isDeleted)).headOption
+      winner match {
+        case Some(u) if u.isDeleted =>
+          state.remove()
+          Iterator.empty
+        case Some(u) =>
+          val s = EntityState(u.entityId, u.timestamp, u.payload)
           state.update(s)
           ttlMs.foreach(state.setTimeoutDuration)
           Iterator.single(s)

@@ -98,6 +98,16 @@ class ProfilingOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got(2L) == ((1L, 0L, 0.0, 0.0, 0.0)))
   }
 
+  test("retrieval metrics: duplicate qrel pairs do not inflate hits or recall") {
+    val rankings = Seq((1L, 2L, 1L), (1L, 3L, 2L)).toDF("query_id", "doc_id", "rank")
+    // (1,2) relevant pair listed twice — must count once
+    val qrels = Seq((1L, 2L), (1L, 2L), (1L, 5L)).toDF("query_id", "doc_id")
+    val r = RetrievalEval.metrics(rankings, qrels, k = 10).collect().head
+    assert(r.getLong(1) == 2L, "n_relevant counts distinct pairs")
+    assert(r.getLong(2) == 1L, "n_hits counts the hit once")
+    assert(r.getDouble(3) == 0.5, "recall_at_k stays <= 1")
+  }
+
   test("retrieval metrics: perfect ranking scores 1.0 across the board") {
     val rankings = Seq((1L, 10L, 1L), (1L, 11L, 2L)).toDF("query_id", "doc_id", "rank")
     val qrels = Seq((1L, 10L), (1L, 11L)).toDF("query_id", "doc_id")

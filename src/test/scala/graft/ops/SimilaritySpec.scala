@@ -98,6 +98,27 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("batched top-k keeps duplicate corpus vec_id rows, matching per-query brute force") {
+    val emb = graft.Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
+    val query = emb.filter(col("vec_id") === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    // duplicate the query's top-3 neighbors: both copies must appear
+    val base = emb.filter(col("vec_id") =!= 0)
+    val top3 = Similarity.bruteForceTopK(base, col("vec_id"), col("embedding"),
+        emb.filter(col("vec_id") === 0).select(col("embedding").as("qv")), k = 3)
+      .collect().map(_.getLong(0))
+    val corpus = base.union(base.filter(col("vec_id").isin(top3: _*)))
+    val batch = Similarity.bruteForceTopKBatch(corpus, col("vec_id"), col("embedding"), query, k = 10)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).sortBy(x => (-x._2, x._1)).toSeq
+    val single = Similarity.bruteForceTopK(corpus, col("vec_id"), col("embedding"),
+        emb.filter(col("vec_id") === 0).select(col("embedding").as("qv")), k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(batch == single)
+    // the duplicated ids really do appear twice when they make the cut
+    val dupIds = single.groupBy(_._1).collect { case (id, rs) if rs.size > 1 => id }
+    assert(dupIds.nonEmpty, "test corpus should place a duplicated id in the top-10")
+  }
+
   test("ivf distributed fit trains an equivalent quantizer (same seeds, usable recall)") {
     val emb = graft.Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
     val query = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))

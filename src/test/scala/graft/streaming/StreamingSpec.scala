@@ -256,6 +256,42 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(out3.isEmpty && st3.isRemoved)
   }
 
+  test("updateState: newest-timestamp-wins applies to deletes too") {
+    import org.apache.spark.sql.streaming.TestGroupState
+    // a STALE delete in the same batch as a newer upsert must not evict
+    val st = TestGroupState.create[EntityState](
+      Optional.empty[EntityState],
+      org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout,
+      1000L, Optional.empty[Long], hasTimedOut = false)
+    val out = RealtimeStateStream.updateState(Some(60000L))("trip-1",
+      Iterator(
+        EntityUpdate("trip-1", 200L, "x", isDeleted = true),
+        EntityUpdate("trip-1", 300L, "v3", isDeleted = false)), st).toSeq
+    assert(out == Seq(EntityState("trip-1", 300L, "v3")))
+    assert(st.get == EntityState("trip-1", 300L, "v3"))
+
+    // a delete OLDER than the stored state must not evict either
+    val st2 = TestGroupState.create[EntityState](
+      Optional.of(EntityState("trip-1", 300L, "v3")),
+      org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout,
+      1000L, Optional.empty[Long], hasTimedOut = false)
+    val out2 = RealtimeStateStream.updateState(Some(60000L))("trip-1",
+      Iterator(EntityUpdate("trip-1", 250L, "x", isDeleted = true)), st2).toSeq
+    assert(out2 == Seq(EntityState("trip-1", 300L, "v3")))
+    assert(!st2.isRemoved)
+
+    // at EQUAL timestamps the delete beats the upsert (the A41 CDC rule)
+    val st3 = TestGroupState.create[EntityState](
+      Optional.empty[EntityState],
+      org.apache.spark.sql.streaming.GroupStateTimeout.ProcessingTimeTimeout,
+      1000L, Optional.empty[Long], hasTimedOut = false)
+    val out3 = RealtimeStateStream.updateState(Some(60000L))("trip-1",
+      Iterator(
+        EntityUpdate("trip-1", 300L, "v3", isDeleted = false),
+        EntityUpdate("trip-1", 300L, "x", isDeleted = true)), st3)
+    assert(out3.isEmpty && st3.isRemoved)
+  }
+
   test("file-source stream over the real events table matches the batch result") {
     // stream the parquet events table (ns ts read as long, converted
     // like Tables.read does), window-aggregate, compare to batch
