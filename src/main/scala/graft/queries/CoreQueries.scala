@@ -209,8 +209,11 @@ object CoreQueries {
     },
 
     // A14: feed assembly — events mapped into GTFS-RT-shaped realtime
-    // frames, nested into one FeedMessage JSON document (rows-only:
-    // nested JSON is not DuckDB-hash-comparable).
+    // frames, nested into FeedMessage entities, then flattened back
+    // into a canonical scalar projection (entity order, STU order,
+    // descriptor fields) so the assembly is DuckDB-hash-comparable —
+    // JSON text itself differs across engines by construction and
+    // stays spec-covered (FeedAssemblerSpec).
     "q_feed_assembly" -> { (s, dir) =>
       val e = t(s, dir, "events").filter(col("user_id") < 20)
       val tripUpdates = e.groupBy(col("user_id"))
@@ -235,14 +238,35 @@ object CoreQueries {
           col("seq").as("stop_sequence"),
           col("event_type").as("stop_id"),
           unix_micros(col("ts")).as("arrival_time"),
-          col("value").cast("int").as("arrival_delay"),
+          // floor before the int cast: DuckDB CAST(double AS INT)
+          // rounds while Spark truncates (SURVEY §4)
+          floor(col("value")).cast("int").as("arrival_delay"),
           lit(null).cast("int").as("arrival_uncertainty"),
           lit(null).cast("bigint").as("departure_time"),
           lit(null).cast("int").as("departure_delay"),
           lit(null).cast("int").as("departure_uncertainty"),
           lit("SCHEDULED").as("schedule_relationship"))
       val entities = graft.gtfs.FeedAssembler.tripUpdateEntities(tripUpdates, stus)
-      graft.gtfs.FeedAssembler.feedMessageJson(entities, "trip_update", timestamp = 1704790000L)
+      // canonical flatten of the ASSEMBLED nested entities: feed
+      // entity position (the reference's start_date/start_time sort,
+      // realtime.py #17), then one row per stop_time_update in its
+      // sorted array position
+      val wq = Window.orderBy(
+        col("trip_update.trip.start_date"), col("trip_update.trip.start_time"), col("id"))
+      entities
+        .withColumn("entity_pos", row_number().over(wq).cast("bigint"))
+        .select(col("entity_pos"), col("id").as("entity_id"),
+          col("trip_update.trip.trip_id").as("trip_id"),
+          col("trip_update.trip.start_date").as("start_date"),
+          posexplode(col("trip_update.stop_time_update")).as(Seq("stu_idx", "stu")))
+        .select(col("entity_pos"), col("entity_id"), col("trip_id"), col("start_date"),
+          (col("stu_idx") + 1).cast("int").as("stu_pos"),
+          col("stu.stop_sequence").as("stop_sequence"),
+          col("stu.stop_id").as("stop_id"),
+          col("stu.arrival.time").as("arrival_time"),
+          col("stu.arrival.delay").as("arrival_delay"),
+          col("stu.schedule_relationship").as("schedule_relationship"))
+        .orderBy(col("entity_pos"), col("stu_pos"))
     },
 
     // A20: backward as-of join — for each purchase, the latest prior
@@ -439,6 +463,31 @@ object CoreQueries {
     "q_topn" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "q_feed_assembly" ->
+      """WITH fa_e AS (SELECT * FROM events WHERE user_id < 20),
+        |fa_tu AS (
+        |  SELECT 'tu-' || CAST(user_id AS VARCHAR) AS entity_id,
+        |         'trip-' || CAST(user_id AS VARCHAR) AS trip_id,
+        |         strftime(CAST(max(ts) AS TIMESTAMP), '%Y%m%d') AS start_date
+        |  FROM fa_e GROUP BY user_id),
+        |fa_stu AS (
+        |  SELECT 'tu-' || CAST(user_id AS VARCHAR) AS entity_id,
+        |         CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS stop_sequence,
+        |         event_type AS stop_id,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) AS arrival_time,
+        |         CAST(floor(value) AS INT) AS arrival_delay,
+        |         'SCHEDULED' AS schedule_relationship
+        |  FROM fa_e),
+        |fa_ent AS (
+        |  SELECT entity_id, trip_id, start_date,
+        |    CAST(row_number() OVER (ORDER BY start_date, entity_id) AS BIGINT) AS entity_pos
+        |  FROM fa_tu)
+        |SELECT e.entity_pos, s.entity_id, e.trip_id, e.start_date,
+        |  CAST(row_number() OVER (PARTITION BY s.entity_id ORDER BY s.stop_sequence) AS INT) AS stu_pos,
+        |  s.stop_sequence, s.stop_id, s.arrival_time, s.arrival_delay, s.schedule_relationship
+        |FROM fa_ent e JOIN fa_stu s USING (entity_id)
+        |ORDER BY entity_pos, stu_pos""".stripMargin,
 
     "q_asof_join" ->
       """SELECT p.event_id, epoch_us(CAST(c.ts AS TIMESTAMP)) AS prior_click_us
