@@ -187,6 +187,171 @@ object IvfIndex {
       }.toDF("vec_id", "v", "cell")
   }
 
+  // ------------------------------------------------------------------
+  // Integer fixed-point variant (oracle-portable — the PageRank device
+  // applied to Lloyd's): embeddings quantized to floor(x·scale)
+  // BIGINTs, centroid means as integer floor-division, deterministic
+  // smallest-vec_id seeding and (dist, cell) argmin tie-break. Every
+  // step is associative integer arithmetic, so a fixed iteration
+  // count is bit-exact across engines and partitionings and the
+  // DuckDB twin ([[integerIvfSql]]) unrolls the same iterations as
+  // CTEs and hash-matches. The float [[fit]]/[[fitDistributed]] stay
+  // the production path (spec-covered); this variant exists so the
+  // IVF probe semantics are end-to-end oracle-checkable.
+  // ------------------------------------------------------------------
+
+  /** floor(x·scale) fixed-point quantization of a float vector. */
+  def quantized(vec: Column, scale: Long): Column =
+    transform(vec.cast("array<double>"), x => floor(x * scale).cast("bigint"))
+
+  /** Integer squared L2 distance between two array<bigint> columns. */
+  private def sqDistInt(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x)
+
+  /** Integer-portable Lloyd's: returns the (cell, cv) centroid table.
+    * Seeds = the k smallest vec_ids' quantized vectors; each
+    * iteration one broadcast-centroid assignment (argmin by
+    * (dist, cell) — deterministic ties) and one (cell, dim)-keyed
+    * partial-agg shuffle for the floor-div means; empty cells keep
+    * their centroid. Centroids are k rows — localCheckpointed per
+    * iteration so the unrolled plan stays shallow.
+    */
+  def fitIntegerPortable(
+      corpus: DataFrame,
+      id: Column,
+      vec: Column,
+      k: Int,
+      iters: Int,
+      scale: Long = 1000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = corpus
+      .select(id.cast("bigint").as("vid"), quantized(vec, scale).as("qv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wi = Window.orderBy(col("vid"))
+    var cents = q.orderBy(col("vid")).limit(k)
+      .withColumn("cell", (row_number().over(wi) - 1).cast("int"))
+      .select(col("cell"), col("qv").as("cv"))
+      .localCheckpoint(true)
+    for (_ <- 0 until iters) {
+      val wA = Window.partitionBy(col("vid")).orderBy(col("dist"), col("cell"))
+      val assigned = q.crossJoin(broadcast(cents))
+        .withColumn("dist", sqDistInt(col("qv"), col("cv")))
+        .withColumn("rk", row_number().over(wA)).filter(col("rk") === 1)
+        .select(col("vid"), col("qv"), col("cell"))
+      val sums = assigned
+        .select(col("cell"), posexplode(col("qv")).as(Seq("dim", "val")))
+        .groupBy(col("cell"), col("dim"))
+        .agg(sum(col("val")).as("s"), count(lit(1)).as("n"))
+        .select(col("cell"), col("dim"), expr("s DIV n").as("cval"))
+      val rebuilt = sums.groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("cval")))).as("o"))
+        .select(col("cell"), expr("transform(o, x -> x.cval)").as("ncv"))
+      cents = cents.join(rebuilt, Seq("cell"), "left")
+        .select(col("cell"), coalesce(col("ncv"), col("cv")).as("cv"))
+        .localCheckpoint(true)
+    }
+    q.unpersist()
+    cents
+  }
+
+  /** Integer-portable IVF top-k end to end: fit, assign, probe the
+    * nProbe cells nearest the query, cosine-score candidates only.
+    * `query` is one row with column `qv` (the raw float vector —
+    * scoring is the same double cosine as C6).
+    */
+  def integerIvfTopK(
+      corpus: DataFrame,
+      id: Column,
+      vec: Column,
+      query: DataFrame, // one row, column "qv"
+      k: Int,
+      iters: Int,
+      nProbe: Int,
+      topK: Int,
+      scale: Long = 1000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = fitIntegerPortable(corpus, id, vec, k, iters, scale)
+    val q = corpus.select(id.cast("bigint").as("vid"), vec.as("v"),
+      quantized(vec, scale).as("qv"))
+    val wA = Window.partitionBy(col("vid")).orderBy(col("dist"), col("cell"))
+    val assigned = q.crossJoin(broadcast(cents))
+      .withColumn("dist", sqDistInt(col("qv"), col("cv")))
+      .withColumn("rk", row_number().over(wA)).filter(col("rk") === 1)
+      .select(col("vid"), col("v"), col("cell"))
+    val wQ = Window.orderBy(col("qdist"), col("cell"))
+    val qcells = query.select(quantized(col("qv"), scale).as("qqv"))
+      .crossJoin(broadcast(cents))
+      .withColumn("qdist", sqDistInt(col("qqv"), col("cv")))
+      .withColumn("rk", row_number().over(wQ)).filter(col("rk") <= nProbe)
+      .select(col("cell"))
+    assigned.join(broadcast(qcells), Seq("cell"))
+      .crossJoin(broadcast(query.select(col("qv"))))
+      .select(col("vid").as("vec_id"),
+        VectorFunctions.cosineSimilarity(col("v"), col("qv")).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(topK)
+  }
+
+  /** DuckDB twin of [[integerIvfTopK]] over the `embeddings` table
+    * (corpus = vec_id <> 0, query = vec_id 0), iterations unrolled as
+    * CTEs. Intermediate HUGEINTs (distance sums) only ever feed ORDER
+    * BY / floor-div and never reach output columns.
+    */
+  def integerIvfSql(
+      k: Int,
+      iters: Int,
+      nProbe: Int,
+      topK: Int,
+      dim: Int = 64,
+      scale: Long = 1000L): String = {
+    def qz(v: String) = s"list_transform($v, x -> CAST(floor(x * $scale) AS BIGINT))"
+    def dist(a: String, b: String) =
+      s"list_aggregate(list_transform(range(1, ${dim + 1}), i -> ($a[i]-$b[i])*($a[i]-$b[i])), 'sum')"
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH ivq AS (SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS v,
+         |    ${qz("CAST(embedding AS DOUBLE[])")} AS qv
+         |  FROM embeddings WHERE vec_id <> 0),
+         |ivq0 AS (SELECT CAST(embedding AS DOUBLE[]) AS v,
+         |    ${qz("CAST(embedding AS DOUBLE[])")} AS qv
+         |  FROM embeddings WHERE vec_id = 0),
+         |ivc0 AS (SELECT CAST(rn - 1 AS INT) AS cell, qv AS cv
+         |  FROM (SELECT qv, row_number() OVER (ORDER BY vid) AS rn FROM ivq) WHERE rn <= $k),
+         |""".stripMargin)
+    for (j <- 1 to iters) {
+      val prev = s"ivc${j - 1}"
+      sb.append(
+        s"""ivd$j AS (SELECT q.vid, q.qv, c.cell, ${dist("q.qv", "c.cv")} AS dist
+           |  FROM ivq q, $prev c),
+           |iva$j AS (SELECT vid, qv, cell FROM (
+           |  SELECT vid, qv, cell, row_number() OVER (PARTITION BY vid ORDER BY dist, cell) AS rk
+           |  FROM ivd$j) WHERE rk = 1),
+           |ivs$j AS (SELECT cell, u.i AS dim, CAST(sum(qv[u.i]) AS BIGINT) // count(*) AS cval
+           |  FROM iva$j, unnest(range(1, ${dim + 1})) AS u(i) GROUP BY cell, u.i),
+           |ivc$j AS (SELECT p.cell, coalesce(n.ncv, p.cv) AS cv
+           |  FROM $prev p LEFT JOIN (SELECT cell, list(cval ORDER BY dim) AS ncv
+           |                          FROM ivs$j GROUP BY cell) n USING (cell)),
+           |""".stripMargin)
+    }
+    val fc = s"ivc$iters"
+    sb.append(
+      s"""ivdf AS (SELECT q.vid, q.v, c.cell, ${dist("q.qv", "c.cv")} AS dist
+         |  FROM ivq q, $fc c),
+         |ivf AS (SELECT vid, v, cell FROM (
+         |  SELECT vid, v, cell, row_number() OVER (PARTITION BY vid ORDER BY dist, cell) AS rk
+         |  FROM ivdf) WHERE rk = 1),
+         |ivdq AS (SELECT c.cell, ${dist("q.qv", "c.cv")} AS dist FROM ivq0 q, $fc c),
+         |ivqc AS (SELECT cell FROM (
+         |  SELECT cell, row_number() OVER (ORDER BY dist, cell) AS rk FROM ivdq)
+         |  WHERE rk <= $nProbe),
+         |ivtop AS (SELECT f.vid AS vec_id, list_cosine_similarity(f.v, q.v) AS cos_sim
+         |  FROM ivf f JOIN ivqc USING (cell) CROSS JOIN ivq0 q
+         |  ORDER BY cos_sim DESC, vec_id LIMIT $topK)
+         |SELECT vec_id, round(cos_sim, 4) AS cos_sim FROM ivtop
+         |ORDER BY cos_sim DESC, vec_id""".stripMargin)
+    sb.toString
+  }
+
   /** ANN top-k: score only vectors in the query's nProbe nearest
     * cells. `assigned` is the output of [[assign]]. The cell filter
     * prunes partitions before any per-vector math runs.

@@ -36,15 +36,16 @@ object VectorQueries {
         .orderBy(col("cos_sim").desc, col("vec_id"))
     },
 
-    // C7b: IVF ANN — k-means cells, probe half the cells.
+    // C7b: IVF ANN — k-means cells, probe half the cells. The query
+    // runs the integer fixed-point portable variant (bit-exact across
+    // engines → DuckDB-oracled end to end, the C2/C3 md5-variant
+    // move); the float production fit keeps its recall spec.
     "q_ann_ivf" -> { (s, dir) =>
       val e = emb(s, dir)
       val corpus = e.filter(col("vec_id") =!= 0)
-      val qv = e.filter(col("vec_id") === 0)
-        .select(col("embedding")).first().getSeq[Float](0).map(_.toDouble).toArray
-      val model = IvfIndex.fit(corpus, col("vec_id"), col("embedding"), k = 8, iters = 5)
-      val assigned = IvfIndex.assign(corpus, col("vec_id"), col("embedding"), model)
-      IvfIndex.topK(assigned, qv, k = 50, model, nProbe = 4)
+      val query = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      IvfIndex.integerIvfTopK(corpus, col("vec_id"), col("embedding"), query,
+          k = 8, iters = 3, nProbe = 4, topK = 50)
         .select(col("vec_id"), round(col("cos_sim"), 4).as("cos_sim"))
         .orderBy(col("cos_sim").desc, col("vec_id"))
     },
@@ -135,6 +136,8 @@ object VectorQueries {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_ann_ivf" -> IvfIndex.integerIvfSql(k = 8, iters = 3, nProbe = 4, topK = 50),
+
     "q_project" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
          |SELECT vec_id, $projectDimsSql AS proj_e4

@@ -119,6 +119,25 @@ class SimilaritySpec extends AnyFunSuite with SparkTestBase {
     assert(dupIds.nonEmpty, "test corpus should place a duplicated id in the top-10")
   }
 
+  test("integer-portable ivf: usable recall vs brute force, repartition-stable") {
+    val emb = graft.Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
+    val query = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val exact = Similarity.bruteForceTopK(corpus, col("vec_id"), col("embedding"), query, 20)
+      .collect().map(_.getLong(0)).toSet
+    val got = IvfIndex.integerIvfTopK(corpus, col("vec_id"), col("embedding"), query,
+        k = 8, iters = 3, nProbe = 4, topK = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    // probing half the cells: expect at least half the true top-20
+    assert((got.map(_._1).toSet & exact).size >= 10,
+      s"recall too low: ${(got.map(_._1).toSet & exact).size}/20")
+    // deterministic under a different input partitioning
+    val got2 = IvfIndex.integerIvfTopK(corpus.repartition(7), col("vec_id"), col("embedding"),
+        query, k = 8, iters = 3, nProbe = 4, topK = 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.toSeq == got2.toSeq)
+  }
+
   test("ivf distributed fit trains an equivalent quantizer (same seeds, usable recall)") {
     val emb = graft.Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
     val query = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
