@@ -15,7 +15,8 @@ object SparkEntry {
       graft.queries.TextQueries.defs ++
       graft.queries.VectorQueries.defs ++
       graft.queries.PipelineQueries.defs ++
-      graft.queries.CorpusQueries.defs
+      graft.queries.CorpusQueries.defs ++
+      graft.queries.Round6Queries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -24,5 +25,6 @@ object SparkEntry {
       graft.queries.TextQueries.oracles ++
       graft.queries.VectorQueries.oracles ++
       graft.queries.PipelineQueries.oracles ++
-      graft.queries.CorpusQueries.oracles
+      graft.queries.CorpusQueries.oracles ++
+      graft.queries.Round6Queries.oracles
 }

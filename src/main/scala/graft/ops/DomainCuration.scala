@@ -1,0 +1,52 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Domain-level corpus curation — the URL-keyed gate of a web-crawl
+  * pipeline (CommonCrawl-style): extract the host from each
+  * document's URL, audit per-domain volume, and cap documents per
+  * domain so no single site dominates the training mixture (the
+  * standard defense against SEO farms and boilerplate-heavy hosts).
+  *
+  * Scale shape: host extraction is a zero-shuffle narrow regexp map;
+  * stats are one domain-keyed partial-agg shuffle; the cap is one
+  * (domain)-keyed ranked window with a deterministic hash order —
+  * the A42 rate-limit shape, bounded by per-domain counts, never a
+  * global sort. Domains are a natural heavy-hitter skew source: at
+  * 100 TB pair the stats pass with C23's Misra-Gries to find the
+  * whales cheaply, and AQE's skew handling covers the cap window.
+  */
+object DomainCuration {
+
+  /** Host component of a `scheme://host/...` URL ('' if no match —
+    * identically in the DuckDB twin's regexp_extract).
+    */
+  def host(url: Column): Column =
+    regexp_extract(url, "^[a-z]+://([^/]+)", 1)
+
+  /** Per-domain audit: (domain, n_docs, n_chars, first_doc). */
+  def domainStats(df: DataFrame, url: Column, id: Column, chars: Column): DataFrame =
+    df.select(host(url).as("domain"), id.cast("bigint").as("doc_id"),
+        chars.cast("bigint").as("n"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_chars"),
+        min(col("doc_id")).as("first_doc"))
+
+  /** Keep at most `maxDocs` documents per domain, chosen by the
+    * engine-portable hash rank (deterministic under any partitioning
+    * — not arrival order, which is engine-private). Returns
+    * (domain, doc_id) kept rows.
+    */
+  def capPerDomain(df: DataFrame, url: Column, id: Column, maxDocs: Int): DataFrame = {
+    require(maxDocs >= 1)
+    val w = Window.partitionBy(col("domain"))
+      .orderBy(col("hrank"), col("doc_id"))
+    df.select(host(url).as("domain"), id.cast("bigint").as("doc_id"))
+      .withColumn("hrank", Dedup.md5Hash60(col("doc_id").cast("string")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= maxDocs)
+      .select(col("domain"), col("doc_id"))
+  }
+}

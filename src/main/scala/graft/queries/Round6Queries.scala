@@ -1,0 +1,115 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.{DomainCuration, ImportanceWeights, SemanticDedup}
+
+/** Round-6 capability queries: domain-level curation (A-series web
+  * hygiene), DSIR importance weighting, semantic (embedding-cell)
+  * dedup, and wide→long unpivot. Oracle rules per SURVEY §4.
+  */
+object Round6Queries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.read(s, dir, name)
+
+  /** Synthetic deterministic URL for the documents table (it carries
+    * no URL column): doc_id-keyed host among 37 domains + a
+    * source/doc path — identical construction in the twin.
+    */
+  private def docUrl: Column =
+    concat(lit("https://d"), (col("doc_id") % 37).cast("string"),
+      lit(".example.com/"), col("source"), lit("/"), col("doc_id").cast("string"))
+
+  private val docUrlSql: String =
+    "'https://d' || CAST(doc_id % 37 AS VARCHAR) || '.example.com/' || source || '/' || CAST(doc_id AS VARCHAR)"
+
+  val DomainCap = 5
+  val IwBuckets = 1024
+  val SemThreshold = 0.2
+  val SemAnchors: Seq[Seq[Double]] = SemanticDedup.anchors(dim = 64, k = 8)
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // C52a: per-domain audit stats.
+    "q_domain_stats" -> { (s, dir) =>
+      val d = t(s, dir, "documents").withColumn("url", docUrl)
+      DomainCuration.domainStats(d, col("url"), col("doc_id"), col("n_chars"))
+        .orderBy(col("domain"))
+    },
+
+    // C52b: per-domain document cap (hash-ranked keep set).
+    "q_domain_cap" -> { (s, dir) =>
+      val d = t(s, dir, "documents").withColumn("url", docUrl)
+      DomainCuration.capPerDomain(d, col("url"), col("doc_id"), maxDocs = DomainCap)
+        .orderBy(col("domain"), col("doc_id"))
+    },
+
+    // C53: DSIR importance weights vs the src0 target domain.
+    "q_importance_weights" -> { (s, dir) =>
+      ImportanceWeights.weights(t(s, dir, "documents"),
+          col("doc_id"), col("text"), col("source") === "src0", buckets = IwBuckets)
+        .orderBy(col("doc_id"))
+    },
+
+    // C54: semantic near-dup pairs blocked by fixed-anchor cells.
+    "q_semantic_dedup" -> { (s, dir) =>
+      SemanticDedup.nearDupPairs(t(s, dir, "embeddings"),
+          col("vec_id"), col("embedding"), SemThreshold, SemAnchors)
+        .select(col("id_a"), col("id_b"), col("cell"),
+          round(col("cos_sim"), 4).as("cos_sim"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // A45: unpivot / melt — wide measure columns to long
+    // (measure, value) rows, the inverse of A28's pivot.
+    "q_unpivot" -> { (s, dir) =>
+      t(s, dir, "part")
+        .select(col("p_partkey"),
+          col("p_size").cast("double").as("p_size"),
+          col("p_retailprice").cast("double").as("p_retailprice"))
+        .unpivot(Array(col("p_partkey")),
+          Array(col("p_size"), col("p_retailprice")), "measure", "value")
+        .orderBy(col("p_partkey"), col("measure"))
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_domain_stats" ->
+      s"""WITH du AS (SELECT doc_id, n_chars, $docUrlSql AS url FROM documents),
+         |dh AS (SELECT doc_id, n_chars,
+         |         regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS domain FROM du)
+         |SELECT domain, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars,
+         |       min(doc_id) AS first_doc
+         |FROM dh GROUP BY domain ORDER BY domain""".stripMargin,
+
+    "q_domain_cap" ->
+      s"""WITH du AS (SELECT doc_id, $docUrlSql AS url FROM documents),
+         |dh AS (SELECT doc_id,
+         |         regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS domain FROM du),
+         |dr AS (SELECT domain, doc_id,
+         |         row_number() OVER (PARTITION BY domain
+         |           ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+         |             doc_id) AS rk
+         |       FROM dh)
+         |SELECT domain, doc_id FROM dr WHERE rk <= $DomainCap
+         |ORDER BY domain, doc_id""".stripMargin,
+
+    "q_importance_weights" ->
+      s"""WITH ${ImportanceWeights.weightsSql("documents", "doc_id", "text",
+            "source = 'src0'", IwBuckets)}
+         |SELECT doc_id, n_tokens, weight_micro FROM iw ORDER BY doc_id""".stripMargin,
+
+    "q_semantic_dedup" ->
+      s"""WITH ${SemanticDedup.nearDupPairsSql(SemThreshold, SemAnchors)}
+         |SELECT id_a, id_b, cell, round(cos_sim, 4) AS cos_sim
+         |FROM sdp ORDER BY id_a, id_b""".stripMargin,
+
+    "q_unpivot" ->
+      """SELECT p_partkey, 'p_size' AS measure, CAST(p_size AS DOUBLE) AS value FROM part
+        |UNION ALL
+        |SELECT p_partkey, 'p_retailprice' AS measure, CAST(p_retailprice AS DOUBLE) AS value FROM part
+        |ORDER BY p_partkey, measure""".stripMargin
+  )
+}

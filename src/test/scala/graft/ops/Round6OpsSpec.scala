@@ -1,0 +1,129 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/** Specs for the round-6 operators: domain curation, DSIR importance
+  * weighting, semantic (anchor-cell) dedup.
+  */
+class Round6OpsSpec extends AnyFunSuite with SparkTestBase {
+
+  import spark.implicits._
+
+  // ----------------------------------------------------- DomainCuration
+
+  test("domain host extraction: scheme stripped, path dropped, no-match empty") {
+    val df = Seq(
+      (1L, "https://a.example.com/x/y"),
+      (2L, "http://b.org"),
+      (3L, "ftp://c.net/file"),
+      (4L, "not a url")
+    ).toDF("doc_id", "url")
+    val got = df.select(col("doc_id"), DomainCuration.host(col("url")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "a.example.com", 2L -> "b.org", 3L -> "c.net", 4L -> ""))
+  }
+
+  test("domain stats: hand-counted docs/chars per host") {
+    val df = Seq(
+      (1L, "https://a.com/1", 10L),
+      (2L, "https://a.com/2", 20L),
+      (3L, "https://b.com/1", 5L)
+    ).toDF("doc_id", "url", "n_chars")
+    val got = DomainCuration.domainStats(df, col("url"), col("doc_id"), col("n_chars"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map("a.com" -> ((2L, 30L, 1L)), "b.com" -> ((1L, 5L, 3L))))
+  }
+
+  test("domain cap: at most maxDocs kept per domain, deterministic, small domains intact") {
+    val df = (1L to 20L).map(i => (i, s"https://big.com/$i")).toDF("doc_id", "url")
+      .union(Seq((100L, "https://small.com/1")).toDF("doc_id", "url"))
+    val got = DomainCuration.capPerDomain(df, col("url"), col("doc_id"), maxDocs = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.count(_._1 == "big.com") == 3)
+    assert(got.count(_._1 == "small.com") == 1)
+    // hash-ranked keep set is partitioning-independent
+    val got2 = DomainCuration.capPerDomain(df.repartition(7), col("url"), col("doc_id"), maxDocs = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSet == got2.toSet)
+  }
+
+  // --------------------------------------------------- ImportanceWeights
+
+  test("importance weights: target-exclusive tokens score positive, raw-exclusive negative") {
+    // target docs are all "aa", non-target all "bb": a doc of aa-tokens
+    // must weigh more than a doc of bb-tokens, with exact token counts
+    val df = Seq(
+      (1L, "aa aa aa", true),
+      (2L, "aa aa aa", true),
+      (3L, "bb bb bb", false),
+      (4L, "bb bb bb", false),
+      (5L, "bb bb bb", false)
+    ).toDF("doc_id", "text", "is_t")
+    val got = ImportanceWeights.weights(df, col("doc_id"), col("text"), col("is_t"),
+        buckets = 64)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    assert(got(1L)._1 == 3L && got(3L)._1 == 3L, "token counts")
+    assert(got(1L) == got(2L), "identical docs weigh identically")
+    assert(got(1L)._2 > 0L, s"target-like doc should be positive: ${got(1L)._2}")
+    assert(got(3L)._2 < 0L, s"raw-only doc should be negative: ${got(3L)._2}")
+    // exact arithmetic for the aa bucket: tc=6, rc=6, tt=6, rt=15, B=64
+    // lr = ln( (7*(15+64)) / (7*(6+64)) ) = ln(79/70); weight = 3 * floor(1e6*lr)
+    val lr = math.floor(math.log((7.0 * 79.0) / (7.0 * 70.0)) * 1e6).toLong
+    assert(got(1L)._2 == 3L * lr, s"expected ${3L * lr}, got ${got(1L)._2}")
+  }
+
+  test("importance weights: partitioning-independent") {
+    val df = (1L to 50L).map(i => (i, s"tok${i % 7} tok${i % 3} tok${i % 11}", i % 4 == 0))
+      .toDF("doc_id", "text", "is_t")
+    val a = ImportanceWeights.weights(df, col("doc_id"), col("text"), col("is_t"))
+      .orderBy("doc_id").collect().toSeq
+    val b = ImportanceWeights.weights(df.repartition(9), col("doc_id"), col("text"), col("is_t"))
+      .orderBy("doc_id").collect().toSeq
+    assert(a == b)
+  }
+
+  // ------------------------------------------------------ SemanticDedup
+
+  test("semantic dedup: argmax cell matches driver-side dot products, ties to smallest") {
+    val anchors = SemanticDedup.anchors(dim = 4, k = 3, seed = 5L)
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.0f, 1.0f, -1.0f, 0.5f)),
+      (3L, Seq(-1.0f, -1.0f, 1.0f, 1.0f)),
+      (4L, Seq(0.0f, 0.0f, 0.0f, 0.0f))   // all dots 0.0 -> tie -> cell 0
+    ).toDF("vec_id", "embedding")
+    val got = vecs.select(col("vec_id"),
+        SemanticDedup.cellOf(col("embedding"), anchors).as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    def dot(v: Seq[Double], a: Seq[Double]) = v.zip(a).map { case (x, y) => x * y }.sum
+    vecs.collect().foreach { r =>
+      val v = r.getSeq[Float](1).map(_.toDouble)
+      val dots = anchors.map(a => dot(v, a))
+      val want = dots.indexOf(dots.max)
+      assert(got(r.getLong(0)) == want, s"vec ${r.getLong(0)}")
+    }
+    assert(got(4L) == 0)
+  }
+
+  test("semantic dedup: exact duplicates pair at cos 1, unrelated vectors unpaired") {
+    val anchors = SemanticDedup.anchors(dim = 4, k = 2, seed = 5L)
+    val vecs = Seq(
+      (1L, Seq(1.0f, 2.0f, 3.0f, 4.0f)),
+      (2L, Seq(1.0f, 2.0f, 3.0f, 4.0f)),     // duplicate of 1
+      (3L, Seq(-4.0f, 3.0f, -2.0f, 1.0f))    // orthogonal to 1
+    ).toDF("vec_id", "embedding")
+    val pairs = SemanticDedup.nearDupPairs(vecs, col("vec_id"), col("embedding"),
+        threshold = 0.9, anchorSeq = anchors)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    assert(pairs.keySet == Set((1L, 2L)))
+    assert(math.abs(pairs((1L, 2L)) - 1.0) < 1e-9)
+    val drops = SemanticDedup.dropIds(vecs, col("vec_id"), col("embedding"),
+        threshold = 0.9, anchorSeq = anchors)
+      .collect().map(_.getLong(0)).toSet
+    assert(drops == Set(2L), "keep-smallest drops the larger id only")
+  }
+}
