@@ -14,8 +14,15 @@ object VectorFunctions {
 
   private def toDouble(v: Column): Column = v.cast("array<double>")
 
-  /** Σ aᵢ·bᵢ — left-to-right fold, double accumulator. */
+  /** Σ aᵢ·bᵢ — left-to-right fold, double accumulator. Backed by the
+    * codegen'd [[graft.plans.DotProductExpr]] (identical arithmetic
+    * to the HOF composition below, one fused loop).
+    */
   def dotProduct(a: Column, b: Column): Column =
+    graft.plans.DotProductExpr.dot(toDouble(a), toDouble(b))
+
+  /** HOF formulation of the same arithmetic (parity baseline). */
+  def dotProductHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(toDouble(a), toDouble(b), (x, y) => x * y),
       lit(0.0),

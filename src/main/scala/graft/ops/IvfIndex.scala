@@ -204,17 +204,32 @@ object IvfIndex {
   def quantized(vec: Column, scale: Long): Column =
     transform(vec.cast("array<double>"), x => floor(x * scale).cast("bigint"))
 
-  /** Integer squared L2 distance between two array<bigint> columns. */
+  /** Integer squared L2 distance between two array<bigint> columns —
+    * the codegen'd kernel (the HOF zip_with/aggregate form re-evaluates
+    * captured subtrees per element when interpreted: ~100× slower in
+    * the k-cell argmin).
+    */
   private def sqDistInt(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, x) => acc + x)
+    graft.plans.SqDistLongExpr.sqDist(a, b)
 
-  /** Integer-portable Lloyd's: returns the (cell, cv) centroid table.
-    * Seeds = the k smallest vec_ids' quantized vectors; each
-    * iteration one broadcast-centroid assignment (argmin by
-    * (dist, cell) — deterministic ties) and one (cell, dim)-keyed
-    * partial-agg shuffle for the floor-div means; empty cells keep
-    * their centroid. Centroids are k rows — localCheckpointed per
-    * iteration so the unrolled plan stays shallow.
+  /** Integer argmin cell over driver-held centroid literals: ties to
+    * the smallest cell (first position of the min) — a zero-shuffle
+    * narrow map, mirroring the twin's (dist, cell) ranked window.
+    */
+  def cellOfInt(qv: Column, cents: Array[Array[Long]]): Column = {
+    val dists = array(cents.map(c => sqDistInt(qv, typedLit(c.toSeq))): _*)
+    (array_position(dists, array_min(dists)) - 1).cast("int")
+  }
+
+  /** Integer-portable Lloyd's: returns the centroid matrix (model-
+    * sized, driver-held — exactly like the float [[fit]]). Seeds =
+    * the k smallest vec_ids' quantized vectors; each iteration is ONE
+    * distributed pass: a narrow argmin assignment against literal
+    * centroids, then a (cell, dim)-keyed partial-agg shuffle that
+    * collapses to k·dim rows, collected and floor-divided
+    * driver-side (Long `/` truncates toward zero — the same semantics
+    * as Spark's `DIV` and DuckDB's `//`). Empty cells keep their
+    * centroid.
     */
   def fitIntegerPortable(
       corpus: DataFrame,
@@ -222,42 +237,34 @@ object IvfIndex {
       vec: Column,
       k: Int,
       iters: Int,
-      scale: Long = 1000L): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+      scale: Long = 1000L): Array[Array[Long]] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val q = corpus
       .select(id.cast("bigint").as("vid"), quantized(vec, scale).as("qv"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val wi = Window.orderBy(col("vid"))
-    var cents = q.orderBy(col("vid")).limit(k)
-      .withColumn("cell", (row_number().over(wi) - 1).cast("int"))
-      .select(col("cell"), col("qv").as("cv"))
-      .localCheckpoint(true)
-    for (_ <- 0 until iters) {
-      val wA = Window.partitionBy(col("vid")).orderBy(col("dist"), col("cell"))
-      val assigned = q.crossJoin(broadcast(cents))
-        .withColumn("dist", sqDistInt(col("qv"), col("cv")))
-        .withColumn("rk", row_number().over(wA)).filter(col("rk") === 1)
-        .select(col("vid"), col("qv"), col("cell"))
-      val sums = assigned
-        .select(col("cell"), posexplode(col("qv")).as(Seq("dim", "val")))
+    var cents: Array[Array[Long]] = q.orderBy(col("vid")).limit(k)
+      .select(col("qv")).as[Seq[Long]].collect().map(_.toArray)
+    for (_ <- 0 until iters if cents.nonEmpty) {
+      val sums = q
+        .select(cellOfInt(col("qv"), cents).as("cell"),
+          posexplode(col("qv")).as(Seq("dim", "val")))
         .groupBy(col("cell"), col("dim"))
         .agg(sum(col("val")).as("s"), count(lit(1)).as("n"))
-        .select(col("cell"), col("dim"), expr("s DIV n").as("cval"))
-      val rebuilt = sums.groupBy(col("cell"))
-        .agg(array_sort(collect_list(struct(col("dim"), col("cval")))).as("o"))
-        .select(col("cell"), expr("transform(o, x -> x.cval)").as("ncv"))
-      cents = cents.join(rebuilt, Seq("cell"), "left")
-        .select(col("cell"), coalesce(col("ncv"), col("cv")).as("cv"))
-        .localCheckpoint(true)
+        .as[(Int, Int, Long, Long)].collect()
+      val next = cents.map(_.clone())
+      sums.foreach { case (cell, dim, s, n) => next(cell)(dim) = s / n }
+      cents = next
     }
     q.unpersist()
     cents
   }
 
-  /** Integer-portable IVF top-k end to end: fit, assign, probe the
-    * nProbe cells nearest the query, cosine-score candidates only.
-    * `query` is one row with column `qv` (the raw float vector —
-    * scoring is the same double cosine as C6).
+  /** Integer-portable IVF top-k end to end: fit, assign (narrow map),
+    * probe the nProbe cells nearest the query (a literal IN-filter —
+    * partition-prunable against a cell-partitioned layout), cosine-
+    * score candidates only. `query` is one row with column `qv` (the
+    * raw float vector — scoring is the same double cosine as C6).
     */
   def integerIvfTopK(
       corpus: DataFrame,
@@ -269,24 +276,26 @@ object IvfIndex {
       nProbe: Int,
       topK: Int,
       scale: Long = 1000L): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val cents = fitIntegerPortable(corpus, id, vec, k, iters, scale)
-    val q = corpus.select(id.cast("bigint").as("vid"), vec.as("v"),
-      quantized(vec, scale).as("qv"))
-    val wA = Window.partitionBy(col("vid")).orderBy(col("dist"), col("cell"))
-    val assigned = q.crossJoin(broadcast(cents))
-      .withColumn("dist", sqDistInt(col("qv"), col("cv")))
-      .withColumn("rk", row_number().over(wA)).filter(col("rk") === 1)
-      .select(col("vid"), col("v"), col("cell"))
-    val wQ = Window.orderBy(col("qdist"), col("cell"))
-    val qcells = query.select(quantized(col("qv"), scale).as("qqv"))
-      .crossJoin(broadcast(cents))
-      .withColumn("qdist", sqDistInt(col("qqv"), col("cv")))
-      .withColumn("rk", row_number().over(wQ)).filter(col("rk") <= nProbe)
-      .select(col("cell"))
-    assigned.join(broadcast(qcells), Seq("cell"))
+    // query cells driver-side: quantize the collected query vector and
+    // rank cells by (dist, cell) — the model is driver-held already
+    val qRows = query.select(col("qv").cast("array<double>")).head(2)
+    require(qRows.length == 1,
+      s"integerIvfTopK expects exactly one query row with column qv, got ${qRows.length}")
+    val qq = qRows(0).getSeq[Double](0).map(x => math.floor(x * scale).toLong).toArray
+    def sqDist(c: Array[Long]): Long = {
+      var s = 0L; var i = 0
+      while (i < c.length) { val d = qq(i) - c(i); s += d * d; i += 1 }
+      s
+    }
+    val probeCells = cents.zipWithIndex
+      .map { case (c, i) => (sqDist(c), i) }.sorted.take(nProbe).map(_._2)
+    corpus
+      .select(id.cast("bigint").as("vec_id"), vec.as("v"),
+        cellOfInt(quantized(vec, scale), cents).as("cell"))
+      .filter(col("cell").isin(probeCells.map(Int.box): _*))
       .crossJoin(broadcast(query.select(col("qv"))))
-      .select(col("vid").as("vec_id"),
+      .select(col("vec_id"),
         VectorFunctions.cosineSimilarity(col("v"), col("qv")).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(topK)

@@ -30,17 +30,16 @@ object SemanticDedup {
     Similarity.hyperplanes(dim, k, seed)
 
   /** Cell of a vector: argmax dot(v, anchor), ties to the smallest
-    * anchor index (strict > left-to-right fold). Pure column
-    * expression — no shuffle, no UDF.
+    * anchor index (first position of the max). Pure column
+    * expression — no shuffle, no UDF. Each dot product appears
+    * exactly once in the array: a when-fold would duplicate the
+    * running-best subtree per level and the expression tree grows
+    * 2^k (heap-exhausted at k=64).
     */
   def cellOf(vec: Column, anchors: Seq[Seq[Double]]): Column = {
     val v = vec.cast("array<double>")
-    val dots = anchors.map(a => VectorFunctions.dotProduct(v, typedLit(a)))
-    dots.zipWithIndex.tail.foldLeft((lit(0), dots.head)) {
-      case ((bestIdx, bestDot), (d, i)) =>
-        (when(d > bestDot, lit(i)).otherwise(bestIdx),
-          when(d > bestDot, d).otherwise(bestDot))
-    }._1
+    val dots = array(anchors.map(a => VectorFunctions.dotProduct(v, typedLit(a))): _*)
+    (array_position(dots, array_max(dots)) - 1).cast("int")
   }
 
   /** Within-cell near-duplicate pairs: (id_a, id_b, cell, cos_sim)
@@ -48,8 +47,17 @@ object SemanticDedup {
     */
   def nearDupPairs(df: DataFrame, id: Column, vec: Column,
       threshold: Double, anchorSeq: Seq[Seq[Double]]): DataFrame = {
-    val cells = df.select(id.cast("bigint").as("vec_id"), vec.as("v"),
+    // materialize the assignment ONCE: both self-join branches read
+    // it, so the k-dot argmax runs one corpus pass instead of two —
+    // and measured 15× on the bench, where the giant expression
+    // inside the join stage defeated whole-stage fusion (at 100 TB
+    // you persist or write the assignment anyway, as IvfIndex does)
+    // v pre-cast to array<double>: the per-pair cosine must not
+    // re-convert the float vectors for every candidate pair
+    val cells = df.select(id.cast("bigint").as("vec_id"),
+      vec.cast("array<double>").as("v"),
       cellOf(vec, anchorSeq).as("cell"))
+      .localCheckpoint(true)
     val a = cells.select(col("cell"), col("vec_id").as("id_a"), col("v").as("v_a"))
     val b = cells.select(col("cell"), col("vec_id").as("id_b"), col("v").as("v_b"))
     a.join(b, Seq("cell"))

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftshim.GraftSqlShim
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** Native Catalyst expression for cosine similarity over two
   * `array<double>` columns: dot(a,b) / (|a|·|b|), accumulating left
@@ -83,5 +83,138 @@ object CosineSimilarityExpr {
   /** Column wrapper; callers must supply array<double> (cast floats). */
   def cosine(a: Column, b: Column): Column =
     GraftSqlShim.column(CosineSimilarityExpr(
+      GraftSqlShim.expression(a), GraftSqlShim.expression(b)))
+}
+
+/** Native dot product over two `array<double>` columns — the same
+  * left-to-right double accumulation as the zip_with/aggregate HOF
+  * composition (and DuckDB's `list_dot_product`), as one fused
+  * codegen loop. The HOF form pays per-element lambda dispatch AND
+  * re-evaluates captured subtrees per element outside codegen — a
+  * k-anchor argmax (C54) evaluates k dots per row, which made the
+  * interpreted HOF path the q_semantic_dedup bottleneck.
+  */
+case class DotProductExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"dot_product requires array<double> inputs, got " +
+        s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
+  }
+
+  override def dataType: DataType = DoubleType
+
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) {
+      dot += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double $dot = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $dot += $x.getDouble($i) * $y.getDouble($i);
+         |}
+         |${ev.value} = $dot;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object DotProductExpr {
+  /** Column wrapper; callers must supply array<double> (cast floats). */
+  def dot(a: Column, b: Column): Column =
+    GraftSqlShim.column(DotProductExpr(
+      GraftSqlShim.expression(a), GraftSqlShim.expression(b)))
+}
+
+/** Native integer squared L2 distance over two `array<bigint>`
+  * columns — Σ (aᵢ-bᵢ)², one fused loop. The arithmetic twin of the
+  * zip_with/aggregate HOF composition, which re-evaluates captured
+  * subtrees per element when interpreted (the r4 stall class: the
+  * HOF form made C7b's k-cell argmin assignment ~100× slower).
+  */
+case class SqDistLongExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"sq_dist requires array<bigint> inputs, got " +
+        s"${left.dataType.simpleString} / ${right.dataType.simpleString}")
+  }
+
+  override def dataType: DataType = LongType
+
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      val d = x.getLong(i) - y.getLong(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $d = $x.getLong($i) - $y.getLong($i);
+         |  $s += $d * $d;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object SqDistLongExpr {
+  /** Column wrapper; callers must supply array<bigint> inputs. */
+  def sqDist(a: Column, b: Column): Column =
+    GraftSqlShim.column(SqDistLongExpr(
       GraftSqlShim.expression(a), GraftSqlShim.expression(b)))
 }

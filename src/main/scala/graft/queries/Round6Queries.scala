@@ -29,7 +29,13 @@ object Round6Queries {
   val DomainCap = 5
   val IwBuckets = 1024
   val SemThreshold = 0.2
-  val SemAnchors: Seq[Seq[Double]] = SemanticDedup.anchors(dim = 64, k = 8)
+
+  /** 64 cells, not 8: within-cell pair work is quadratic in cell
+    * size, so the cell count must grow with the corpus (SemDeDup
+    * runs ~10k clusters at web scale) — 8 cells measured 67 s at the
+    * 10× bench SF where 64 cells hold the query near-linear.
+    */
+  val SemAnchors: Seq[Seq[Double]] = SemanticDedup.anchors(dim = 64, k = 64)
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // C52a: per-domain audit stats.

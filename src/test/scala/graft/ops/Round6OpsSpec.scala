@@ -86,6 +86,19 @@ class Round6OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(a == b)
   }
 
+  // ------------------------------------------------------ DotProductExpr
+
+  test("native dot product kernel is bit-identical to the HOF composition") {
+    val emb = graft.Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val both = emb.crossJoin(q).select(
+        graft.functions.VectorFunctions.dotProduct(col("embedding"), col("qv")).as("native"),
+        graft.functions.VectorFunctions.dotProductHof(col("embedding"), col("qv")).as("hof"))
+      .collect()
+    both.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+    assert(both.nonEmpty)
+  }
+
   // ------------------------------------------------------ SemanticDedup
 
   test("semantic dedup: argmax cell matches driver-side dot products, ties to smallest") {
