@@ -23,6 +23,23 @@ object Dedup {
       .agg(min(id).as("keep_id"), count(lit(1)).as("n_copies"))
       .select(col("keep_id"), col("n_copies"))
 
+  /** Prefix-duplicate groups: documents sharing their first `k`
+    * lowercased whitespace tokens — the cheap instruction-data /
+    * template-dup screen between exact dedup (whole body) and
+    * MinHash (any-overlap): a template-stamped corpus collapses on
+    * the shared opening. Same scale shape as [[exact]]: a 16-byte
+    * prefix hash is the only shuffle key. Returns (prefix_md5,
+    * n_docs, kept_doc) for groups with more than one document.
+    */
+  def prefixGroups(df: DataFrame, id: Column, text: Column, k: Int): DataFrame = {
+    require(k >= 1)
+    df.select(id.cast("bigint").as("doc_id"),
+        md5(array_join(slice(split(trim(lower(text)), "\\s+"), 1, k), " ")).as("prefix_md5"))
+      .groupBy(col("prefix_md5"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("kept_doc"))
+      .filter(col("n_docs") > 1)
+  }
+
   /** Surviving rows after exact dedup (left-semi back-join keeps the
     * plan free of wide-row shuffles).
     */

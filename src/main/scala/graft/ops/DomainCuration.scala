@@ -34,6 +34,47 @@ object DomainCuration {
       .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_chars"),
         min(col("doc_id")).as("first_doc"))
 
+  /** Canonicalize a URL for dedup keys (the crawl-frontier device:
+    * raw URLs differ in case/tracking noise while naming one page):
+    * fragment stripped, scheme+host lowercased (path case kept —
+    * significant on most servers), `utm_*` tracking params removed
+    * (a dangling leading `&` re-anchored to `?`, bare trailing `?`
+    * dropped), trailing slashes dropped. Pure regexp chain — a
+    * zero-shuffle narrow map, identical semantics in the twin.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    val lowered = concat(
+      lower(regexp_extract(noFrag, "^([a-zA-Z]+)://", 1)), lit("://"),
+      lower(regexp_extract(noFrag, "^[a-zA-Z]+://([^/?#]+)", 1)),
+      regexp_extract(noFrag, "^[a-zA-Z]+://[^/?#]+(.*)$", 1))
+    val noUtm = regexp_replace(lowered, "[?&]utm_[^&#]*", "")
+    val fixedQ = regexp_replace(noUtm, "^([^?&]*)&", "$1?")
+    regexp_replace(regexp_replace(fixedQ, "\\?$", ""), "/+$", "")
+  }
+
+  /** SQL twin of [[canonicalizeUrl]] over `urlExpr` (DuckDB regexp
+    * dialect: backslash group refs, explicit 'g' for global).
+    */
+  def canonicalizeUrlSql(urlExpr: String): String = {
+    val noFrag = s"regexp_replace($urlExpr, '#.*$$', '')"
+    val lowered = "lower(regexp_extract(" + noFrag + ", '^([a-zA-Z]+)://', 1)) || '://' || " +
+      "lower(regexp_extract(" + noFrag + ", '^[a-zA-Z]+://([^/?#]+)', 1)) || " +
+      "regexp_extract(" + noFrag + ", '^[a-zA-Z]+://[^/?#]+(.*)$', 1)"
+    val noUtm = s"regexp_replace($lowered, '[?&]utm_[^&#]*', '', 'g')"
+    val fixedQ = s"regexp_replace($noUtm, '^([^?&]*)&', '\\1?')"
+    s"regexp_replace(regexp_replace($fixedQ, '\\?$$', ''), '/+$$', '')"
+  }
+
+  /** Dedup by canonical URL: (canonical_url, n_docs, kept_doc) per
+    * canonical key, keep-smallest survivor — one key shuffle on the
+    * canonical string (hash to 16 bytes first at 100 TB).
+    */
+  def urlDedup(df: DataFrame, url: Column, id: Column): DataFrame =
+    df.select(canonicalizeUrl(url).as("canonical_url"), id.cast("bigint").as("doc_id"))
+      .groupBy(col("canonical_url"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("kept_doc"))
+
   /** Keep at most `maxDocs` documents per domain, chosen by the
     * engine-portable hash rank (deterministic under any partitioning
     * — not arrival order, which is engine-private). Returns

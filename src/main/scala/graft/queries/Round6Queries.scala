@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{DomainCuration, ImportanceWeights, SemanticDedup}
+import graft.ops.{Dedup, DomainCuration, ImportanceWeights, SemanticDedup}
 
 /** Round-6 capability queries: domain-level curation (A-series web
   * hygiene), DSIR importance weighting, semantic (embedding-cell)
@@ -26,8 +26,36 @@ object Round6Queries {
   private val docUrlSql: String =
     "'https://d' || CAST(doc_id % 37 AS VARCHAR) || '.example.com/' || source || '/' || CAST(doc_id AS VARCHAR)"
 
+  /** Deterministically MESSY url for the canonicalization query:
+    * case noise, utm params (pure and mixed-with-kept), fragments,
+    * trailing slashes — collisions guaranteed by the coarse mod-7
+    * host / mod-10 path keys. Identical construction in the twin.
+    */
+  private def messyUrl: Column =
+    concat(
+      when(col("doc_id") % 2 === 0, lit("https")).otherwise(lit("HTTPS")),
+      lit("://"),
+      when(col("doc_id") % 3 === 0, lit("D")).otherwise(lit("d")),
+      (col("doc_id") % 7).cast("string"), lit(".Example.com/p"),
+      (col("doc_id") % 10).cast("string"),
+      when(col("doc_id") % 13 === 0, lit("/")).otherwise(lit("")),
+      when(col("doc_id") % 3 === 0, lit("?utm_source=feed&utm_campaign=x"))
+        .when(col("doc_id") % 5 === 0, lit("?utm_medium=a&page=2"))
+        .otherwise(lit("")),
+      when(col("doc_id") % 11 === 0, lit("#frag")).otherwise(lit("")))
+
+  private val messyUrlSql: String =
+    """(CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTPS' END || '://' ||
+      | CASE WHEN doc_id % 3 = 0 THEN 'D' ELSE 'd' END ||
+      | CAST(doc_id % 7 AS VARCHAR) || '.Example.com/p' || CAST(doc_id % 10 AS VARCHAR) ||
+      | CASE WHEN doc_id % 13 = 0 THEN '/' ELSE '' END ||
+      | CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&utm_campaign=x'
+      |      WHEN doc_id % 5 = 0 THEN '?utm_medium=a&page=2' ELSE '' END ||
+      | CASE WHEN doc_id % 11 = 0 THEN '#frag' ELSE '' END)""".stripMargin
+
   val DomainCap = 5
   val IwBuckets = 1024
+  val PrefixK = 10
   val SemThreshold = 0.2
 
   /** 64 cells, not 8: within-cell pair work is quadratic in cell
@@ -66,6 +94,19 @@ object Round6Queries {
         .select(col("id_a"), col("id_b"), col("cell"),
           round(col("cos_sim"), 4).as("cos_sim"))
         .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // C55: URL canonicalization + dedup by canonical key.
+    "q_url_dedup" -> { (s, dir) =>
+      val d = t(s, dir, "documents").withColumn("url", messyUrl)
+      DomainCuration.urlDedup(d, col("url"), col("doc_id"))
+        .orderBy(col("canonical_url"))
+    },
+
+    // C56: prefix dedup — docs sharing their first 10 tokens.
+    "q_prefix_dedup" -> { (s, dir) =>
+      Dedup.prefixGroups(t(s, dir, "documents"), col("doc_id"), col("text"), k = PrefixK)
+        .orderBy(col("prefix_md5"))
     },
 
     // A45: unpivot / melt — wide measure columns to long
@@ -111,6 +152,20 @@ object Round6Queries {
       s"""WITH ${SemanticDedup.nearDupPairsSql(SemThreshold, SemAnchors)}
          |SELECT id_a, id_b, cell, round(cos_sim, 4) AS cos_sim
          |FROM sdp ORDER BY id_a, id_b""".stripMargin,
+
+    "q_url_dedup" ->
+      s"""WITH uu AS (SELECT doc_id, $messyUrlSql AS url FROM documents),
+         |uc AS (SELECT doc_id, ${DomainCuration.canonicalizeUrlSql("url")} AS canonical_url FROM uu)
+         |SELECT canonical_url, count(*) AS n_docs, min(doc_id) AS kept_doc
+         |FROM uc GROUP BY canonical_url ORDER BY canonical_url""".stripMargin,
+
+    "q_prefix_dedup" ->
+      s"""WITH pp AS (SELECT doc_id,
+         |  md5(array_to_string((string_split_regex(trim(lower(text)), '\\s+'))[1:$PrefixK], ' ')) AS prefix_md5
+         |  FROM documents)
+         |SELECT prefix_md5, count(*) AS n_docs, min(doc_id) AS kept_doc
+         |FROM pp GROUP BY prefix_md5 HAVING count(*) > 1
+         |ORDER BY prefix_md5""".stripMargin,
 
     "q_unpivot" ->
       """SELECT p_partkey, 'p_size' AS measure, CAST(p_size AS DOUBLE) AS value FROM part

@@ -1,0 +1,100 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+
+import graft.streaming.GtfsRtPipeline.ParquetStateStore
+
+/** Streaming corpus-drift monitor — the continuous twin of C42's
+  * batch drift stats: as document batches arrive, maintain durable
+  * per-(source, token) counts and re-score each source's KL
+  * divergence against a FIXED reference distribution (yesterday's
+  * corpus, a golden mixture). The alarm wire for "a crawler started
+  * feeding us garbage" — drift shows up within one micro-batch
+  * instead of at the next full-corpus audit.
+  *
+  * State is the count table itself: O(live vocab × sources) rows of
+  * fixed-width (source, token-hash-able) keys, merged per batch by
+  * union + re-aggregate (the C48 incremental-agg contract — counts
+  * are mergeable, history is never re-tokenized). The reference is
+  * model-sized and broadcast.
+  *
+  * Determinism: the KL ratio reduces to one double division of exact
+  * integer products per token, quantized to micro-nats before the
+  * per-source sum (the NgramLm/C53 device) — batch-order-insensitive
+  * by associativity of integer sums over identical accumulated
+  * counts.
+  */
+object DriftMonitor {
+
+  /** Fit the reference token distribution: (w, rc) counts plus the
+    * (rt, rv) totals row carried as columns (one small table, fully
+    * broadcastable).
+    */
+  def fitReference(df: DataFrame, text: org.apache.spark.sql.Column): DataFrame = {
+    val counts = df
+      .select(explode(split(trim(lower(text)), "\\s+")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("rc"))
+    counts.crossJoin(broadcast(
+      counts.agg(sum(col("rc")).as("rt"), count(lit(1)).as("rv"))))
+  }
+
+  /** Merge one batch into the durable count store and return the
+    * drift snapshot over the ACCUMULATED counts:
+    * (source, n_tokens, kl_vs_reference) per source, KL in nats 4dp
+    * with add-one smoothing against the reference (unseen tokens get
+    * the smoothing floor, so divergence is always finite).
+    */
+  def updateBatch(batch: DataFrame, sourceCol: String, textCol: String,
+      store: ParquetStateStore, reference: DataFrame): DataFrame = {
+    val spark = batch.sparkSession
+    val batchCounts = batch
+      .select(col(sourceCol).cast("string").as("source"),
+        explode(split(trim(lower(col(textCol))), "\\s+")).as("w"))
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+
+    val merged = (store.read(spark) match {
+      case Some(prev) => prev.unionByName(batchCounts)
+      case None => batchCounts
+    }).groupBy(col("source"), col("w")).agg(sum(col("c")).as("c"))
+      .persist()
+    store.write(merged)
+
+    val totals = merged.groupBy(col("source")).agg(sum(col("c")).as("ts"))
+    // (rt+rv) as a one-row broadcast scalar: unseen tokens LEFT-join
+    // null rc, but the smoothing denominator must still apply
+    val refTotals = broadcast(
+      reference.select((col("rt") + col("rv")).as("rtv")).limit(1))
+    // p = c/ts; q = (rc+1)/(rt+rv); ln(p/q) over one exact integer
+    // product ratio → micro-nat floor → associative integer sum
+    val scored = merged
+      .join(totals, Seq("source"))
+      .join(broadcast(reference.select(col("w"), col("rc"))), Seq("w"), "left")
+      .crossJoin(refTotals)
+      .select(col("source"), col("c"),
+        floor((col("c").cast("double") / col("ts")) *
+          log((col("c") * col("rtv")).cast("double") /
+            ((coalesce(col("rc"), lit(0L)) + 1L) * col("ts")).cast("double")) * 1e6)
+          .cast("bigint").as("kl_micro"))
+
+    scored.groupBy(col("source"))
+      .agg(sum(col("c")).as("n_tokens"),
+        round(sum(col("kl_micro")).cast("double") / 1e6, 4).as("kl_vs_reference"))
+  }
+
+  /** Wire a document stream into the monitor; drift snapshots append
+    * to `outPath` tagged by batch id. Caller sets checkpoints and
+    * starts the writer.
+    */
+  def writer(docs: DataFrame, sourceCol: String, textCol: String,
+      store: ParquetStateStore, reference: DataFrame,
+      outPath: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        updateBatch(batch, sourceCol, textCol, store, reference)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(outPath)
+      }
+}

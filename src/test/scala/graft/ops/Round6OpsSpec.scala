@@ -50,6 +50,34 @@ class Round6OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got.toSet == got2.toSet)
   }
 
+  test("url canonicalization: case, fragments, utm params, trailing slashes") {
+    val df = Seq(
+      (1L, "HTTPS://Ex.COM/Path/?utm_source=x&utm_campaign=y#frag"),
+      (2L, "https://ex.com/Path"),
+      (3L, "http://a.com/p?utm_medium=m&page=2"),
+      (4L, "http://a.com/p?page=2&utm_medium=m"),
+      (5L, "http://b.com/CaseKept/q?x=1")
+    ).toDF("doc_id", "url")
+    val got = df.select(col("doc_id"), DomainCuration.canonicalizeUrl(col("url")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "https://ex.com/Path", "scheme+host lowered, path case kept, utm+frag+slash stripped")
+    assert(got(1L) == got(2L), "messy and clean forms collide")
+    assert(got(3L) == "http://a.com/p?page=2", "dangling & re-anchored to ?")
+    assert(got(4L) == "http://a.com/p?page=2", "utm stripped mid-query")
+    assert(got(5L) == "http://b.com/CaseKept/q?x=1", "non-tracking query kept")
+  }
+
+  test("prefix dedup: shared first-k tokens grouped, distinct prefixes not") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over a lazy dog end one"),
+      (2L, "The quick BROWN fox jumps over a different ending here two"),
+      (3L, "completely unrelated text with other words in it all three")
+    ).toDF("doc_id", "text")
+    val got = Dedup.prefixGroups(df, col("doc_id"), col("text"), k = 7)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((2L, 1L)), "docs 1+2 share the 7-token prefix, keep min id")
+  }
+
   // --------------------------------------------------- ImportanceWeights
 
   test("importance weights: target-exclusive tokens score positive, raw-exclusive negative") {
