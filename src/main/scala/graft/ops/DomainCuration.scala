@@ -20,11 +20,12 @@ import org.apache.spark.sql.expressions.Window
   */
 object DomainCuration {
 
-  /** Host component of a `scheme://host/...` URL ('' if no match —
-    * identically in the DuckDB twin's regexp_extract).
+  /** Host component of a `scheme://host/...` URL, scheme case-
+    * insensitive ('' if no match — identically in the DuckDB twin's
+    * regexp_extract).
     */
   def host(url: Column): Column =
-    regexp_extract(url, "^[a-z]+://([^/]+)", 1)
+    regexp_extract(url, "^[a-zA-Z]+://([^/]+)", 1)
 
   /** Per-domain audit: (domain, n_docs, n_chars, first_doc). */
   def domainStats(df: DataFrame, url: Column, id: Column, chars: Column): DataFrame =
@@ -44,26 +45,43 @@ object DomainCuration {
     */
   def canonicalizeUrl(url: Column): Column = {
     val noFrag = regexp_replace(url, "#.*$", "")
-    val lowered = concat(
-      lower(regexp_extract(noFrag, "^([a-zA-Z]+)://", 1)), lit("://"),
-      lower(regexp_extract(noFrag, "^[a-zA-Z]+://([^/?#]+)", 1)),
-      regexp_extract(noFrag, "^[a-zA-Z]+://[^/?#]+(.*)$", 1))
-    val noUtm = regexp_replace(lowered, "[?&]utm_[^&#]*", "")
-    val fixedQ = regexp_replace(noUtm, "^([^?&]*)&", "$1?")
-    regexp_replace(regexp_replace(fixedQ, "\\?$", ""), "/+$", "")
+    // URLs without a scheme://host shape pass through un-lowered:
+    // collapsing every malformed/relative URL onto one key would
+    // declare them all duplicates of each other
+    val lowered = when(regexp_extract(noFrag, "^([a-zA-Z]+)://", 1) === "", noFrag)
+      .otherwise(concat(
+        lower(regexp_extract(noFrag, "^([a-zA-Z]+)://", 1)), lit("://"),
+        lower(regexp_extract(noFrag, "^[a-zA-Z]+://([^/?#]+)", 1)),
+        regexp_extract(noFrag, "^[a-zA-Z]+://[^/?#]+(.*)$", 1)))
+    // rebuild the query string from its parts rather than patching
+    // with replaces: split on '&', drop utm_* params wherever they
+    // sit, rejoin — '&' in a query-less path is never touched
+    val base = regexp_replace(lowered, "\\?.*$", "")
+    val params = filter(split(regexp_extract(lowered, "\\?(.*)$", 1), "&"),
+      p => !p.rlike("^utm_"))
+    val rebuilt = when(array_join(params, "&") === "", base)
+      .otherwise(concat(base, lit("?"), array_join(params, "&")))
+    regexp_replace(rebuilt, "/+$", "")
   }
 
   /** SQL twin of [[canonicalizeUrl]] over `urlExpr` (DuckDB regexp
-    * dialect: backslash group refs, explicit 'g' for global).
+    * dialect: explicit 'g' for global, list_filter for the query
+    * rebuild).
     */
   def canonicalizeUrlSql(urlExpr: String): String = {
     val noFrag = s"regexp_replace($urlExpr, '#.*$$', '')"
-    val lowered = "lower(regexp_extract(" + noFrag + ", '^([a-zA-Z]+)://', 1)) || '://' || " +
+    val lowered = "(CASE WHEN regexp_extract(" + noFrag + ", '^([a-zA-Z]+)://', 1) = '' THEN " + noFrag +
+      " ELSE lower(regexp_extract(" + noFrag + ", '^([a-zA-Z]+)://', 1)) || '://' || " +
       "lower(regexp_extract(" + noFrag + ", '^[a-zA-Z]+://([^/?#]+)', 1)) || " +
-      "regexp_extract(" + noFrag + ", '^[a-zA-Z]+://[^/?#]+(.*)$', 1)"
-    val noUtm = s"regexp_replace($lowered, '[?&]utm_[^&#]*', '', 'g')"
-    val fixedQ = s"regexp_replace($noUtm, '^([^?&]*)&', '\\1?')"
-    s"regexp_replace(regexp_replace($fixedQ, '\\?$$', ''), '/+$$', '')"
+      "regexp_extract(" + noFrag + ", '^[a-zA-Z]+://[^/?#]+(.*)$', 1) END)"
+    val base = s"regexp_replace($lowered, '\\?.*$$', '')"
+    // coalesce: DuckDB's array_to_string over an EMPTY list (every
+    // param filtered away) returns NULL, not '' — Spark's array_join
+    // returns ''
+    val joined = s"coalesce(array_to_string(list_filter(string_split(regexp_extract($lowered, '\\?(.*)$$', 1), '&'), " +
+      "p -> NOT regexp_matches(p, '^utm_')), '&'), '')"
+    val rebuilt = s"(CASE WHEN $joined = '' THEN $base ELSE $base || '?' || $joined END)"
+    s"regexp_replace($rebuilt, '/+$$', '')"
   }
 
   /** Dedup by canonical URL: (canonical_url, n_docs, kept_doc) per

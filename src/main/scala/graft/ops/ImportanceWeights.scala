@@ -47,14 +47,17 @@ object ImportanceWeights {
     val tot = f.agg(count(lit(1)).as("rt"),
       sum(when(col("is_t"), 1L).otherwise(0L)).as("tt"))
 
-    // ln( ((tc+1)/(tt+B)) / ((rc+1)/(rt+B)) ) as ONE division of two
-    // exact integer products — both engines evaluate the identical
-    // IEEE double, so the micro-nat floor matches bit for bit
+    // ln( ((tc+1)/(tt+B)) / ((rc+1)/(rt+B)) ): each count factor is
+    // cast to double BEFORE the multiply — counts stay < 2^53 (exact
+    // conversion) while an int64 product of two ~1e13 totals would
+    // silently wrap at the 100 TB scale this op advertises; double
+    // mult/div/ln round identically in both engines, so the
+    // micro-nat floor still matches bit for bit
     val lr = raw.join(tgt, Seq("b"), "left").crossJoin(broadcast(tot))
       .select(col("b"),
         floor(log(
-          ((coalesce(col("tc"), lit(0L)) + 1L) * (col("rt") + buckets)).cast("double") /
-            ((col("rc") + 1L) * (col("tt") + buckets)).cast("double")) * 1e6)
+          ((coalesce(col("tc"), lit(0L)) + 1L).cast("double") * (col("rt") + buckets).cast("double")) /
+            ((col("rc") + 1L).cast("double") * (col("tt") + buckets).cast("double"))) * 1e6)
           .cast("bigint").as("lr_micro"))
 
     f.join(lr, Seq("b"))
@@ -78,8 +81,8 @@ object ImportanceWeights {
        |iwlr AS (
        |  SELECT r.b,
        |    CAST(floor(ln(
-       |      CAST((coalesce(t.tc, 0) + 1) * (rt + $buckets) AS DOUBLE) /
-       |      CAST((r.rc + 1) * (tt + $buckets) AS DOUBLE)) * 1e6) AS BIGINT) AS lr_micro
+       |      (CAST(coalesce(t.tc, 0) + 1 AS DOUBLE) * CAST(rt + $buckets AS DOUBLE)) /
+       |      (CAST(r.rc + 1 AS DOUBLE) * CAST(tt + $buckets AS DOUBLE))) * 1e6) AS BIGINT) AS lr_micro
        |  FROM iwraw r LEFT JOIN iwtgt t USING (b), iwtot),
        |iw AS (
        |  SELECT f.doc_id, count(*) AS n_tokens,

@@ -26,8 +26,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * (spec-verified), so per-shard sketches can be persisted and
   * unioned later (the C48 incremental-maintenance contract).
   *
-  * Row hashes are md5("row:item") — engine/JVM-independent, like the
-  * portable hash family in SURVEY §4.
+  * Buckets derive from ONE md5 of the item — its two 64-bit lanes
+  * seed all depth rows by double hashing — engine/JVM-independent,
+  * like the portable hash family in SURVEY §4.
   */
 object CmsSketch {
 
@@ -39,17 +40,34 @@ object CmsSketch {
     var n: Long = 0L
   }
 
-  def bucket(row: Int, item: String, width: Int): Int = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val h = md.digest(s"$row:$item".getBytes(StandardCharsets.UTF_8))
-    val bb = java.nio.ByteBuffer.wrap(h)
-    ((bb.getLong(0) >>> 1) % width).toInt
+  // one digest instance per thread: getInstance per call would
+  // allocate on every row of the sketch's hot update path
+  private val mdLocal = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
   }
 
+  /** Row bucket via Kirsch-Mitzenmacher double hashing: ONE md5 of
+    * the item yields two independent 64-bit lanes (h1, h2); row i
+    * probes (h1 + i·h2) — the standard result that d-wise
+    * independence is preserved, at 1/d the hashing cost.
+    */
+  def lanes(item: String): (Long, Long) = {
+    val md = mdLocal.get()
+    md.reset()
+    val h = md.digest(item.getBytes(StandardCharsets.UTF_8))
+    val bb = java.nio.ByteBuffer.wrap(h)
+    (bb.getLong(0), bb.getLong(8))
+  }
+
+  def bucket(row: Int, h1: Long, h2: Long, width: Int): Int =
+    (((h1 + row.toLong * h2) >>> 1) % width).toInt
+
   def offer(buf: Buffer, item: String): Unit = {
+    val (h1, h2) = lanes(item)
     var r = 0
     while (r < buf.depth) {
-      buf.counts(r)(bucket(r, item, buf.width)) += 1L
+      buf.counts(r)(bucket(r, h1, h2, buf.width)) += 1L
       r += 1
     }
     buf.n += 1L
@@ -100,10 +118,11 @@ object CmsSketch {
 
   /** Point estimate: min over rows (the CMS query). */
   def query(buf: Buffer, item: String): Long = {
+    val (h1, h2) = lanes(item)
     var best = Long.MaxValue
     var r = 0
     while (r < buf.depth) {
-      val v = buf.counts(r)(bucket(r, item, buf.width))
+      val v = buf.counts(r)(bucket(r, h1, h2, buf.width))
       if (v < best) best = v
       r += 1
     }

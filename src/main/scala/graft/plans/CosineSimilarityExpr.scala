@@ -34,23 +34,31 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
 
   override def nullIntolerant: Boolean = true
 
+  // mismatched-length inputs yield NULL (the HOF baseline's zip_with
+  // pads with null and poisons the fold) — a malformed vector must
+  // surface, not silently score on a truncated prefix
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var dot = 0.0
-    var nx = 0.0
-    var ny = 0.0
-    var i = 0
-    while (i < n) {
-      val xv = x.getDouble(i)
-      val yv = y.getDouble(i)
-      dot += xv * yv
-      nx += xv * xv
-      ny += yv * yv
-      i += 1
+    if (x.numElements() != y.numElements()) null
+    else {
+      val n = x.numElements()
+      var dot = 0.0
+      var nx = 0.0
+      var ny = 0.0
+      var i = 0
+      while (i < n) {
+        val xv = x.getDouble(i)
+        val yv = y.getDouble(i)
+        dot += xv * yv
+        nx += xv * xv
+        ny += yv * yv
+        i += 1
+      }
+      dot / (math.sqrt(nx) * math.sqrt(ny))
     }
-    dot / (math.sqrt(nx) * math.sqrt(ny))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -63,14 +71,18 @@ case class CosineSimilarityExpr(left: Expression, right: Expression)
       val xv = ctx.freshName("xv")
       val yv = ctx.freshName("yv")
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $xv = $x.getDouble($i);
-         |  double $yv = $y.getDouble($i);
-         |  $dot += $xv * $yv; $nx += $xv * $xv; $ny += $yv * $yv;
+         |if ($x.numElements() != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $x.numElements();
+         |  double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $xv = $x.getDouble($i);
+         |    double $yv = $y.getDouble($i);
+         |    $dot += $xv * $yv; $nx += $xv * $xv; $ny += $yv * $yv;
+         |  }
+         |  ${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
        """.stripMargin
     })
 
@@ -112,17 +124,23 @@ case class DotProductExpr(left: Expression, right: Expression)
 
   override def nullIntolerant: Boolean = true
 
+  // NULL on length mismatch — identical to the HOF baseline
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var dot = 0.0
-    var i = 0
-    while (i < n) {
-      dot += x.getDouble(i) * y.getDouble(i)
-      i += 1
+    if (x.numElements() != y.numElements()) null
+    else {
+      val n = x.numElements()
+      var dot = 0.0
+      var i = 0
+      while (i < n) {
+        dot += x.getDouble(i) * y.getDouble(i)
+        i += 1
+      }
+      dot
     }
-    dot
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -131,12 +149,16 @@ case class DotProductExpr(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val dot = ctx.freshName("dot")
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |double $dot = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $dot += $x.getDouble($i) * $y.getDouble($i);
+         |if ($x.numElements() != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $x.numElements();
+         |  double $dot = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $dot += $x.getDouble($i) * $y.getDouble($i);
+         |  }
+         |  ${ev.value} = $dot;
          |}
-         |${ev.value} = $dot;
        """.stripMargin
     })
 
@@ -176,18 +198,24 @@ case class SqDistLongExpr(left: Expression, right: Expression)
 
   override def nullIntolerant: Boolean = true
 
+  // NULL on length mismatch — identical to the HOF baseline
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var s = 0L
-    var i = 0
-    while (i < n) {
-      val d = x.getLong(i) - y.getLong(i)
-      s += d * d
-      i += 1
+    if (x.numElements() != y.numElements()) null
+    else {
+      val n = x.numElements()
+      var s = 0L
+      var i = 0
+      while (i < n) {
+        val d = x.getLong(i) - y.getLong(i)
+        s += d * d
+        i += 1
+      }
+      s
     }
-    s
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -197,13 +225,17 @@ case class SqDistLongExpr(left: Expression, right: Expression)
       val s = ctx.freshName("s")
       val d = ctx.freshName("d")
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
-         |long $s = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  long $d = $x.getLong($i) - $y.getLong($i);
-         |  $s += $d * $d;
+         |if ($x.numElements() != $y.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $x.numElements();
+         |  long $s = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    long $d = $x.getLong($i) - $y.getLong($i);
+         |    $s += $d * $d;
+         |  }
+         |  ${ev.value} = $s;
          |}
-         |${ev.value} = $s;
        """.stripMargin
     })
 

@@ -126,7 +126,7 @@ object Round6Queries {
     "q_domain_stats" ->
       s"""WITH du AS (SELECT doc_id, n_chars, $docUrlSql AS url FROM documents),
          |dh AS (SELECT doc_id, n_chars,
-         |         regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS domain FROM du)
+         |         regexp_extract(url, '^[a-zA-Z]+://([^/]+)', 1) AS domain FROM du)
          |SELECT domain, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars,
          |       min(doc_id) AS first_doc
          |FROM dh GROUP BY domain ORDER BY domain""".stripMargin,
@@ -134,7 +134,7 @@ object Round6Queries {
     "q_domain_cap" ->
       s"""WITH du AS (SELECT doc_id, $docUrlSql AS url FROM documents),
          |dh AS (SELECT doc_id,
-         |         regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS domain FROM du),
+         |         regexp_extract(url, '^[a-zA-Z]+://([^/]+)', 1) AS domain FROM du),
          |dr AS (SELECT domain, doc_id,
          |         row_number() OVER (PARTITION BY domain
          |           ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,

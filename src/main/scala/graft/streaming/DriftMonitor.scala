@@ -45,37 +45,56 @@ object DriftMonitor {
     * (source, n_tokens, kl_vs_reference) per source, KL in nats 4dp
     * with add-one smoothing against the reference (unseen tokens get
     * the smoothing floor, so divergence is always finite).
+    *
+    * Replay-safe when `batchId` is supplied (the [[writer]] path):
+    * foreachBatch is at-least-once, and re-merging a replayed batch
+    * would permanently inflate the durable counts — an applied-batch
+    * marker in the store directory skips the merge on replay and
+    * re-scores from the already-merged state instead.
     */
   def updateBatch(batch: DataFrame, sourceCol: String, textCol: String,
-      store: ParquetStateStore, reference: DataFrame): DataFrame = {
+      store: ParquetStateStore, reference: DataFrame,
+      batchId: Option[Long] = None): DataFrame = {
     val spark = batch.sparkSession
-    val batchCounts = batch
-      .select(col(sourceCol).cast("string").as("source"),
-        explode(split(trim(lower(col(textCol))), "\\s+")).as("w"))
-      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+    val marker = batchId.map(id =>
+      java.nio.file.Paths.get(store.dir, s"applied_batch_$id"))
+    val alreadyApplied = marker.exists(java.nio.file.Files.exists(_))
 
-    val merged = (store.read(spark) match {
-      case Some(prev) => prev.unionByName(batchCounts)
-      case None => batchCounts
-    }).groupBy(col("source"), col("w")).agg(sum(col("c")).as("c"))
-      .persist()
-    store.write(merged)
+    if (!alreadyApplied) {
+      val batchCounts = batch
+        .select(col(sourceCol).cast("string").as("source"),
+          explode(split(trim(lower(col(textCol))), "\\s+")).as("w"))
+        .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+      val merged = (store.read(spark) match {
+        case Some(prev) => prev.unionByName(batchCounts)
+        case None => batchCounts
+      }).groupBy(col("source"), col("w")).agg(sum(col("c")).as("c"))
+        .persist()
+      store.write(merged) // versioned: readers never see a partial state
+      merged.unpersist()
+      marker.foreach(java.nio.file.Files.createFile(_))
+    }
 
-    val totals = merged.groupBy(col("source")).agg(sum(col("c")).as("ts"))
+    // score from the store read-back: fresh parquet lineage (no
+    // per-batch cached plans accumulating over a long-running stream)
+    val current = store.read(spark).get
+    val totals = current.groupBy(col("source")).agg(sum(col("c")).as("ts"))
     // (rt+rv) as a one-row broadcast scalar: unseen tokens LEFT-join
     // null rc, but the smoothing denominator must still apply
     val refTotals = broadcast(
       reference.select((col("rt") + col("rv")).as("rtv")).limit(1))
-    // p = c/ts; q = (rc+1)/(rt+rv); ln(p/q) over one exact integer
-    // product ratio → micro-nat floor → associative integer sum
-    val scored = merged
+    // p = c/ts; q = (rc+1)/(rt+rv); ln(p/q) with every count factor
+    // cast to double BEFORE the multiply (counts < 2^53 convert
+    // exactly; an int64 product of two corpus-scale totals would
+    // wrap) → micro-nat floor → associative integer sum
+    val scored = current
       .join(totals, Seq("source"))
       .join(broadcast(reference.select(col("w"), col("rc"))), Seq("w"), "left")
       .crossJoin(refTotals)
       .select(col("source"), col("c"),
         floor((col("c").cast("double") / col("ts")) *
-          log((col("c") * col("rtv")).cast("double") /
-            ((coalesce(col("rc"), lit(0L)) + 1L) * col("ts")).cast("double")) * 1e6)
+          log((col("c").cast("double") * col("rtv").cast("double")) /
+            ((coalesce(col("rc"), lit(0L)) + 1L).cast("double") * col("ts").cast("double"))) * 1e6)
           .cast("bigint").as("kl_micro"))
 
     scored.groupBy(col("source"))
@@ -93,7 +112,7 @@ object DriftMonitor {
     docs.writeStream
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        updateBatch(batch, sourceCol, textCol, store, reference)
+        updateBatch(batch, sourceCol, textCol, store, reference, Some(batchId))
           .withColumn("batch_id", lit(batchId))
           .write.mode("append").parquet(outPath)
       }

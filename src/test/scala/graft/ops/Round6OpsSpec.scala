@@ -19,11 +19,13 @@ class Round6OpsSpec extends AnyFunSuite with SparkTestBase {
       (1L, "https://a.example.com/x/y"),
       (2L, "http://b.org"),
       (3L, "ftp://c.net/file"),
-      (4L, "not a url")
+      (4L, "not a url"),
+      (5L, "HTTPS://Upper.Scheme.com/x")
     ).toDF("doc_id", "url")
     val got = df.select(col("doc_id"), DomainCuration.host(col("url")).as("h"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
-    assert(got == Map(1L -> "a.example.com", 2L -> "b.org", 3L -> "c.net", 4L -> ""))
+    assert(got == Map(1L -> "a.example.com", 2L -> "b.org", 3L -> "c.net",
+      4L -> "", 5L -> "Upper.Scheme.com"))
   }
 
   test("domain stats: hand-counted docs/chars per host") {
@@ -62,9 +64,37 @@ class Round6OpsSpec extends AnyFunSuite with SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got(1L) == "https://ex.com/Path", "scheme+host lowered, path case kept, utm+frag+slash stripped")
     assert(got(1L) == got(2L), "messy and clean forms collide")
-    assert(got(3L) == "http://a.com/p?page=2", "dangling & re-anchored to ?")
+    assert(got(3L) == "http://a.com/p?page=2", "leading utm stripped, kept param re-anchored")
     assert(got(4L) == "http://a.com/p?page=2", "utm stripped mid-query")
     assert(got(5L) == "http://b.com/CaseKept/q?x=1", "non-tracking query kept")
+  }
+
+  test("url canonicalization: path ampersands, malformed urls, sandwiched utm") {
+    val df = Seq(
+      (1L, "http://a.com/a&b"),                 // '&' in a query-less path
+      (2L, "http://a.com/a?b"),                 // genuinely different url
+      (3L, "/relative/path"),                   // no scheme -> pass through
+      (4L, "mailto:x@y.com"),                   // no scheme://host shape
+      (5L, "http://c.com/p?a=1&utm_x=2&b=3")    // utm between kept params
+    ).toDF("doc_id", "url")
+    val got = df.select(col("doc_id"), DomainCuration.canonicalizeUrl(col("url")).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "http://a.com/a&b", "path & untouched")
+    assert(got(1L) != got(2L), "distinct urls stay distinct")
+    assert(got(3L) == "/relative/path" && got(4L) == "mailto:x@y.com",
+      "non-matching urls pass through instead of collapsing")
+    assert(got(5L) == "http://c.com/p?a=1&b=3", "utm dropped wherever it sits")
+  }
+
+  test("native vector kernels return null on length-mismatched inputs") {
+    import graft.functions.VectorFunctions
+    val df = Seq((Seq(1.0f, 2.0f), Seq(1.0f, 2.0f, 3.0f))).toDF("a", "b")
+    val r = df.select(
+      VectorFunctions.dotProduct(col("a"), col("b")).as("dot"),
+      VectorFunctions.cosineSimilarity(col("a"), col("b")).as("cos"),
+      VectorFunctions.dotProductHof(col("a"), col("b")).as("hof")).first()
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2),
+      "truncating to the shorter array would silently score malformed vectors")
   }
 
   test("prefix dedup: shared first-k tokens grouped, distinct prefixes not") {

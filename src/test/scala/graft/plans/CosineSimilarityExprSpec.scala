@@ -41,13 +41,16 @@ class CosineSimilarityExprSpec extends AnyFunSuite with SparkTestBase {
     assert(v == expect)
   }
 
-  test("null input yields null, mismatched lengths use common prefix") {
+  test("null input yields null, mismatched lengths yield null (HOF parity)") {
+    // a truncated-prefix score would let malformed vectors pass
+    // silently; the zip_with/aggregate baseline nulls them, so the
+    // kernel must too (r6 review finding)
     val df = Seq(
       (Some(Array(1.0, 0.0)), Some(Array(1.0, 0.0, 5.0))),
       (None, Some(Array(1.0, 0.0)))).toDF("a", "b")
       .select(CosineSimilarityExpr.cosine(col("a"), col("b")).as("c"))
     val rows = df.collect()
-    assert(!rows(0).isNullAt(0))
+    assert(rows(0).isNullAt(0))
     assert(rows(1).isNullAt(0))
   }
 }

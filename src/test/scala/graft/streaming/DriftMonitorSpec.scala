@@ -61,6 +61,26 @@ class DriftMonitorSpec extends AnyFunSuite with SparkTestBase {
     assert(oneShot("s1") == after2("s1")._2, "accumulated == one-shot")
   }
 
+  test("replayed batch id is not merged twice (foreachBatch at-least-once)") {
+    val reference = DriftMonitor.fitReference(
+      Seq.fill(20)("alpha beta").toDF("text"), col("text"))
+    val store = new ParquetStateStore(tmp("drift_store_replay"))
+    val batch = Seq(("s1", "alpha beta alpha beta")).toDF("source", "text")
+    val first = DriftMonitor.updateBatch(batch, "source", "text", store, reference,
+        batchId = Some(7L))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // same batchId replayed: counts and KL must be unchanged
+    val replay = DriftMonitor.updateBatch(batch, "source", "text", store, reference,
+        batchId = Some(7L))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(first("s1")._1 == 4L && replay == first)
+    // a NEW batch id does merge
+    val next = DriftMonitor.updateBatch(batch, "source", "text", store, reference,
+        batchId = Some(8L))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(next("s1") == 8L)
+  }
+
   test("end-to-end: file-source stream emits per-batch drift snapshots") {
     val reference = DriftMonitor.fitReference(
       Seq.fill(20)("alpha beta gamma").toDF("text"), col("text"))
