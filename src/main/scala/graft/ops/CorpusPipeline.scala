@@ -14,7 +14,11 @@ import org.apache.spark.sql.functions._
   *  3. quality filter (length/token/punct flags)     — narrow filter
   *  3b. repetition filter (Gopher-style bigram caps) — narrow filter
   *  3c. eval-set contamination filter (broadcast)    — broadcast join
+  *  3d. URL canonical dedup + per-domain cap (C52/C55, when a URL
+  *      column is supplied)                          — keyed shuffles
   *  4. exact dedup (md5 groupBy, min-id survivor)    — 1 shuffle
+  *  4b. prefix-dup screen (C56, optional — catches template stamps
+  *      cheaply before the banded stage)             — 1 shuffle
   *  5. near-dup removal: MinHash-LSH pairs → connected components →
   *     keep each cluster's minimum id                — banded shuffles
   *  6. deterministic hash sampling                   — narrow filter
@@ -32,7 +36,9 @@ object CorpusPipeline {
       maxTopBigramFrac: Double = 1.0, // 1.0 disables the repetition cap
       nearDupThreshold: Double = 0.7,
       sampleFraction: Double = 1.0,
-      maxTokens: Int = 4096)
+      maxTokens: Int = 4096,
+      maxDocsPerDomain: Option[Int] = None, // needs urlCol in prepare()
+      prefixDedupK: Option[Int] = None)
 
   /** @param docs columns: doc_id (bigint), text, source
     * @param evalSet optional benchmark documents (a `text` column);
@@ -44,12 +50,13 @@ object CorpusPipeline {
     */
   def prepare(docs: DataFrame, cfg: Config = Config(),
       evalSet: Option[DataFrame] = None,
-      contaminationFrac: Double = 0.5): DataFrame = {
+      contaminationFrac: Double = 0.5,
+      urlCol: Option[String] = None): DataFrame = {
     // 1-3: narrow scrub + filters, one pass over the scan
-    val scrubbed = docs.select(
-        col("doc_id").cast("bigint").as("doc_id"),
-        col("source"),
-        TextCleaner.scrubAll(col("text")).as("text"))
+    val carried = Seq(col("doc_id").cast("bigint").as("doc_id"),
+      col("source"), TextCleaner.scrubAll(col("text")).as("text")) ++
+      urlCol.map(col).toSeq
+    val scrubbed = docs.select(carried: _*)
       .withColumn("lang", TextAnalysis.langId(col("text")))
       .filter(col("lang").isin(cfg.langs.toSeq: _*))
     val (lenOk, tokOk, punctOk) = TextAnalysis.qualityFlags(col("text"))
@@ -75,8 +82,40 @@ object CorpusPipeline {
         unrepeated.join(flagged, Seq("doc_id"), "left_anti")
     }
 
+    // 3d: URL-keyed curation — canonical-duplicate removal, then the
+    // per-domain cap, both keep-smallest deterministic
+    val domainCurated = urlCol match {
+      case None => decontaminated
+      case Some(u) =>
+        val canonKeep = DomainCuration.urlDedup(decontaminated, col(u), col("doc_id"))
+          .select(col("kept_doc").as("doc_id"))
+        val urlDeduped = decontaminated.join(canonKeep, Seq("doc_id"), "left_semi")
+        cfg.maxDocsPerDomain match {
+          case None => urlDeduped
+          case Some(n) =>
+            val capKeep = DomainCuration.capPerDomain(urlDeduped, col(u), col("doc_id"), n)
+              .select(col("doc_id"))
+            urlDeduped.join(capKeep, Seq("doc_id"), "left_semi")
+        }
+    }
+
     // 4: exact dedup — min doc_id survives per distinct content
-    val exactDeduped = Dedup.exactRows(decontaminated, col("doc_id"), col("text"))
+    val exactDeduped0 = Dedup.exactRows(domainCurated, col("doc_id"), col("text"))
+
+    // 4b: prefix-dup screen — drop every non-kept member of a shared
+    // first-k-token group before the (costlier) banded near-dup stage
+    val exactDeduped = cfg.prefixDedupK match {
+      case None => exactDeduped0
+      case Some(k) =>
+        val groups = Dedup.prefixGroups(exactDeduped0, col("doc_id"), col("text"), k)
+        val keyed = exactDeduped0.select(col("doc_id"),
+          md5(array_join(slice(split(trim(lower(col("text"))), "\\s+"), 1, k), " "))
+            .as("prefix_md5"))
+        val drops = keyed.join(groups, Seq("prefix_md5"))
+          .filter(col("doc_id") =!= col("kept_doc"))
+          .select(col("doc_id"))
+        exactDeduped0.join(drops, Seq("doc_id"), "left_anti")
+    }
 
     // 5: near-dup clusters — drop every member except the cluster min
     val pairs = Dedup.minHashLshAuto(exactDeduped, col("doc_id"), col("text"),

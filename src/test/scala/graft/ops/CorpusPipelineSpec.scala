@@ -88,6 +88,39 @@ class CorpusPipelineSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("url curation stages: canonical dups collapse, domain caps bound volume, prefix screen fires") {
+    // three docs share one canonical url (case/utm/fragment noise);
+    // domain big.com gets 12 distinct pages (cap 3); two docs share a
+    // 5-token prefix with distinct endings (prefix screen k=5)
+    // every text carries English stopwords: the pipeline's langId
+    // stage runs BEFORE url curation and drops unclassifiable docs
+    val big = (100L to 111L).map(i =>
+      // the page NUMBER sits inside the first 5 tokens so the k=5
+      // prefix screen does not also fire on these
+      (i, s"the page $i body of number and with filler words attached", "s",
+        s"https://big.com/p$i"))
+      .toDF("doc_id", "text", "source", "url")
+    val all = Seq(
+      (1L, "the quick brown fox and one lazy dog of night", "s", "https://Dup.com/page?utm_a=1"),
+      (2L, "some other text body here and the entirely new stuff of it", "s", "HTTPS://dup.com/page#frag"),
+      (3L, "the third body of text again and fully unique words", "s", "https://dup.com/page"),
+      (20L, "the quick brown fox and aardvark wolf zebra of day", "s", "https://pfx.com/a"),
+      (21L, "an unrelated content entirely different with words here of now", "s", "https://pfx.com/b"))
+      .toDF("doc_id", "text", "source", "url").union(big)
+
+    val out = CorpusPipeline.prepare(all,
+        cfg.copy(maxDocsPerDomain = Some(3), prefixDedupK = Some(5),
+          nearDupThreshold = 0.95),
+        urlCol = Some("url"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+
+    assert(out.contains(1L) && !out.contains(2L) && !out.contains(3L),
+      "canonical-url dups keep the smallest doc_id only")
+    assert(out.count(id => id >= 100L && id <= 111L) == 3, "domain cap bounds big.com to 3")
+    // doc 1 and 20 share the 5-token prefix: 20 dropped by the screen
+    assert(!out.contains(20L) && out.contains(21L), "prefix screen keeps min-id only")
+  }
+
   test("sampling stage composes: fraction < 1 yields a strict reproducible subset") {
     val full = CorpusPipeline.prepare(withPlanted, cfg)
       .select("doc_id").collect().map(_.getLong(0)).toSet
