@@ -42,7 +42,10 @@ object Bench {
       .map { case (name, fn) =>
         name -> (0 until math.max(1, passes)).map(_ => timeOnce(fn)).min
       }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // 4dp per query: the full double rendering made the JSON line long
+    // enough that log-tail captures truncated the first queries' times
+    // (r5 verdict note) — 0.1 ms resolution loses nothing measurable
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val loadavg =

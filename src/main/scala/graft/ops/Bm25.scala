@@ -31,24 +31,36 @@ object Bm25 {
     * ROUNDED score (cross-engine stable ordering).
     */
   def topK(docs: DataFrame, id: Column, text: Column, queries: DataFrame,
-      k1: Double = 1.2, b: Double = 0.75, topK: Int = 10): DataFrame = {
+      k1: Double = 1.2, b: Double = 0.75, topK: Int = 10,
+      maxLiteralVocab: Int = 100000): DataFrame = {
     import org.apache.spark.sql.expressions.Window
 
     // The query set is a search request — small by definition, and in
     // practice a local relation: collect WITHOUT a distinct so no
-    // Spark job is needed, and dedup driver-side.
-    val qTerms = queries.select(col("term"))
+    // Spark job is needed, and dedup driver-side. The literal IN-list
+    // prunes the token stream INSIDE the tokenize scan — strictly
+    // better than a post-explode join while the vocab fits the
+    // driver; past `maxLiteralVocab` terms fall back to a semi-join
+    // against the (distributed) query relation so the operator stays
+    // unbounded.
+    val qTermsHead = queries.select(col("term"))
+      .limit(maxLiteralVocab + 1)
       .collect().map(_.getString(0)).toSeq.distinct
 
     // ONE tokenize pass over the corpus, projected down to text-free
     // rows and cached; serves both the postings and the corpus stats.
     val base = docs
       .select(id.as("doc_id"), split(trim(lower(text)), "\\s+").as("toks"))
-      .select(col("doc_id"), size(col("toks")).cast("bigint").as("dl"),
-        filter(col("toks"), t => t.isInCollection(qTerms)).as("qtoks"))
+      .select(col("doc_id"), size(col("toks")).cast("bigint").as("dl"), col("toks"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val tf = base
-      .select(col("doc_id"), col("dl"), explode(col("qtoks")).as("term"))
+    val termStream =
+      if (qTermsHead.size <= maxLiteralVocab)
+        base.select(col("doc_id"), col("dl"),
+          explode(filter(col("toks"), t => t.isInCollection(qTermsHead))).as("term"))
+      else
+        base.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+          .join(queries.select(col("term")).distinct(), Seq("term"), "left_semi")
+    val tf = termStream
       .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
 

@@ -197,6 +197,21 @@ class Round4OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got(0)._2 > got(1)._2)
   }
 
+  test("bm25 semi-join fallback (vocab over the literal cap) matches the fast path") {
+    val docs = Seq(
+      (1L, "alpha beta x y"),
+      (2L, "alpha c d e"),
+      (3L, "beta f g h"))
+      .toDF("doc_id", "text")
+    val queries = Seq(("q1", "alpha"), ("q1", "beta")).toDF("query_id", "term")
+    def run(cap: Int) =
+      Bm25.topK(docs, col("doc_id"), col("text"), queries, topK = 10,
+          maxLiteralVocab = cap)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+        .sortBy(x => (x._1, x._4)).toSeq
+    assert(run(1) == run(100000), "forced fallback must score identically")
+  }
+
   // ---------------------------------------------------------------- Repetition
 
   test("repetition metrics: counts and fractions on hand-built docs") {
