@@ -37,6 +37,20 @@ class ProfilingOpsSpec extends AnyFunSuite with SparkTestBase {
 
   // ---------------------------------------------------------- EquiDepth
 
+  test("partitioned prefix-sum variant equals the single-window histogram") {
+    // wide + skewed + negative domain: exercises coarse-range splits
+    val df = ((1L to 300L).map(i => i * 1000003L) ++ Seq.fill(50)(-7L) ++
+        (1L to 40L).map(_ => 42L))
+      .map(Tuple1(_)).toDF("x")
+    for (b <- Seq(1, 4, 16)) {
+      val a = EquiDepth.histogram(df, col("x"), b)
+        .orderBy("bucket").collect().map(_.toSeq).toSeq
+      val p = EquiDepth.histogramPartitioned(df, col("x"), b)
+        .orderBy("bucket").collect().map(_.toSeq).toSeq
+      assert(a == p, s"buckets=$b")
+    }
+  }
+
   test("equi-depth histogram: near-equal bucket depths, values never split") {
     // 100 rows of value i%10 -> 10 distinct values x 10 rows
     val df = (0 until 100).map(i => i % 10).toDF("x")
