@@ -193,6 +193,28 @@ object RealtimeStateStream {
         graft.plans.HllSketch.hllEstimate(
           graft.plans.HllSketch.hllSketch(col(distinctCol))).as("n_distinct_est"))
 
+  /** Streaming windowed heavy hitters — the C23 Misra-Gries analog
+    * of [[windowedDistinct]] (B11): the exact per-item top list is
+    * unbounded on a stream (full key space in state), the MG sketch
+    * keeps k counters per open window with the standard n/k
+    * undercount bound, and its partial/merge contract makes stream
+    * and batch summaries identical. The "what's trending in this
+    * window" wire for event/crawl monitoring.
+    */
+  def windowedTopItems(
+      events: org.apache.spark.sql.DataFrame,
+      tsCol: String,
+      typeCol: String,
+      itemCol: String,
+      k: Int = 16,
+      windowLen: String = "1 hour",
+      watermark: String = "10 minutes"): org.apache.spark.sql.DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen), col(typeCol))
+      .agg(count(lit(1)).as("n"),
+        graft.plans.FreqSketch.freqItems(col(itemCol), k).as("top_items"))
+
   /** Gap-based session aggregation over an event-time stream —
     * the streaming twin of the batch sessionization query
     * (CoreQueries q_sessionize): a session extends while events

@@ -105,6 +105,38 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     } finally query.stop()
   }
 
+  test("streaming windowed top items via Misra-Gries: partials merge across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, String)]
+    val events = input.toDF().toDF("ts", "event_type", "item")
+
+    val agg = RealtimeStateStream.windowedTopItems(events, "ts", "event_type", "item",
+      k = 8, windowLen = "1 hour", watermark = "0 seconds")
+    val query = agg.writeStream
+      .format("memory").queryName("windowed_top_test").outputMode("complete").start()
+    try {
+      val t = (m: String) => java.sql.Timestamp.valueOf(s"2024-01-01 10:$m:00")
+      // batch 1: "hot" x 40, "warm" x 20, tail of 15 singletons
+      input.addData((1 to 40).map(_ => (t("05"), "click", "hot")) ++
+        (1 to 20).map(_ => (t("10"), "click", "warm")) ++
+        (1 to 15).map(i => (t("15"), "click", s"t$i")): _*)
+      query.processAllAvailable()
+      // batch 2: "hot" keeps climbing — counters must MERGE, not reset
+      input.addData((1 to 30).map(_ => (t("20"), "click", "hot")): _*)
+      query.processAllAvailable()
+
+      val rows = spark.table("windowed_top_test")
+        .select(col("n"), col("top_items")).collect()
+      assert(rows.length == 1)
+      assert(rows.head.getLong(0) == 105L)
+      val top = rows.head.getSeq[org.apache.spark.sql.Row](1)
+        .map(r => (r.getString(0), r.getLong(1)))
+      // n/k bound = 105/8 ≈ 13: both true heavies must survive, in order
+      assert(top.head._1 == "hot" && top.head._2 >= 70L - 105L / 8 && top.head._2 <= 70L)
+      assert(top(1)._1 == "warm" && top(1)._2 >= 20L - 105L / 8 && top(1)._2 <= 20L)
+    } finally query.stop()
+  }
+
   test("streaming windowed distinct via HLL sketch: partials merge across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, String, Long)]
