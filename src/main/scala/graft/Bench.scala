@@ -8,14 +8,31 @@ import org.apache.spark.sql.SparkSession
   * doesn't carry JVM/codegen warmup. Each query is timed
   * SPARK_GRAFT_BENCH_PASSES times (default 2) and the minimum is
   * reported — the steady-state number, robust to concurrent machine
-  * load; the 1-min loadavg is recorded in the JSON so a noisy run is
-  * visible in the artifact itself.
+  * load; the 1-min loadavg is recorded before AND after the run so a
+  * noisy window is visible in the artifact itself.
+  *
+  * The complete JSON is also written to a results file
+  * (SPARK_GRAFT_BENCH_OUT, default /tmp/graft_bench_latest.json) so
+  * the artifact survives log-tail truncation — the r5/r6 verdicts
+  * both flagged BENCH_r{N}.json captures that dropped the first
+  * queries from the stdout line.
   */
 object Bench {
+  private def loadAvg1m(): Double =
+    try java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+    catch { case _: Throwable => -1.0 }
+
+  // explicit-locale rendering: f"$v%.4f" uses the default JVM locale,
+  // which under e.g. de_DE renders "0,1234" and corrupts the JSON
+  private def d4(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.4f", Double.box(v))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench_latest.json")
+    val loadBefore = loadAvg1m()
     val spark = GraftSession.getOrCreate(s"local[$cpus]", cpus)
 
     // warmup: cache every table (CacheManager substitutes the
@@ -45,13 +62,16 @@ object Bench {
     // 4dp per query: the full double rendering made the JSON line long
     // enough that log-tail captures truncated the first queries' times
     // (r5 verdict note) — 0.1 ms resolution loses nothing measurable
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + d4(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val loadavg =
-      try java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
-      catch { case _: Throwable => -1.0 }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"loadavg_1m":$loadavg}""")
+    val loadAfter = loadAvg1m()
+    val json = s"""{"metric":"total","value":${d4(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"loadavg_before":${d4(loadBefore)},"loadavg_after":${d4(loadAfter)}}"""
+    try {
+      val w = new java.io.PrintWriter(new java.io.File(outFile), "UTF-8")
+      try w.println(json) finally w.close()
+    } catch { case _: Throwable => () } // file copy is best-effort; stdout line is the contract
+    println(json)
     spark.stop()
   }
 }

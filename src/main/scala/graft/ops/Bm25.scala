@@ -43,9 +43,15 @@ object Bm25 {
     // driver; past `maxLiteralVocab` terms fall back to a semi-join
     // against the (distributed) query relation so the operator stays
     // unbounded.
-    val qTermsHead = queries.select(col("term"))
+    val qTermsRaw = queries.select(col("term"))
       .limit(maxLiteralVocab + 1)
-      .collect().map(_.getString(0)).toSeq.distinct
+      .collect().map(_.getString(0)).toSeq
+    // saturation is judged on the PRE-distinct row count: a saturated
+    // limit means the collected prefix may be missing terms even if
+    // duplicates compress its distinct size under the cap, so the
+    // literal path would silently drop query terms from scoring
+    val literalVocabComplete = qTermsRaw.size <= maxLiteralVocab
+    val qTermsHead = qTermsRaw.distinct
 
     // ONE tokenize pass over the corpus, projected down to text-free
     // rows and cached; serves both the postings and the corpus stats.
@@ -54,7 +60,7 @@ object Bm25 {
       .select(col("doc_id"), size(col("toks")).cast("bigint").as("dl"), col("toks"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val termStream =
-      if (qTermsHead.size <= maxLiteralVocab)
+      if (literalVocabComplete)
         base.select(col("doc_id"), col("dl"),
           explode(filter(col("toks"), t => t.isInCollection(qTermsHead))).as("term"))
       else

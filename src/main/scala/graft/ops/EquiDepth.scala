@@ -56,13 +56,23 @@ object EquiDepth {
 
   /** Two-pass distributed prefix-sum variant for unbounded distinct-
     * value domains: distinct values map to ~[[PrefixRanges]] coarse
-    * value ranges by pure integer arithmetic (no (v-lo)·k product —
-    * overflow-free for any bigint domain); per-range totals
-    * prefix-sum in a ≤65-row window; each range's offset broadcasts
+    * value ranges by pure integer arithmetic; per-range totals
+    * prefix-sum in a small window; each range's offset broadcasts
     * back and the within-range cumulative window is partitioned BY
     * range. Ordering by value within value-ordered ranges makes the
     * arithmetic identical to [[histogram]]'s single global window
     * (spec-verified equal).
+    *
+    * The coarse key is computed on HALVED values: `hi - lo` and
+    * `v - lo` wrap silently (non-ANSI Long arithmetic) when the
+    * domain spans more than 2^63 (e.g. lo near Long.MinValue, hi near
+    * Long.MaxValue), which would make the key non-monotonic in v.
+    * `v DIV 2` is monotone nondecreasing and confines every
+    * intermediate to [-2^62, 2^62], so `(v DIV 2 - lo DIV 2) DIV
+    * halfstep` is overflow-free and monotone for the FULL bigint
+    * domain, at the cost of a 2× coarser step resolution (irrelevant:
+    * the key only has to be monotone and ≤ ~[[PrefixRanges]]-valued;
+    * the final histogram never sees it).
     */
   def histogramPartitioned(df: DataFrame, value: Column, buckets: Int): DataFrame = {
     require(buckets >= 1)
@@ -72,8 +82,8 @@ object EquiDepth {
 
     val mm = counts.agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
     val ranged = counts.crossJoin(broadcast(mm))
-      .withColumn("step", expr(s"(hi - lo) DIV $PrefixRanges + 1"))
-      .withColumn("coarse", expr("(v - lo) DIV step"))
+      .withColumn("halfstep", expr(s"(hi DIV 2 - lo DIV 2) DIV $PrefixRanges + 1"))
+      .withColumn("coarse", expr("(v DIV 2 - lo DIV 2) DIV halfstep"))
 
     val wOff = Window.orderBy(col("coarse"))
       .rowsBetween(Window.unboundedPreceding, -1)

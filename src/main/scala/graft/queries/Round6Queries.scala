@@ -156,8 +156,9 @@ object Round6Queries {
     "q_url_dedup" ->
       s"""WITH uu AS (SELECT doc_id, $messyUrlSql AS url FROM documents),
          |uc AS (SELECT doc_id, ${DomainCuration.canonicalizeUrlSql("url")} AS canonical_url FROM uu)
-         |SELECT canonical_url, count(*) AS n_docs, min(doc_id) AS kept_doc
-         |FROM uc GROUP BY canonical_url ORDER BY canonical_url""".stripMargin,
+         |SELECT min(canonical_url) AS canonical_url, count(*) AS n_docs, min(doc_id) AS kept_doc
+         |FROM uc GROUP BY ('0x' || substr(md5(canonical_url), 1, 15))::BIGINT
+         |ORDER BY canonical_url""".stripMargin,
 
     "q_prefix_dedup" ->
       s"""WITH pp AS (SELECT doc_id,

@@ -48,17 +48,24 @@ object DriftMonitor {
     *
     * Replay-safe when `batchId` is supplied (the [[writer]] path):
     * foreachBatch is at-least-once, and re-merging a replayed batch
-    * would permanently inflate the durable counts — an applied-batch
-    * marker in the store directory skips the merge on replay and
-    * re-scores from the already-merged state instead.
+    * would permanently inflate the durable counts — the batch id is
+    * committed ATOMICALLY with the merged state (it rides the store
+    * version's rename as an applied-tag marker), so a crash anywhere
+    * leaves either un-merged+un-marked or merged+marked, and replay
+    * either re-merges a batch that never landed or skips one that
+    * did; the inflate window the marker-after-write sequencing had is
+    * structurally gone. Batch ids in one checkpoint lineage are
+    * monotonic, so "applied" is `lastAppliedTag >= batchId` (a store
+    * is bound to one stream's checkpoint; reusing it across
+    * checkpoints restarts ids at 0 and would skip them — use a fresh
+    * store dir per checkpoint, as [[writer]] callers do).
     */
   def updateBatch(batch: DataFrame, sourceCol: String, textCol: String,
       store: ParquetStateStore, reference: DataFrame,
       batchId: Option[Long] = None): DataFrame = {
     val spark = batch.sparkSession
-    val marker = batchId.map(id =>
-      java.nio.file.Paths.get(store.dir, s"applied_batch_$id"))
-    val alreadyApplied = marker.exists(java.nio.file.Files.exists(_))
+    val alreadyApplied = batchId.exists(id =>
+      store.lastAppliedTag.exists(_.toLong >= id))
 
     if (!alreadyApplied) {
       val batchCounts = batch
@@ -70,9 +77,9 @@ object DriftMonitor {
         case None => batchCounts
       }).groupBy(col("source"), col("w")).agg(sum(col("c")).as("c"))
         .persist()
-      store.write(merged) // versioned: readers never see a partial state
+      // versioned rename-commit: state + applied marker land together
+      store.write(merged, batchId.map(_.toString))
       merged.unpersist()
-      marker.foreach(java.nio.file.Files.createFile(_))
     }
 
     // score from the store read-back: fresh parquet lineage (no
@@ -102,9 +109,12 @@ object DriftMonitor {
         round(sum(col("kl_micro")).cast("double") / 1e6, 4).as("kl_vs_reference"))
   }
 
-  /** Wire a document stream into the monitor; drift snapshots append
-    * to `outPath` tagged by batch id. Caller sets checkpoints and
-    * starts the writer.
+  /** Wire a document stream into the monitor; drift snapshots land
+    * under `outPath` partitioned by batch id. Caller sets checkpoints
+    * and starts the writer. Each batch OVERWRITES its own
+    * `batch_id=N` partition, so a replayed batch replaces rather than
+    * appends its snapshot — the output is idempotent per batch id,
+    * and readers get `batch_id` back through partition discovery.
     */
   def writer(docs: DataFrame, sourceCol: String, textCol: String,
       store: ParquetStateStore, reference: DataFrame,
@@ -113,7 +123,6 @@ object DriftMonitor {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         updateBatch(batch, sourceCol, textCol, store, reference, Some(batchId))
-          .withColumn("batch_id", lit(batchId))
-          .write.mode("append").parquet(outPath)
+          .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
       }
 }

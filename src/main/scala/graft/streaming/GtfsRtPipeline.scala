@@ -1,15 +1,12 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths}
-
-import scala.jdk.CollectionConverters._
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.gtfs.TripMatcher
 import graft.streaming.LatestState
+import graft.util.StoreFs
 
 /** The reference realtime server's core loop (realtime.py: MQTT
   * message → adapter matching → queue drain into DuckDB tables →
@@ -28,28 +25,53 @@ import graft.streaming.LatestState
 object GtfsRtPipeline {
 
   /** Versioned parquet state table: write vN+1, readers use the max
-    * committed version.
+    * committed version. All paths go through the Hadoop `FileSystem`
+    * of the session conf ([[graft.util.StoreFs]]), so the store works
+    * unchanged against `file:`, HDFS, or S3A directories.
+    *
+    * Commit protocol: each version is STAGED in a dot-prefixed
+    * sibling (never matched by the `v=` listing), optional metadata
+    * markers are added inside it, and one directory rename publishes
+    * it — on rename-atomic filesystems a reader (and a crash-replayed
+    * writer) sees either the old complete version or the new complete
+    * version, never a half-written one, and the state bytes + the
+    * applied-batch marker commit TOGETHER (no window where state is
+    * merged but unmarked, which would double-merge on foreachBatch
+    * replay).
     */
   final class ParquetStateStore(val dir: String) {
-    Files.createDirectories(Paths.get(dir))
+    StoreFs.mkdirs(dir)
 
     def latestVersion: Option[Long] = {
-      val p = Paths.get(dir)
-      val versions = Files.list(p).iterator().asScala
-        .map(_.getFileName.toString)
+      val versions = StoreFs.listNames(dir)
         .filter(_.startsWith("v="))
         .map(_.stripPrefix("v=").toLong)
-        .toSeq
       if (versions.isEmpty) None else Some(versions.max)
     }
 
     def read(spark: SparkSession): Option[DataFrame] =
       latestVersion.map(v => spark.read.parquet(s"$dir/v=$v"))
 
-    def write(df: DataFrame): Unit = {
+    /** Publish the next version; `appliedTag` (e.g. a foreachBatch
+      * batch id) rides inside the version dir as an underscore-
+      * prefixed marker file, which parquet readers ignore as hidden.
+      */
+    def write(df: DataFrame, appliedTag: Option[String] = None): Unit = {
       val next = latestVersion.getOrElse(-1L) + 1
-      df.write.mode("overwrite").parquet(s"$dir/v=$next")
+      val staging = s"$dir/.staging-v$next"
+      StoreFs.deleteRecursively(staging)
+      df.write.mode("overwrite").parquet(staging)
+      appliedTag.foreach(t => StoreFs.touch(s"$staging/_applied_tag_$t"))
+      StoreFs.rename(staging, s"$dir/v=$next")
     }
+
+    /** The applied tag the latest committed version carries, if any. */
+    def lastAppliedTag: Option[String] =
+      latestVersion.flatMap { v =>
+        StoreFs.listNames(s"$dir/v=$v")
+          .find(_.startsWith("_applied_tag_"))
+          .map(_.stripPrefix("_applied_tag_"))
+      }
   }
 
   /** Start the pipeline over a stream of raw trip updates.

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths}
+
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -117,5 +117,5 @@ object IncrementalNearDup {
       .filter(col("est_jaccard") >= estThreshold)
 
   private def readStore(spark: SparkSession, dir: String): Option[DataFrame] =
-    if (Files.exists(Paths.get(dir))) Some(spark.read.parquet(dir)) else None
+    if (graft.util.StoreFs.exists(dir)) Some(spark.read.parquet(dir)) else None
 }

@@ -51,6 +51,21 @@ class ProfilingOpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("partitioned variant survives a full-bigint span (no Long wrap in the coarse key)") {
+    // lo near Long.MinValue, hi near Long.MaxValue: (hi-lo) and (v-lo)
+    // would wrap; the halved-arithmetic coarse key must stay monotone
+    val df = (Seq(Long.MinValue + 1, Long.MinValue / 2, -1000L, 0L, 999L,
+        Long.MaxValue / 2, Long.MaxValue - 1) ++ Seq.fill(30)(5L))
+      .map(Tuple1(_)).toDF("x")
+    for (b <- Seq(1, 3, 8)) {
+      val a = EquiDepth.histogram(df, col("x"), b)
+        .orderBy("bucket").collect().map(_.toSeq).toSeq
+      val p = EquiDepth.histogramPartitioned(df, col("x"), b)
+        .orderBy("bucket").collect().map(_.toSeq).toSeq
+      assert(a == p, s"buckets=$b")
+    }
+  }
+
   test("equi-depth histogram: near-equal bucket depths, values never split") {
     // 100 rows of value i%10 -> 10 distinct values x 10 rows
     val df = (0 until 100).map(i => i % 10).toDF("x")
