@@ -39,19 +39,22 @@ object EquiDepth {
     */
   def histogram(df: DataFrame, value: Column, buckets: Int): DataFrame = {
     require(buckets >= 1)
-    // NULLs are excluded on BOTH sides (engines disagree on null sort
-    // order: Spark windows default NULLS FIRST, DuckDB nulls_last —
-    // including them would shift every bucket boundary differently).
-    val counts = df.select(value.cast("bigint").as("v"))
+    val counts = valueCounts(df, value)
+    bucketize(cumSingle(counts), counts.agg(sum(col("c")).as("n")), buckets)
+  }
+
+  /** NULLs are excluded on BOTH sides (engines disagree on null sort
+    * order: Spark windows default NULLS FIRST, DuckDB nulls_last —
+    * including them would shift every bucket boundary differently).
+    */
+  private def valueCounts(df: DataFrame, value: Column): DataFrame =
+    df.select(value.cast("bigint").as("v"))
       .filter(col("v").isNotNull)
       .groupBy(col("v")).agg(count(lit(1)).as("c"))
 
+  private def cumSingle(counts: DataFrame): DataFrame = {
     val w = Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, -1)
-    val total = counts.agg(sum(col("c")).as("n"))
-
-    bucketize(
-      counts.withColumn("cum_before", coalesce(sum(col("c")).over(w), lit(0L))),
-      total, buckets)
+    counts.withColumn("cum_before", coalesce(sum(col("c")).over(w), lit(0L)))
   }
 
   /** Two-pass distributed prefix-sum variant for unbounded distinct-
@@ -76,10 +79,11 @@ object EquiDepth {
     */
   def histogramPartitioned(df: DataFrame, value: Column, buckets: Int): DataFrame = {
     require(buckets >= 1)
-    val counts = df.select(value.cast("bigint").as("v"))
-      .filter(col("v").isNotNull)
-      .groupBy(col("v")).agg(count(lit(1)).as("c"))
+    val counts = valueCounts(df, value)
+    bucketize(cumPartitioned(counts), counts.agg(sum(col("c")).as("n")), buckets)
+  }
 
+  private def cumPartitioned(counts: DataFrame): DataFrame = {
     val mm = counts.agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
     val ranged = counts.crossJoin(broadcast(mm))
       .withColumn("halfstep", expr(s"(hi DIV 2 - lo DIV 2) DIV $PrefixRanges + 1"))
@@ -93,13 +97,37 @@ object EquiDepth {
 
     val wIn = Window.partitionBy(col("coarse")).orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val total = counts.agg(sum(col("c")).as("n"))
 
-    bucketize(
-      ranged.join(broadcast(offsets), Seq("coarse"))
-        .withColumn("cum_before",
-          col("offset") + coalesce(sum(col("c")).over(wIn), lit(0L))),
-      total, buckets)
+    ranged.join(broadcast(offsets), Seq("coarse"))
+      .withColumn("cum_before",
+        col("offset") + coalesce(sum(col("c")).over(wIn), lit(0L)))
+  }
+
+  /** Measured crossover between the strategies (docs/EQUIDEPTH.md):
+    * below ~4M distinct values the single unpartitioned window wins
+    * (the partitioned variant's 3 extra tiny shuffles dominate);
+    * above it the one-partition sort becomes the straggler and the
+    * partitioned prefix-sum takes over.
+    */
+  final val AutoDistinctCutoff = 4000000L
+
+  /** One public entry point that picks the window strategy from the
+    * MEASURED distinct-value count: the (v, c) aggregate is persisted
+    * (it feeds the window pass either way, so nothing extra is
+    * computed — the count() action just materializes it one stage
+    * early), and the cumulative pass runs single-window under
+    * [[AutoDistinctCutoff]] distinct values, partitioned above. The
+    * persisted intermediate is |distinct values| rows of two longs,
+    * evicted by Spark's LRU cache once the histogram is consumed.
+    */
+  def histogramAuto(df: DataFrame, value: Column, buckets: Int,
+      distinctCutoff: Long = AutoDistinctCutoff): DataFrame = {
+    require(buckets >= 1)
+    val counts = valueCounts(df, value)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nDistinct = counts.count()
+    val cum = if (nDistinct <= distinctCutoff) cumSingle(counts) else cumPartitioned(counts)
+    bucketize(cum, counts.agg(sum(col("c")).as("n")), buckets)
   }
 
   /** Shared tail: (v, c, cum_before) → per-bucket summary rows. */

@@ -6,12 +6,24 @@ import org.apache.spark.sql.functions._
 /** Multimodal columns: image/audio/video payloads are opaque `binary`
   * columns with typed metadata. The Spark-side plumbing — schema,
   * partition sizing, per-partition batch decode shape — is real and
-  * tested; the actual media decode is STUBBED (no codec libraries in
-  * this container) behind [[FakeDecoder]], a deterministic
-  * byte-driven stand-in with the same signature a real decoder
-  * (e.g. javacv / a JNI codec) would have.
+  * tested. Decode is PLUGGABLE behind [[Multimodal.MediaDecoder]]:
+  * [[Multimodal.ImageIoDecoder]] is a real JPEG/PNG/BMP/GIF image
+  * decoder (javax.imageio ships with the JDK — no external codec
+  * needed), [[Multimodal.FakeDecoder]] is the deterministic
+  * byte-driven stand-in the reproducible specs use and the slot where
+  * an audio/video codec (javacv, a JNI wrapper) would plug in.
   */
 object Multimodal {
+
+  /** Decoder contract: payload bytes → `dim` feature cells. MUST
+    * return all-zeros (never throw) on undecodable payloads — at
+    * crawl scale corrupt media is routine, and a poison payload must
+    * not kill the task; zero vectors are quarantined downstream by
+    * checksum/metadata instead.
+    */
+  trait MediaDecoder extends Serializable {
+    def decode(payload: Array[Byte], dim: Int): Array[Float]
+  }
 
   /** A media row: payload plus the metadata a catalog would carry. */
   case class MediaRecord(media_id: Long, media_type: String, payload: Array[Byte])
@@ -48,7 +60,7 @@ object Multimodal {
     * feature schema, downstream joins) is exercised end-to-end with
     * reproducible values.
     */
-  object FakeDecoder {
+  object FakeDecoder extends MediaDecoder {
     def decode(payload: Array[Byte], dim: Int): Array[Float] = {
       val out = new Array[Float](dim)
       if (payload == null || payload.isEmpty) return out
@@ -61,6 +73,55 @@ object Multimodal {
       }
       var j = 0
       while (j < dim) { out(j) = out(j) + (acc % 97) / 970.0f; j += 1 }
+      out
+    }
+  }
+
+  /** Real image decode via `javax.imageio` (JPEG/PNG/BMP/GIF readers
+    * ship with the JDK): decode the payload, average pixel luminance
+    * (ITU-R BT.601 weights) into a gx×gy cell grid flattened to `dim`
+    * floats in [0,1] — the classic aHash downscale (dim=64 → the 8×8
+    * grid). Works headless; undecodable or empty payloads return the
+    * zero vector per the [[MediaDecoder]] contract. Each cell is the
+    * mean of its pixel block, so the grid — and the mean-thresholded
+    * hash over it — is invariant to re-encoding (PNG↔JPEG) and robust
+    * to resizing.
+    */
+  object ImageIoDecoder extends MediaDecoder {
+    def decode(payload: Array[Byte], dim: Int): Array[Float] = {
+      val out = new Array[Float](dim)
+      if (payload == null || payload.isEmpty) return out
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        catch { case _: Exception => null }
+      if (img == null) return out
+      val (w, h) = (img.getWidth, img.getHeight)
+      if (w == 0 || h == 0) return out
+      val gx = math.max(1, math.ceil(math.sqrt(dim.toDouble)).toInt)
+      val gy = math.max(1, math.ceil(dim.toDouble / gx).toInt)
+      val sums = new Array[Double](dim)
+      val counts = new Array[Long](dim)
+      var y = 0
+      while (y < h) {
+        val cy = math.min(gy - 1, y * gy / h)
+        var x = 0
+        while (x < w) {
+          val cx = math.min(gx - 1, x * gx / w)
+          val cell = math.min(dim - 1, cy * gx + cx)
+          val rgb = img.getRGB(x, y)
+          val lum = 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+            0.114 * (rgb & 0xff)
+          sums(cell) += lum / 255.0
+          counts(cell) += 1
+          x += 1
+        }
+        y += 1
+      }
+      var c = 0
+      while (c < dim) {
+        if (counts(c) > 0) out(c) = (sums(c) / counts(c)).toFloat
+        c += 1
+      }
       out
     }
   }
@@ -135,20 +196,23 @@ object Multimodal {
     * grid mean, pack into a 64-bit signature. Mean-thresholding makes
     * the hash invariant to uniform brightness shifts, so re-encoded /
     * slightly-edited copies land within a small hamming distance.
-    * Decode is the [[FakeDecoder]] stub; the hash arithmetic, batch
-    * shape (mapPartitions, codec init amortized), and signature
-    * schema are the production shape.
+    * Decode is pluggable: [[ImageIoDecoder]] for real JPEG/PNG
+    * payloads, [[FakeDecoder]] (default) for deterministic
+    * byte-driven specs; the hash arithmetic, batch shape
+    * (mapPartitions, codec init amortized), and signature schema are
+    * the production shape either way.
     */
-  def perceptualHash(media: DataFrame, bits: Int = 64): DataFrame = {
+  def perceptualHash(media: DataFrame, bits: Int = 64,
+      decoder: MediaDecoder = FakeDecoder): DataFrame = {
     require(bits >= 2 && bits <= 64, "bits must be in [2, 64]")
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col("media_id"), col("media_type"), col("payload"))
       .as[MediaRecord]
       .mapPartitions { rows =>
-        // real decoder: init codec context once per partition here
+        // decoder rides the closure; codec state init amortizes here
         rows.map { r =>
-          val grid = FakeDecoder.decode(r.payload, bits)
+          val grid = decoder.decode(r.payload, bits)
           var mean = 0.0
           var i = 0
           while (i < bits) { mean += grid(i); i += 1 }
@@ -170,9 +234,10 @@ object Multimodal {
     * document SimHash dedup, sharing its candidate/verify plumbing.
     * Shuffles only (media_id, 8-byte signature) rows, never payloads.
     */
-  def nearDupMedia(media: DataFrame, maxHamming: Int = 3): DataFrame =
+  def nearDupMedia(media: DataFrame, maxHamming: Int = 3,
+      decoder: MediaDecoder = FakeDecoder): DataFrame =
     Dedup.hammingPairs(
-      perceptualHash(media)
+      perceptualHash(media, decoder = decoder)
         .select(col("media_id").as("doc_id"), col("phash").as("simhash")),
       chunkBits = 16, maxHamming = maxHamming)
       .select(col("id_a").as("media_a"), col("id_b").as("media_b"), col("hamming"))
@@ -184,13 +249,14 @@ object Multimodal {
     * upstream via `spark.sql.files.maxPartitionBytes` so payload
     * batches fit executor memory.
     */
-  def extractFeatures(media: DataFrame, dim: Int = 8): Dataset[MediaFeatures] = {
+  def extractFeatures(media: DataFrame, dim: Int = 8,
+      decoder: MediaDecoder = FakeDecoder): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col("media_id"), col("media_type"), col("payload"))
       .as[MediaRecord]
       .mapPartitions { rows =>
-        // real decoder: init codec context once per partition here
+        // decoder rides the closure; codec state init amortizes here
         rows.map { r =>
           val crc = new java.util.zip.CRC32()
           if (r.payload != null) crc.update(r.payload)
@@ -199,7 +265,7 @@ object Multimodal {
             r.media_type,
             if (r.payload == null) 0L else r.payload.length.toLong,
             crc.getValue,
-            FakeDecoder.decode(r.payload, dim))
+            decoder.decode(r.payload, dim))
         }
       }
   }

@@ -99,4 +99,63 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
   }
+
+  // ------------------------------------------------- real image decode
+
+  /** w×h image from a per-pixel gray-level function, encoded with the
+    * given javax.imageio format ("png", "jpg").
+    */
+  private def encode(w: Int, h: Int, fmt: String)(gray: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val g = math.max(0, math.min(255, gray(x, y)))
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, bos)
+    bos.toByteArray
+  }
+
+  test("ImageIoDecoder: real PNG decode feeds the pHash path end-to-end") {
+    // fixtures: a horizontal gradient, its lossy JPEG re-encode, a
+    // uniformly-brightened copy, a vertical gradient, corrupt bytes
+    val horizPng = encode(64, 64, "png")((x, _) => 20 + x * 170 / 63)
+    val horizJpg = encode(64, 64, "jpg")((x, _) => 20 + x * 170 / 63)
+    val brighter = encode(64, 64, "png")((x, _) => 50 + x * 170 / 63)
+    val vertPng = encode(64, 64, "png")((_, y) => 20 + y * 170 / 63)
+    val corrupt = Array.tabulate[Byte](100)(i => (i * 7).toByte)
+
+    val media = Multimodal.packBinary(
+      Seq((1L, horizPng), (2L, horizJpg), (3L, brighter), (4L, vertPng), (5L, corrupt))
+        .toDF("id", "content"),
+      col("id"), col("content"), "image")
+    val h = Multimodal.perceptualHash(media, decoder = Multimodal.ImageIoDecoder)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    // gradient pHash is structured: exactly the brighter half of the
+    // 8x8 grid clears the mean -> 32 bits set
+    assert(java.lang.Long.bitCount(h(1L)) == 32)
+    // lossy re-encode lands within near-dup range of the original
+    assert(hamming(h(1L), h(2L)) <= 3, s"png vs jpeg: ${hamming(h(1L), h(2L))}")
+    // mean-thresholding absorbs a uniform brightness shift exactly
+    assert(h(3L) == h(1L))
+    // a genuinely different image is far away
+    assert(hamming(h(1L), h(4L)) >= 16)
+    // undecodable payload -> zero grid -> empty signature, no crash
+    assert(h(5L) == 0L)
+  }
+
+  test("near-dup media over real images: re-encode pairs, transpose does not") {
+    val horizPng = encode(48, 48, "png")((x, _) => 10 + x * 180 / 47)
+    val horizJpg = encode(48, 48, "jpg")((x, _) => 10 + x * 180 / 47)
+    val vertPng = encode(48, 48, "png")((_, y) => 10 + y * 180 / 47)
+    val media = Multimodal.packBinary(
+      Seq((1L, horizPng), (2L, horizJpg), (3L, vertPng)).toDF("id", "content"),
+      col("id"), col("content"), "image")
+    val pairs = Multimodal.nearDupMedia(media, maxHamming = 3,
+        decoder = Multimodal.ImageIoDecoder)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), s"got $pairs")
+  }
 }

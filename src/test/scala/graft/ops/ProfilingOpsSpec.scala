@@ -66,6 +66,19 @@ class ProfilingOpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("histogramAuto picks by distinct count and matches both variants") {
+    val df = ((1L to 500L).map(i => i * 7919L) ++ Seq.fill(40)(13L)).map(Tuple1(_)).toDF("x")
+    val base = EquiDepth.histogram(df, col("x"), 8)
+      .orderBy("bucket").collect().map(_.toSeq).toSeq
+    // cutoff above the distinct count -> single-window branch
+    val single = EquiDepth.histogramAuto(df, col("x"), 8, distinctCutoff = 1000000L)
+      .orderBy("bucket").collect().map(_.toSeq).toSeq
+    // cutoff below the distinct count -> partitioned branch
+    val parted = EquiDepth.histogramAuto(df, col("x"), 8, distinctCutoff = 10L)
+      .orderBy("bucket").collect().map(_.toSeq).toSeq
+    assert(single == base && parted == base)
+  }
+
   test("equi-depth histogram: near-equal bucket depths, values never split") {
     // 100 rows of value i%10 -> 10 distinct values x 10 rows
     val df = (0 until 100).map(i => i % 10).toDF("x")
