@@ -6,17 +6,34 @@ only — correctness stays gated on the driver's own data.
 
 Supersedes make_sf1.py (which is `make_scale.py <src> /tmp/sf1 10`).
 
-Usage: python3 scripts/make_scale.py [src_dir] [out_dir] [replicas]
-  e.g. python3 scripts/make_scale.py /root/testdata/sf0.1 /tmp/sf10 100
+With --organic, documents/embeddings replicas are additionally
+perturbed so cross-replica rows are NOT near-duplicates — exact
+replication multiplies every pair-emitting dedup query's candidate set
+by replicas^2 (the BENCH_SF1.md caveat), which models nothing real;
+organically grown corpora keep a roughly constant duplicate rate.
+  - documents: every whitespace token gets a per-replica suffix
+    (`tok~i`) — within-replica shingle/minhash/simhash structure is
+    preserved isomorphically, cross-replica Jaccard drops to 0;
+    n_chars is recomputed to stay == length(text).
+  - embeddings: per-(replica, dim) deterministic sign flips — a
+    diagonal orthogonal transform, so within-replica cosines are
+    preserved EXACTLY while cross-replica cosines of formerly-equal
+    vectors collapse to random-sign sums (|cos| ~ 1/sqrt(64) ≈ 0.12,
+    far below every near-dup/semantic-dedup threshold).
+
+Usage: python3 scripts/make_scale.py [src_dir] [out_dir] [replicas] [--organic]
+  e.g. python3 scripts/make_scale.py /root/testdata/sf0.1 /tmp/sf10 100 --organic
 """
 import os
 import sys
 
 import duckdb
 
-SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1"
-REPLICAS = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+args = [a for a in sys.argv[1:] if a != "--organic"]
+ORGANIC = "--organic" in sys.argv[1:]
+SRC = args[0] if len(args) > 0 else "/root/testdata/sf0.1"
+OUT = args[1] if len(args) > 1 else "/tmp/sf1"
+REPLICAS = int(args[2]) if len(args) > 2 else 10
 OFF = 1_000_000_000
 
 # table -> columns that carry the replica offset
@@ -42,8 +59,28 @@ def main():
     for t, keys in OFFSET_COLS.items():
         cols = [c[0] for c in con.sql(
             f"DESCRIBE SELECT * FROM '{SRC}/{t}.parquet'").fetchall()]
-        sel = ", ".join(
-            f"{c} + i * {OFF} AS {c}" if c in keys else c for c in cols)
+        def render(c):
+            if c in keys:
+                return f"{c} + i * {OFF} AS {c}"
+            if ORGANIC and t == "documents" and c == "text":
+                return ("array_to_string(list_transform(string_split(text, ' '), "
+                        "tok -> tok || '~' || i::VARCHAR), ' ') AS text")
+            if ORGANIC and t == "documents" and c == "n_chars":
+                return ("length(array_to_string(list_transform(string_split(text, ' '), "
+                        "tok -> tok || '~' || i::VARCHAR), ' ')) AS n_chars")
+            if ORGANIC and t == "embeddings" and c == "label":
+                # label is q_dedup_embedding's blocking key; replica-
+                # offsetting it models a blocking key whose cardinality
+                # grows with the corpus (constant block size -> linear
+                # pair work), the only regime a blocked pair join is
+                # ever deployed in
+                return f"(label + i * 10)::INT AS label"
+            if ORGANIC and t == "embeddings" and c == "embedding":
+                return ("list_transform(range(1, len(embedding) + 1), "
+                        "j -> (embedding[j] * (CASE WHEN hash(i * 64 + j) % 2 = 0 "
+                        "THEN 1 ELSE -1 END))::FLOAT) AS embedding")
+            return c
+        sel = ", ".join(render(c) for c in cols)
         query = f"""SELECT {sel}
             FROM '{SRC}/{t}.parquet', (SELECT unnest(range({REPLICAS})) AS i)"""
         if t == "events":

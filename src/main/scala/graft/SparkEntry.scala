@@ -16,7 +16,8 @@ object SparkEntry {
       graft.queries.VectorQueries.defs ++
       graft.queries.PipelineQueries.defs ++
       graft.queries.CorpusQueries.defs ++
-      graft.queries.Round6Queries.defs
+      graft.queries.Round6Queries.defs ++
+      graft.queries.Round7Queries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -26,5 +27,6 @@ object SparkEntry {
       graft.queries.VectorQueries.oracles ++
       graft.queries.PipelineQueries.oracles ++
       graft.queries.CorpusQueries.oracles ++
-      graft.queries.Round6Queries.oracles
+      graft.queries.Round6Queries.oracles ++
+      graft.queries.Round7Queries.oracles
 }

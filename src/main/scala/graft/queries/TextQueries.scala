@@ -21,7 +21,7 @@ object TextQueries {
     * id + 1,000,000) — gives the near-dup detectors a deterministic
     * ground truth to surface.
     */
-  private def docsWithPlantedDups(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def docsWithPlantedDups(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
     val dups = d.filter(col("doc_id") % 10 === 0)
       .select((col("doc_id") + 1000000L).as("doc_id"),
@@ -221,7 +221,7 @@ object TextQueries {
   /** The planted-dup corpus as a DuckDB CTE (must stay in sync with
     * [[docsWithPlantedDups]]).
     */
-  private val allDocsCte =
+  private[queries] val allDocsCte =
     """all_docs AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL
@@ -231,7 +231,7 @@ object TextQueries {
   /** Word-3-shingle set per doc, DuckDB formulation (proven equal to
     * TextAnalysis.wordShingles by the q_dedup_ngram oracle).
     */
-  private val shinglesCte =
+  private[queries] val shinglesCte =
     """tok AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks FROM all_docs),
       |sh AS (SELECT doc_id,
       |         list_distinct(CASE WHEN len(toks) >= 3

@@ -1,0 +1,159 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/** Specs for the round-7 operators: leakage-safe cluster splits,
+  * hard-negative mining, token-budget selection.
+  */
+class Round7OpsSpec extends AnyFunSuite with SparkTestBase {
+
+  import spark.implicits._
+
+  // ------------------------------------------------------------ Splits
+
+  test("cluster split: near-dup documents always share a split") {
+    val docs = (1L to 40L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // two chains (1-2-3), (10-11) and a big standalone population
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val got = Splits.clusterSplit(docs, col("doc_id"), pairs,
+        Seq("train" -> 0.5, "valid" -> 0.25, "test" -> 0.25))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    // chain members collapse to min-id cluster and one split
+    assert(got(1L)._1 == 1L && got(2L)._1 == 1L && got(3L)._1 == 1L)
+    assert(Set(got(1L)._2, got(2L)._2, got(3L)._2).size == 1)
+    assert(got(10L)._1 == 10L && got(11L)._1 == 10L)
+    assert(got(10L)._2 == got(11L)._2)
+    // singletons keep their own id as cluster
+    assert(got(20L)._1 == 20L)
+    // every doc is assigned a valid label; all rows present
+    assert(got.size == 40)
+    assert(got.values.forall(v => Set("train", "valid", "test")(v._2)))
+  }
+
+  test("cluster split: singleton assignment equals the per-doc C19 split of the same key") {
+    val docs = (1L to 200L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val splits = Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1)
+    val viaCluster = Splits.clusterSplit(docs, col("doc_id"), noPairs, splits)
+      .select(col("doc_id"), col("split"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val direct = docs.select(col("doc_id"),
+        Sampling.assignSplit(col("doc_id").cast("string"), splits).as("split"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(viaCluster == direct)
+  }
+
+  test("cluster split: growth-stable — adding new docs never moves old clusters") {
+    val docs = (1L to 50L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val grown = (1L to 80L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (5L, 6L)).toDF("id_a", "id_b")
+    val splits = Seq("train" -> 0.7, "test" -> 0.3)
+    val before = Splits.clusterSplit(docs, col("doc_id"), pairs, splits)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val after = Splits.clusterSplit(grown, col("doc_id"), pairs, splits)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(before.forall { case (k, v) => after(k) == v })
+  }
+
+  // ------------------------------------------------------ HardNegatives
+
+  test("hard negatives: positives excluded, ranks contiguous, equals brute-force minus qrels") {
+    val dim = 8
+    def vec(seed: Long): Seq[Float] = {
+      val r = new scala.util.Random(seed)
+      Seq.fill(dim)(r.nextGaussian().toFloat)
+    }
+    val corpus = (10L to 60L).map(i => (i, vec(i))).toDF("vec_id", "embedding")
+    val queries = Seq((0L, vec(1000L)), (1L, vec(2000L)))
+      .toDF("query_id", "qv")
+    val qrels = Seq((0L, 12L), (0L, 13L), (1L, 20L)).toDF("query_id", "doc_id")
+    val k = 10
+    val n = 5
+    val got = HardNegatives.mine(corpus, col("vec_id"), col("embedding"),
+        queries, qrels, k, n)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+
+    // no positive survives
+    val qrelSet = Set((0L, 12L), (0L, 13L), (1L, 20L))
+    assert(got.forall { case (q, d, _, _) => !qrelSet((q, d)) })
+    // exactly n per query, ranks 1..n
+    for (q <- Seq(0L, 1L)) {
+      val ranks = got.filter(_._1 == q).map(_._4).sorted
+      assert(ranks.toSeq == (1L to n.toLong))
+    }
+    // equals the reference: per-query brute-force order minus positives
+    val ref = Similarity.bruteForceTopKBatch(corpus, col("vec_id"), col("embedding"), queries, k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filterNot { case (q, d, _) => qrelSet((q, d)) }
+      .groupBy(_._1)
+      .values.flatMap { rows =>
+        rows.sortBy { case (_, d, s) => (-s, d) }.take(n).toSeq
+      }.toSet
+    assert(got.map { case (q, d, s, _) => (q, d, s) }.toSet == ref)
+  }
+
+  test("hard negatives: a query whose whole neighborhood is positive yields no rows") {
+    val corpus = Seq((10L, Seq(1f, 0f)), (11L, Seq(0.9f, 0.1f))).toDF("vec_id", "embedding")
+    val queries = Seq((0L, Seq(1f, 0f))).toDF("query_id", "qv")
+    val qrels = Seq((0L, 10L), (0L, 11L)).toDF("query_id", "doc_id")
+    val got = HardNegatives.mine(corpus, col("vec_id"), col("embedding"),
+      queries, qrels, k = 5, nNeg = 3)
+    assert(got.count() == 0)
+  }
+
+  // ---------------------------------------------------------- Selection
+
+  test("token budget: matches the sequential greedy fill exactly") {
+    val r = new scala.util.Random(7)
+    val rows = (1L to 500L).map(i => (i, r.nextInt(2000).toLong - 1000L, 10L + r.nextInt(90)))
+    val df = rows.toDF("doc_id", "score", "n_toks")
+    val budget = 8000L
+    val got = Selection.tokenBudget(df, col("doc_id"), col("score"), col("n_toks"), budget)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+
+    // sequential reference: sort (score desc, id), keep while cum < budget
+    var cum = 0L
+    val ref = rows.sortBy { case (id, s, _) => (-s, id) }.flatMap { case (id, s, t) =>
+      val keep = cum < budget
+      val before = cum
+      cum += t
+      if (keep) Some((id, s, t, before)) else None
+    }.sortBy(_._1)
+    assert(got.toSeq == ref)
+  }
+
+  test("token budget: partitioning-independent and exact on ties") {
+    val df = (1L to 300L).map(i => (i, i % 7, 25L)).toDF("doc_id", "score", "n_toks")
+    val a = Selection.tokenBudget(df, col("doc_id"), col("score"), col("n_toks"), 1000L)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val b = Selection.tokenBudget(df.repartition(13), col("doc_id"), col("score"), col("n_toks"), 1000L)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(a == b && a.nonEmpty)
+    // ties on score fall back to ascending id: 1000/25 = 40 docs, all score 6 first
+    val kept = Selection.tokenBudget(df, col("doc_id"), col("score"), col("n_toks"), 1000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(kept.length == 40)
+    assert(kept.forall(_._2 == 6L)) // 300/7 -> 42 docs with score 6; first 40 by id win
+  }
+
+  test("token budget: zero budget keeps nothing; huge budget keeps everything") {
+    val df = Seq((1L, 5L, 10L), (2L, 4L, 10L)).toDF("doc_id", "score", "n_toks")
+    assert(Selection.tokenBudget(df, col("doc_id"), col("score"), col("n_toks"), 0L).count() == 0)
+    assert(Selection.tokenBudget(df, col("doc_id"), col("score"), col("n_toks"), 1000L).count() == 2)
+  }
+
+  test("token budget: no single-partition global window in the plan") {
+    val df = (1L to 100L).map(i => (i, i, 10L)).toDF("doc_id", "score", "n_toks")
+    val plan = Selection.tokenBudget(df, col("doc_id"), col("score"), col("n_toks"), 500L)
+      .queryExecution.executedPlan.toString
+    // the per-row running sum must be partitioned by the coarse range
+    // key; only the tiny per-range offset window may be global
+    val windows = plan.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windows.exists(_.contains("coarse")),
+      s"expected a coarse-partitioned window, got:\n$plan")
+  }
+}
