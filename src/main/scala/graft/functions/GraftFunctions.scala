@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 
-import graft.plans.{CmsQueryExpr, CmsSketch, CmsSketchAgg, CmsUnionAgg, CosineSimilarityExpr, FreqSketch, FreqSketchAgg, HllEstimateExpr, HllSketch, HllSketchAgg, HllUnionAgg, QuantileEstimateExpr, QuantileSketch, QuantileSketchAgg, QuantileUnionAgg, QualityScoreExpr, RepetitionStatsExpr, SimHashExpr, TermCountsExpr, ThetaEstimateExpr, ThetaIntersectExpr, ThetaSketch, ThetaSketchAgg, ThetaUnionAgg, WordpieceCountExpr, WordpieceTokensExpr, WordShinglesExpr}
+import graft.plans.{BloomContainsExpr, BloomSketch, BloomSketchAgg, BloomUnionAgg, CmsQueryExpr, CmsSketch, CmsSketchAgg, CmsUnionAgg, CosineSimilarityExpr, FreqSketch, FreqSketchAgg, HllEstimateExpr, HllSketch, HllSketchAgg, HllUnionAgg, QuantileEstimateExpr, QuantileSketch, QuantileSketchAgg, QuantileUnionAgg, QualityScoreExpr, RepetitionStatsExpr, SimHashExpr, TermCountsExpr, ThetaEstimateExpr, ThetaIntersectExpr, ThetaSketch, ThetaSketchAgg, ThetaUnionAgg, WordpieceCountExpr, WordpieceTokensExpr, WordShinglesExpr}
 
 /** SQL registration for graft's native expressions, so
   * `spark.sql("SELECT graft_cosine(a, b) ...")` works wherever the
@@ -74,6 +74,20 @@ object GraftFunctions {
       "graft_freq_items",
       exprs => FreqSketchAgg(exprs.head,
         if (exprs.length > 1) exprs(1).eval().asInstanceOf[Int] else FreqSketch.DefaultK),
+      "built-in")
+    registry.createOrReplaceTempFunction(
+      "graft_bloom_sketch",
+      exprs => BloomSketchAgg(exprs.head,
+        if (exprs.length > 1) exprs(1).eval().asInstanceOf[Int] else BloomSketch.DefaultBits,
+        if (exprs.length > 2) exprs(2).eval().asInstanceOf[Int] else BloomSketch.DefaultHashes),
+      "built-in")
+    registry.createOrReplaceTempFunction(
+      "graft_bloom_union",
+      exprs => BloomUnionAgg(exprs.head),
+      "built-in")
+    registry.createOrReplaceTempFunction(
+      "graft_bloom_contains",
+      exprs => BloomContainsExpr(exprs(0), exprs(1)),
       "built-in")
     registry.createOrReplaceTempFunction(
       "graft_cms_sketch",

@@ -158,7 +158,7 @@ object PipelineQueries {
     }
   )
 
-  private val shinglesCteDocs =
+  private[queries] val shinglesCteDocs =
     """tok AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
       |        FROM documents),
       |sh AS (SELECT doc_id,
@@ -168,10 +168,10 @@ object PipelineQueries {
       |           ELSE [array_to_string(toks, ' ')] END) AS shingles
       |       FROM tok)""".stripMargin
 
-  private val hash60: String => String =
+  private[queries] val hash60: String => String =
     v => s"('0x' || substr(md5(CAST($v AS VARCHAR)), 1, 15))::BIGINT"
 
-  private val evalThreshold: Long =
+  private[queries] val evalThreshold: Long =
     (BigDecimal(EvalFraction) * BigDecimal(Sampling.HashSpace)).toLong
 
   val oracles: Map[String, String] = Map(

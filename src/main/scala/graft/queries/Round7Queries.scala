@@ -4,11 +4,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Dedup, HardNegatives, QualityClassifier, Selection, Splits, TextAnalysis}
+import graft.ops.{Decontaminate, Dedup, HardNegatives, QualityClassifier, Sampling, Selection, Splits, TextAnalysis}
 
 /** Round-7 capability queries: leakage-safe cluster splits,
-  * hard-negative mining, and token-budget corpus selection. Oracle
-  * rules per SURVEY §4.
+  * hard-negative mining, token-budget corpus selection, and bloom-
+  * prefiltered benchmark decontamination. Oracle rules per SURVEY §4.
   */
 object Round7Queries {
 
@@ -62,6 +62,17 @@ object Round7Queries {
         TextAnalysis.tokenCount(col("text")).as("n_toks"))
       Selection.tokenBudget(scored.join(toks, "doc_id"),
           col("doc_id"), col("logit_milli"), col("n_toks"), TokenBudget)
+        .orderBy(col("doc_id"))
+    },
+
+    // C61: hard decontamination — the bloom prefilter + exact confirm
+    // provably equals the plain exact anti-join the oracle runs.
+    "q_decontaminate" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      val eval = Sampling.hashSample(d, col("doc_id"), PipelineQueries.EvalFraction)
+      Decontaminate.cleanDocs(d, col("doc_id"), col("text"),
+          eval, col("text"), shingleK = 3)
+        .select(col("doc_id"), col("n_chars"))
         .orderBy(col("doc_id"))
     }
   )
@@ -128,6 +139,19 @@ object Round7Queries {
          |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
          |      FROM d)
          |SELECT doc_id, score, n_tokens, cum_before
-         |FROM p WHERE cum_before < $TokenBudget ORDER BY doc_id""".stripMargin
+         |FROM p WHERE cum_before < $TokenBudget ORDER BY doc_id""".stripMargin,
+
+    "q_decontaminate" ->
+      s"""WITH ${PipelineQueries.shinglesCteDocs},
+         |vocab AS (SELECT DISTINCT ${PipelineQueries.hash60("u.s")} AS shash
+         |          FROM sh, unnest(sh.shingles) AS u(s)
+         |          WHERE ${PipelineQueries.hash60("sh.doc_id")} < ${PipelineQueries.evalThreshold}),
+         |dirty AS (SELECT DISTINCT sh.doc_id
+         |          FROM sh, unnest(sh.shingles) AS u(s)
+         |          JOIN vocab ON ${PipelineQueries.hash60("u.s")} = vocab.shash)
+         |SELECT d.doc_id, d.n_chars
+         |FROM documents d LEFT JOIN dirty USING (doc_id)
+         |WHERE dirty.doc_id IS NULL
+         |ORDER BY d.doc_id""".stripMargin
   )
 }

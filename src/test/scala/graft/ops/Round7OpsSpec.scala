@@ -156,4 +156,65 @@ class Round7OpsSpec extends AnyFunSuite with SparkTestBase {
     assert(windows.exists(_.contains("coarse")),
       s"expected a coarse-partitioned window, got:\n$plan")
   }
+
+  // ----------------------------------------------------- Decontaminate
+
+  test("decontaminate: removes exactly the eval-overlapping docs") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta"),     // shares "alpha beta gamma" with eval
+      (2L, "epsilon zeta eta theta"),     // clean
+      (3L, "iota kappa lambda mu"),       // clean
+      (4L, "nu xi alpha beta gamma"),     // shares the eval shingle too
+      (5L, "omicron pi rho sigma")        // clean
+    ).toDF("doc_id", "text")
+    val eval = Seq((100L, "alpha beta gamma")).toDF("doc_id", "text")
+    val got = Decontaminate.cleanDocs(corpus, col("doc_id"), col("text"),
+        eval, col("text"), shingleK = 3)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(got == Set(2L, 3L, 5L))
+  }
+
+  test("decontaminate: bloom false positives never change the result") {
+    // a deliberately saturated filter (64 bits, 1 hash, ~200 distinct
+    // shingles -> nearly every probe is a false positive) must still
+    // yield the exact answer: FPs only cost confirm-join work
+    val corpus = (1L to 50L).map(i => (i, s"w${i}a w${i}b w${i}c w${i}d")).toDF("doc_id", "text")
+    val eval = Seq((999L, "w7a w7b w7c w7d")).toDF("doc_id", "text")
+    val exact = Decontaminate.cleanDocs(corpus, col("doc_id"), col("text"),
+        eval, col("text"), shingleK = 3)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val saturated = Decontaminate.cleanDocs(corpus, col("doc_id"), col("text"),
+        eval, col("text"), shingleK = 3, bloomBits = 64, bloomHashes = 1)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(exact == saturated)
+    assert(!exact.contains(7L) && exact.size == 49)
+  }
+
+  test("decontaminate: all corpus columns survive; empty eval keeps everything") {
+    val corpus = Seq((1L, "a b c", 5), (2L, "d e f", 6)).toDF("doc_id", "text", "meta")
+    val eval = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val got = Decontaminate.cleanDocs(corpus, col("doc_id"), col("text"),
+        eval, col("text"), shingleK = 3)
+    assert(got.columns.toSeq == Seq("doc_id", "text", "meta"))
+    assert(got.count() == 2)
+  }
+
+  test("decontaminate: the bloom probe sits in the plan before the confirm join") {
+    val corpus = (1L to 20L).map(i => (i, s"x$i y$i z$i")).toDF("doc_id", "text")
+    val eval = Seq((99L, "x3 y3 z3")).toDF("doc_id", "text")
+    val plan = Decontaminate.cleanDocs(corpus, col("doc_id"), col("text"),
+        eval, col("text"), shingleK = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("graft_bloom_contains"),
+      s"expected the bloom prefilter in the physical plan:\n$plan")
+    // probe-then-confirm: the exact LeftSemi must be the PARENT of the
+    // bloom Filter (prints above it), never pushed beneath — and the
+    // scalar-subquery construction must leave no Cross join behind
+    val lines = plan.linesIterator.toSeq
+    val semiAt = lines.indexWhere(l => l.contains("LeftSemi"))
+    val bloomAt = lines.indexWhere(l => l.contains("graft_bloom_contains"))
+    assert(semiAt >= 0 && bloomAt > semiAt,
+      s"confirm semi-join must sit above the bloom probe:\n$plan")
+    assert(!plan.contains("Cross"), s"no cross join expected:\n$plan")
+  }
 }
