@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Decontaminate, Dedup, HardNegatives, QualityClassifier, Sampling, Selection, Splits, TextAnalysis}
+import graft.ops.{Decontaminate, Dedup, EpochShuffle, HardNegatives, Novelty, QualityClassifier, Sampling, Selection, Splits, SystematicSampling, TextAnalysis}
 
 /** Round-7 capability queries: leakage-safe cluster splits,
   * hard-negative mining, token-budget corpus selection, and bloom-
@@ -20,6 +20,9 @@ object Round7Queries {
   val HnK = 50
   val HnNeg = 20
   val TokenBudget = 20000L
+  val PpsK = 40L
+  val ShuffleEpochs: Seq[Int] = Seq(0, 1)
+  val ShuffleShards = 4
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -73,6 +76,32 @@ object Round7Queries {
       Decontaminate.cleanDocs(d, col("doc_id"), col("text"),
           eval, col("text"), shingleK = 3)
         .select(col("doc_id"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+
+    // C62: systematic PPS sampling — token-count weights, exact
+    // integer tick arithmetic on a hash-randomized order.
+    "q_systematic_sample" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      val toks = d.select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_toks"))
+      SystematicSampling.sample(toks, col("doc_id"), col("n_toks"), PpsK)
+        .orderBy(col("doc_id"))
+    },
+
+    // C63: per-epoch training order + contiguous loader shards,
+    // distributed rank (never a whole-epoch single-partition window).
+    "q_epoch_shuffle" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      EpochShuffle.shuffle(d, col("doc_id"), ShuffleEpochs, ShuffleShards)
+        .orderBy(col("epoch"), col("position"))
+    },
+
+    // C64: corpus-unique shingle fraction — the corpus-level
+    // boilerplate signal pair-wise dedup cannot see.
+    "q_novelty" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      Novelty.score(d, col("doc_id"), col("text"), shingleK = 3)
         .orderBy(col("doc_id"))
     }
   )
@@ -152,6 +181,56 @@ object Round7Queries {
          |SELECT d.doc_id, d.n_chars
          |FROM documents d LEFT JOIN dirty USING (doc_id)
          |WHERE dirty.doc_id IS NULL
-         |ORDER BY d.doc_id""".stripMargin
+         |ORDER BY d.doc_id""".stripMargin,
+
+    "q_systematic_sample" -> {
+      val tEnd = SystematicSampling.ticksBeforeSql("cum_before + w", PpsK, "total")
+      val tStart = SystematicSampling.ticksBeforeSql("cum_before", PpsK, "total")
+      s"""WITH toks AS (SELECT doc_id, ${TextAnalysis.tokenCountSql("text")} AS w
+         |              FROM documents),
+         |h AS (SELECT doc_id, CAST(w AS BIGINT) AS w,
+         |        ${PipelineQueries.hash60("doc_id")} AS hkey
+         |      FROM toks),
+         |p AS (SELECT doc_id, w,
+         |        CAST(COALESCE(SUM(w) OVER (ORDER BY hkey, doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before,
+         |        CAST(SUM(w) OVER () AS BIGINT) AS total
+         |      FROM h),
+         |sel AS (SELECT doc_id, w AS weight, cum_before,
+         |          CAST(($tEnd) - ($tStart) AS BIGINT) AS n_sel
+         |        FROM p)
+         |SELECT doc_id, weight, cum_before, n_sel
+         |FROM sel WHERE n_sel > 0 ORDER BY doc_id""".stripMargin
+    },
+
+    "q_epoch_shuffle" ->
+      s"""WITH e AS (SELECT * FROM (VALUES ${ShuffleEpochs.map(e => s"($e)").mkString(", ")}) AS t(epoch)),
+         |r AS (SELECT e.epoch, d.doc_id,
+         |        ${PipelineQueries.hash60("CAST(e.epoch AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR)")} AS hkey
+         |      FROM documents d CROSS JOIN e),
+         |p AS (SELECT epoch, doc_id,
+         |        CAST(row_number() OVER (PARTITION BY epoch ORDER BY hkey, doc_id) - 1 AS BIGINT) AS position,
+         |        (SELECT count(*) FROM documents) AS n
+         |      FROM r)
+         |SELECT epoch, doc_id, position,
+         |  CAST((position * $ShuffleShards) // n AS INTEGER) AS shard,
+         |  CAST(position - ((position * $ShuffleShards) // n * n + ${ShuffleShards - 1}) // $ShuffleShards AS BIGINT) AS pos_in_shard
+         |FROM p ORDER BY epoch, position""".stripMargin,
+
+    "q_novelty" ->
+      s"""WITH ${PipelineQueries.shinglesCteDocs},
+         |ex AS (SELECT doc_id, CAST(len(shingles) AS BIGINT) AS n_shingles,
+         |         ${PipelineQueries.hash60("u.s")} AS shash
+         |       FROM sh, unnest(sh.shingles) AS u(s)),
+         |dfc AS (SELECT shash, count(*) AS df FROM ex GROUP BY shash),
+         |agg AS (SELECT ex.doc_id, ex.n_shingles,
+         |          SUM(CASE WHEN dfc.df = 1 THEN 1 ELSE 0 END) AS n_unique
+         |        FROM ex JOIN dfc USING (shash)
+         |        GROUP BY ex.doc_id, ex.n_shingles)
+         |SELECT doc_id, n_shingles, CAST(n_unique AS BIGINT) AS n_unique,
+         |  CASE WHEN n_shingles > 0
+         |    THEN round(CAST(n_unique AS DOUBLE) / n_shingles, 4)
+         |    ELSE 0.0 END AS novelty
+         |FROM agg ORDER BY doc_id""".stripMargin
   )
 }

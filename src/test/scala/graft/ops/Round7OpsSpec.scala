@@ -217,4 +217,139 @@ class Round7OpsSpec extends AnyFunSuite with SparkTestBase {
       s"confirm semi-join must sit above the bloom probe:\n$plan")
     assert(!plan.contains("Cross"), s"no cross join expected:\n$plan")
   }
+
+  // ------------------------------------------------- SystematicSampling
+
+  /** Sequential reference: hash order from the same kernel, then a
+    * literal walk dropping ticks at odd multiples of total/(2k).
+    */
+  private def ppsReference(rows: Seq[(Long, Long)], k: Long): Seq[(Long, Long, Long, Long)] = {
+    val hkeys = rows.map(_._1).toDF("doc_id")
+      .select(col("doc_id"), Dedup.md5Hash60(col("doc_id").cast("string")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ordered = rows.sortBy { case (id, _) => (hkeys(id), id) }
+    val total = rows.map(_._2).sum
+    var cum = 0L
+    ordered.flatMap { case (id, w) =>
+      val before = cum
+      cum += w
+      // ticks are (2m+1)*total/(2k) for m in [0,k): count those in [before, before+w)
+      val nSel = (0L until k).count { m =>
+        val num = BigInt(2 * m + 1) * total
+        num >= BigInt(2) * k * before && num < BigInt(2) * k * cum
+      }.toLong
+      if (nSel > 0) Some((id, w, before, nSel)) else None
+    }.sortBy(_._1)
+  }
+
+  test("systematic PPS: matches the sequential tick walk exactly and sums to k") {
+    val r = new scala.util.Random(11)
+    val rows = (1L to 400L).map(i => (i, 1L + r.nextInt(200).toLong))
+    val k = 37L
+    val got = SystematicSampling.sample(rows.toDF("doc_id", "w"),
+        col("doc_id"), col("w"), k)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+      .sortBy(_._1).toSeq
+    assert(got == ppsReference(rows, k))
+    assert(got.map(_._4).sum == k)
+  }
+
+  test("systematic PPS: an oversized unit is always selected; zero weights never are") {
+    val rows = Seq((1L, 5000L)) ++ (2L to 60L).map(i => (i, 10L)) ++ Seq((99L, 0L))
+    val got = SystematicSampling.sample(rows.toDF("doc_id", "w"),
+        col("doc_id"), col("w"), 8L)
+      .collect().map(x => x.getLong(0) -> x.getLong(3)).toMap
+    // doc 1 holds 5000 of 5590 total; step = total/8 = ~699 -> many ticks
+    assert(got(1L) >= 5L)
+    assert(!got.contains(99L))
+    assert(got.values.sum == 8L)
+  }
+
+  test("systematic PPS: partitioning-independent; no global data window in the plan") {
+    val rows = (1L to 300L).map(i => (i, 1L + i % 50))
+    val df = rows.toDF("doc_id", "w")
+    val a = SystematicSampling.sample(df, col("doc_id"), col("w"), 20L)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val b = SystematicSampling.sample(df.repartition(13), col("doc_id"), col("w"), 20L)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(a == b && a.nonEmpty)
+    val plan = SystematicSampling.sample(df, col("doc_id"), col("w"), 20L)
+      .queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l => l.contains("Window") && l.contains("coarse")),
+      s"expected a coarse-partitioned window:\n$plan")
+  }
+
+  // ------------------------------------------------------- EpochShuffle
+
+  test("epoch shuffle: positions are a permutation; shards contiguous and near-equal") {
+    val docs = (1L to 103L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val got = EpochShuffle.shuffle(docs, col("doc_id"), Seq(0, 1), nShards = 4)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getInt(3), r.getLong(4)))
+    assert(got.length == 206)
+    for (e <- Seq(0, 1)) {
+      val ep = got.filter(_._1 == e).sortBy(_._3)
+      // positions 0..n-1 exactly once
+      assert(ep.map(_._3).toSeq == (0L until 103L))
+      // shards partition the position range contiguously, sizes differ <= 1
+      val sizes = ep.groupBy(_._4).map { case (s, rs) =>
+        val ps = rs.map(_._3)
+        // contiguous block
+        assert(ps.max - ps.min + 1 == ps.length, s"shard $s not contiguous")
+        // pos_in_shard is 0-based within the block
+        assert(rs.map(_._5).sorted.toSeq == (0L until ps.length.toLong))
+        s -> ps.length
+      }
+      assert(sizes.keySet == Set(0, 1, 2, 3))
+      assert(sizes.values.max - sizes.values.min <= 1)
+      // shard order follows position order
+      assert(ep.map(_._4).toSeq == ep.map(_._4).sorted.toSeq)
+    }
+    // the two epochs draw different orders
+    val o0 = got.filter(_._1 == 0).sortBy(_._3).map(_._2).toSeq
+    val o1 = got.filter(_._1 == 1).sortBy(_._3).map(_._2).toSeq
+    assert(o0 != o1 && o0.toSet == o1.toSet)
+  }
+
+  test("epoch shuffle: deterministic under repartitioning; no whole-epoch window") {
+    val docs = (1L to 80L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    val a = EpochShuffle.shuffle(docs, col("doc_id"), Seq(3), 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    val b = EpochShuffle.shuffle(docs.repartition(7), col("doc_id"), Seq(3), 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(a == b)
+    val plan = EpochShuffle.shuffle(docs, col("doc_id"), Seq(3), 2)
+      .queryExecution.executedPlan.toString
+    // ranks must be computed per (epoch, coarse), never per epoch alone
+    val rankWindows = plan.linesIterator.filter(l =>
+      l.contains("row_number") && l.contains("windowspecdefinition")).toSeq
+    assert(rankWindows.nonEmpty && rankWindows.forall(_.contains("coarse")),
+      s"expected the rank window partitioned by (epoch, coarse):\n$plan")
+  }
+
+  // ------------------------------------------------------------ Novelty
+
+  test("novelty: exact counts on a shared-shingle fixture") {
+    val docs = Seq(
+      (1L, "a b c d"),   // shingles: "a b c", "b c d"
+      (2L, "a b c x"),   // shingles: "a b c", "b c x"
+      (3L, "p q r s"),   // both unique
+      (4L, "m n o p"),   // exact duplicate pair with 5
+      (5L, "m n o p")
+    ).toDF("doc_id", "text")
+    val got = Novelty.score(docs, col("doc_id"), col("text"), shingleK = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) == ((2L, 1L, 0.5)))
+    assert(got(2L) == ((2L, 1L, 0.5)))
+    assert(got(3L) == ((2L, 2L, 1.0)))
+    assert(got(4L) == ((2L, 0L, 0.0)))
+    assert(got(5L) == ((2L, 0L, 0.0)))
+  }
+
+  test("novelty: short docs collapse to one whole-text shingle") {
+    val docs = Seq((1L, "hello world"), (2L, "hello world"), (3L, "solo")).toDF("doc_id", "text")
+    val got = Novelty.score(docs, col("doc_id"), col("text"), shingleK = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) == ((1L, 0L, 0.0)) && got(2L) == ((1L, 0L, 0.0)))
+    assert(got(3L) == ((1L, 1L, 1.0)))
+  }
 }
