@@ -83,10 +83,16 @@ def main():
         sel = ", ".join(render(c) for c in cols)
         query = f"""SELECT {sel}
             FROM '{SRC}/{t}.parquet', (SELECT unnest(range({REPLICAS})) AS i)"""
+        src_ts_ns = False
         if t == "events":
-            # the driver's events table is TIMESTAMP(NANOS); DuckDB's
-            # parquet writer downcasts to micros, so route through
-            # pyarrow to keep the replica's physical type identical
+            import pyarrow.parquet as _pq
+            src_ts_ns = str(_pq.read_schema(f"{SRC}/{t}.parquet").field("ts").type) == "timestamp[ns]"
+        if src_ts_ns:
+            # older testdata generations ship events.ts as
+            # TIMESTAMP(NANOS); DuckDB's parquet writer downcasts to
+            # micros, so route through pyarrow to keep the replica's
+            # physical type identical to the source. Newer generations
+            # are native micros and the plain COPY already matches.
             import pyarrow as pa
             import pyarrow.parquet as pq
             tbl = con.sql(query).arrow()

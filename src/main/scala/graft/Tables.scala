@@ -14,14 +14,19 @@ object Tables {
 
   def read(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     // Naive parquet timestamps (ms) read as TIMESTAMP under the UTC
-    // session (not NTZ) so timestamp functions apply uniformly; the
-    // events table's TIMESTAMP(NANOS) — unreadable by Spark's vectorized
-    // reader — comes in as raw nanos and is converted to a microsecond
-    // timestamp (integer `div`, exact: nanos exceed 2^53).
+    // session (not NTZ) so timestamp functions apply uniformly. The
+    // events table's `ts` has shipped as BOTH physical types across
+    // testdata generations: TIMESTAMP(NANOS) — unreadable by Spark's
+    // vectorized reader, surfaced as raw nanos under `nanosAsLong` —
+    // and plain TIMESTAMP(MICROS). Normalize on the OBSERVED read
+    // type, never an assumed one: raw nanos convert via integer `div`
+    // (exact: nano values exceed 2^53, a double roundtrip would lose
+    // microseconds), native timestamps pass through.
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
-    if (name == "events") df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else df
   }
 

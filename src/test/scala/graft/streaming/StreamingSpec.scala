@@ -341,10 +341,16 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     val rawSchema = spark.read
       .option("inferTimestampNTZ", "false")
       .parquet("/root/testdata/sf0.001/events.parquet").schema
-    val stream = spark.readStream
+    val streamRaw = spark.readStream
       .schema(rawSchema)
       .parquet(dir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // same observed-type normalization as Tables.read: older testdata
+    // generations ship ts as TIMESTAMP(NANOS) (long under nanosAsLong),
+    // newer ones as native micros
+    val stream =
+      if (rawSchema("ts").dataType == org.apache.spark.sql.types.LongType)
+        streamRaw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else streamRaw
     val agg = RealtimeStateStream.windowedCounts(stream, "ts", "event_type",
       windowLen = "1 hour", watermark = "0 seconds")
     val q = agg.writeStream.format("memory").queryName("file_stream_test")
