@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 
-import graft.plans.{BloomContainsExpr, BloomSketch, BloomSketchAgg, BloomUnionAgg, CmsQueryExpr, CmsSketch, CmsSketchAgg, CmsUnionAgg, CosineSimilarityExpr, FreqSketch, FreqSketchAgg, HllEstimateExpr, HllSketch, HllSketchAgg, HllUnionAgg, QuantileEstimateExpr, QuantileSketch, QuantileSketchAgg, QuantileUnionAgg, QualityScoreExpr, RepetitionStatsExpr, SimHashExpr, TermCountsExpr, ThetaEstimateExpr, ThetaIntersectExpr, ThetaSketch, ThetaSketchAgg, ThetaUnionAgg, WordpieceCountExpr, WordpieceTokensExpr, WordShinglesExpr}
+import graft.plans.{BloomContainsExpr, BloomSketch, BloomSketchAgg, BloomUnionAgg, CmsQueryExpr, CmsSketch, CmsSketchAgg, CmsUnionAgg, CosineSimilarityExpr, FreqSketch, FreqSketchAgg, HllEstimateExpr, HllSketch, HllSketchAgg, HllUnionAgg, QuantileEstimateExpr, QuantileSketch, QuantileSketchAgg, QuantileUnionAgg, QualityScoreExpr, RepetitionStatsExpr, SimHashExpr, TermCountsExpr, ThetaEstimateExpr, ThetaIntersectExpr, ThetaSketch, ThetaSketchAgg, ThetaUnionAgg, TopKAgg, TopKAggExpr, WordpieceCountExpr, WordpieceTokensExpr, WordShinglesExpr}
 
 /** SQL registration for graft's native expressions, so
   * `spark.sql("SELECT graft_cosine(a, b) ...")` works wherever the
@@ -98,6 +98,11 @@ object GraftFunctions {
     registry.createOrReplaceTempFunction(
       "graft_cms_union",
       exprs => CmsUnionAgg(exprs.head),
+      "built-in")
+    registry.createOrReplaceTempFunction(
+      "graft_top_k",
+      exprs => TopKAggExpr(exprs(0), exprs(1),
+        if (exprs.length > 2) exprs(2).eval().asInstanceOf[Int] else TopKAgg.DefaultK),
       "built-in")
     registry.createOrReplaceTempFunction(
       "graft_cms_query",

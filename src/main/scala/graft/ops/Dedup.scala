@@ -47,6 +47,27 @@ object Dedup {
     df.join(exact(df, id, content).select(col("keep_id")),
       id === col("keep_id"), "left_semi")
 
+  /** Canonical text form for near-exact dedup: lowercase, strip
+    * everything outside [a-z0-9 whitespace], collapse whitespace runs,
+    * trim. Kills the punctuation/casing/spacing jitter that defeats
+    * whole-body hashing (the CCNet/MassiveText "normalized exact"
+    * step between [[exact]] and MinHash).
+    */
+  def normalizedForm(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", ""), "\\s+", " "))
+
+  /** Normalized exact dedup: group on the md5 of [[normalizedForm]],
+    * keep the min id. Same scale shape as [[exact]] — the 16-byte key
+    * is the only shuffle, normalization is a zero-shuffle narrow map
+    * inside codegen. `n_raw_variants` counts distinct RAW bodies per
+    * group: > 1 is precisely what plain exact dedup missed.
+    */
+  def normalizedExact(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.groupBy(md5(normalizedForm(text)).as("norm_key"))
+      .agg(min(id).as("keep_id"), count(lit(1)).as("n_copies"),
+        countDistinct(md5(text)).as("n_raw_variants"))
+      .select(col("keep_id"), col("n_copies"), col("n_raw_variants"))
+
   /** MinHash + LSH near-duplicate pairs.
     *
     * shingle(k) → H minhashes (xxhash64 with per-function salt) →
@@ -237,6 +258,66 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
     verifyJaccard(candidates, docs.drop("block"), threshold)
+  }
+
+  /** Containment pairs: how much of the SMALLER document's shingle set
+    * lives inside the other's — `|A ∩ B| / min(|A|, |B|)` — the
+    * sub-document signal Jaccard structurally cannot see (a page
+    * quoted whole inside a 100× larger page has Jaccard ≈ 0.01 but
+    * containment 1.0; Lee et al.'s substring-dup motivation).
+    *
+    * Candidates come from RARE-shingle anchoring: only shingles whose
+    * document frequency is in [2, maxDf] pair up documents, so the
+    * candidate fan-out per shingle is ≤ maxDf² and boilerplate
+    * shingles (df > maxDf) never explode into pairs — the blocking is
+    * df-bounded by construction, no LSH fit needed. Pairs missed by
+    * anchoring are exactly those sharing ONLY boilerplate-frequency
+    * shingles, which the boilerplate/dup-span operators own.
+    *
+    * Shuffle shape: distinct (doc, shingle-hash60) fixed-width rows —
+    * once for df counting, once for the candidate join, once keyed by
+    * the (id_a, id_b) pair for intersection counting. Text never
+    * shuffles. Returns (id_a, id_b, n_common, size_a, size_b,
+    * containment) with id_a < id_b, containment >= threshold.
+    */
+  def containment(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      shingleK: Int = 3,
+      maxDf: Int = 10,
+      threshold: Double = 0.8): DataFrame = {
+    val sh = shingled(df, id, text, shingleK)
+      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
+      .select(col("doc_id"), md5Hash60(col("shingle")).as("h"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+
+    val rare = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxDf)
+      .select(col("h"))
+    val anchored = sh.join(rare, "h")
+    val candidates = anchored.select(col("h"), col("doc_id").as("id_a"))
+      .join(anchored.select(col("h"), col("doc_id").as("id_b")), "h")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+
+    val common = candidates
+      .join(sh.select(col("doc_id").as("id_a"), col("h")), "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("h")), Seq("id_b", "h"), "left_semi")
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+
+    common
+      .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("size_a")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("size_b")), "id_b")
+      .withColumn("containment",
+        col("n_common").cast("double") / least(col("size_a"), col("size_b")).cast("double"))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("n_common"),
+        col("size_a"), col("size_b"), col("containment"))
   }
 
   /** SimHash near-duplicate pairs: 64-bit signature from token hashes

@@ -23,6 +23,8 @@ object Round7Queries {
   val PpsK = 40L
   val ShuffleEpochs: Seq[Int] = Seq(0, 1)
   val ShuffleShards = 4
+  val GroupTopK = 5
+  val SnippetToks = 45
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -103,6 +105,41 @@ object Round7Queries {
       val d = t(s, dir, "documents")
       Novelty.score(d, col("doc_id"), col("text"), shingleK = 3)
         .orderBy(col("doc_id"))
+    },
+
+    // C65: normalized exact dedup — canonical text key (lowercase,
+    // punctuation strip, whitespace collapse) between C1 and MinHash.
+    "q_normalized_dedup" -> { (s, dir) =>
+      Dedup.normalizedExact(t(s, dir, "documents"), col("doc_id"), col("text"))
+        .orderBy(col("keep_id"))
+    },
+
+    // C66: per-group bounded top-k — heap aggregate, shuffle carries
+    // ≤ k pairs per (task, group) instead of every row to a window.
+    "q_group_topk" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(graft.plans.TopKAgg.topK(col("n_chars"), col("doc_id"), GroupTopK).as("top"))
+        .select(col("lang"), posexplode(col("top")))
+        .select(col("lang"), (col("pos") + 1).cast("bigint").as("rank"),
+          col("col.id").as("doc_id"), col("col.score").as("n_chars"))
+        .orderBy(col("lang"), col("rank"))
+    },
+
+    // C67: containment pairs over planted sub-documents — every 20th
+    // doc's 45-token prefix re-enters as a snippet doc; its shingle
+    // set is contained in the original even though Jaccard is low.
+    "q_containment" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      val snippets = d.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          array_join(slice(split(trim(lower(col("text"))), "\\s+"), 1, SnippetToks), " ").as("text"))
+      val all = d.select(col("doc_id"), col("text")).union(snippets)
+      Dedup.containment(all, col("doc_id"), col("text"),
+          shingleK = 3, maxDf = 10, threshold = 0.8)
+        .select(col("id_a"), col("id_b"), col("n_common"), col("size_a"),
+          col("size_b"), round(col("containment"), 4).as("containment"))
+        .orderBy(col("id_a"), col("id_b"))
     }
   )
 
@@ -231,6 +268,48 @@ object Round7Queries {
          |  CASE WHEN n_shingles > 0
          |    THEN round(CAST(n_unique AS DOUBLE) / n_shingles, 4)
          |    ELSE 0.0 END AS novelty
-         |FROM agg ORDER BY doc_id""".stripMargin
+         |FROM agg ORDER BY doc_id""".stripMargin,
+
+    "q_normalized_dedup" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies,
+        |  count(DISTINCT md5(text)) AS n_raw_variants
+        |FROM documents
+        |GROUP BY md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')))
+        |ORDER BY keep_id""".stripMargin,
+
+    "q_group_topk" ->
+      s"""SELECT lang, rank, doc_id, n_chars FROM (
+         |  SELECT lang, doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+         |    row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rank
+         |  FROM documents) t
+         |WHERE rank <= $GroupTopK ORDER BY lang, rank""".stripMargin,
+
+    "q_containment" ->
+      s"""WITH all_docs AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 2000000 AS doc_id,
+         |    array_to_string((string_split_regex(trim(lower(text)), '\\s+'))[1:$SnippetToks], ' ') AS text
+         |  FROM documents WHERE doc_id % 20 = 0),
+         |${TextQueries.shinglesCte},
+         |e AS (SELECT DISTINCT doc_id, ${PipelineQueries.hash60("u.s")} AS h
+         |      FROM sh, unnest(sh.shingles) AS u(s)),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM e GROUP BY doc_id),
+         |rare AS (SELECT h FROM e GROUP BY h HAVING count(*) BETWEEN 2 AND 10),
+         |anch AS (SELECT e.doc_id, e.h FROM e JOIN rare USING (h)),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |         FROM anch a JOIN anch b ON a.h = b.h AND a.doc_id < b.doc_id),
+         |common AS (SELECT c.id_a, c.id_b, count(*) AS n_common
+         |           FROM cand c
+         |           JOIN e ea ON ea.doc_id = c.id_a
+         |           JOIN e eb ON eb.doc_id = c.id_b AND eb.h = ea.h
+         |           GROUP BY c.id_a, c.id_b)
+         |SELECT m.id_a, m.id_b, m.n_common, sa.sz AS size_a, sb.sz AS size_b,
+         |  round(CAST(m.n_common AS DOUBLE) / least(sa.sz, sb.sz), 4) AS containment
+         |FROM common m
+         |JOIN sizes sa ON sa.doc_id = m.id_a
+         |JOIN sizes sb ON sb.doc_id = m.id_b
+         |WHERE CAST(m.n_common AS DOUBLE) / least(sa.sz, sb.sz) >= 0.8
+         |ORDER BY id_a, id_b""".stripMargin
   )
 }

@@ -116,4 +116,53 @@ class DedupSpec extends AnyFunSuite with SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((1L, 2L))) // 1-3 orthogonal; 1-4 cross-block
   }
+
+  test("normalized exact dedup merges punctuation/case/spacing variants, counts raw bodies") {
+    val variants = Seq(
+      (1L, "Hello, World! This is   a Test."),
+      (2L, "hello world this is a test"),      // same canonical form as 1
+      (3L, "HELLO WORLD — this is a test"),    // same canonical form (dash strips)
+      (4L, "hello world this is a test"),      // raw dup of 2
+      (5L, "an entirely different document")).toDF("doc_id", "text")
+    val r = Dedup.normalizedExact(variants, col("doc_id"), col("text"))
+      .orderBy("keep_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    // group {1,2,3,4}: 4 copies, 3 distinct raw bodies (2 and 4 share one)
+    assert(r.toSeq == Seq((1L, 4L, 3L), (5L, 1L, 1L)))
+  }
+
+  test("normalized form strips punctuation, collapses whitespace, lowercases") {
+    val got = Seq(("A  B,, c!  ")).toDF("t")
+      .select(Dedup.normalizedForm(col("t"))).head().getString(0)
+    assert(got == "a b c")
+  }
+
+  test("containment flags a snippet inside a larger doc that Jaccard misses") {
+    val big = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val snippet = (1 to 12).map(i => s"tok$i").mkString(" ") // contained prefix
+    val corpus = Seq(
+      (1L, big),
+      (2L, snippet),
+      (3L, "wholly unrelated words about spark catalyst execution planning")
+    ).toDF("doc_id", "text")
+    val rows = Dedup.containment(corpus, col("doc_id"), col("text"),
+        shingleK = 3, maxDf = 5, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(5)))
+    assert(rows.toSeq == Seq((1L, 2L, 1.0))) // snippet fully contained
+    // the same pair is far below any Jaccard threshold: 10 shared of 58 union
+    val jac = Dedup.ngramJaccard(corpus, col("doc_id"), col("text"),
+        blockBy = lit(1), shingleK = 3, threshold = 0.5)
+      .filter(col("id_a") === 1L && col("id_b") === 2L).count()
+    assert(jac == 0L)
+  }
+
+  test("containment candidates are df-bounded: boilerplate-only overlap never pairs") {
+    // two docs share ONLY a shingle that appears in many docs (df > maxDf)
+    val common = "the quick brown"
+    val docsDf = (1L to 8L).map(i => (i, s"$common filler$i ending$i words$i here$i"))
+      .toDF("doc_id", "text")
+    val rows = Dedup.containment(docsDf, col("doc_id"), col("text"),
+        shingleK = 3, maxDf = 5, threshold = 0.01)
+    assert(rows.count() == 0L)
+  }
 }
