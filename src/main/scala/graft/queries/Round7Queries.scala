@@ -32,8 +32,10 @@ object Round7Queries {
     // over the C4 pair graph) assigned train/valid/test as units.
     "q_cluster_split" -> { (s, dir) =>
       val corpus = TextQueries.docsWithPlantedDups(s, dir)
+      // prefix blocking, not id-modulus: see q_dedup_ngram — modulus
+      // keys collapse replica-derived corpora into quadratic blocks.
       val pairs = Dedup.ngramJaccard(corpus, col("doc_id"), col("text"),
-          blockBy = col("doc_id") % 1000000L, shingleK = 3, threshold = 0.5)
+          blockBy = TextQueries.prefixBlock(col("text")), shingleK = 3, threshold = 0.5)
         .select(col("id_a"), col("id_b"))
       Splits.clusterSplit(corpus, col("doc_id"), pairs, SplitFractions)
         .orderBy(col("doc_id"))
@@ -150,9 +152,11 @@ object Round7Queries {
         "CAST(cluster_id AS VARCHAR)", SplitFractions)
       s"""WITH RECURSIVE ${TextQueries.allDocsCte},
          |${TextQueries.shinglesCte},
+         |blk AS (SELECT doc_id, ${TextQueries.prefixBlockSql("text")} AS block FROM all_docs),
          |prs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-         |        FROM sh a JOIN sh b
-         |          ON (a.doc_id % 1000000) = (b.doc_id % 1000000) AND a.doc_id < b.doc_id
+         |        FROM sh a JOIN blk ba ON ba.doc_id = a.doc_id
+         |        JOIN sh b ON a.doc_id < b.doc_id
+         |        JOIN blk bb ON bb.doc_id = b.doc_id AND bb.block = ba.block
          |        WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
          |              / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.5),
          |edges AS (SELECT id_a AS src, id_b AS dst FROM prs

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -59,8 +59,15 @@ object TextQueries {
 
     // C4: exact n-gram Jaccard within planted-dup candidate blocks.
     "q_dedup_ngram" -> { (s, dir) =>
+      // prefix blocking (md5 of the first 5 tokens): the planted dup
+      // appends to the END of the body so it shares its original's
+      // block. An id-modulus block key is NOT scale-stable — on
+      // replica-derived corpora (offsets ≡ 0 mod 1e6) every replica
+      // collapsed into one block and the pair join went quadratic
+      // (the sf10 OOM); a content-prefix key keeps blocks O(dup
+      // group) at every SF.
       Dedup.ngramJaccard(docsWithPlantedDups(s, dir), col("doc_id"), col("text"),
-          blockBy = col("doc_id") % 1000000L, shingleK = 3, threshold = 0.5)
+          blockBy = prefixBlock(col("text")), shingleK = 3, threshold = 0.5)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy(col("id_a"), col("id_b"))
     },
@@ -152,8 +159,10 @@ object TextQueries {
     // C21: duplicate clusters — connected components over the n-gram
     // near-dup pair graph (label propagation to a fixed point).
     "q_dup_clusters" -> { (s, dir) =>
+      // prefix blocking (see q_dedup_ngram): id-modulus keys go
+      // quadratic on replica-derived corpora.
       val pairs = Dedup.ngramJaccard(docsWithPlantedDups(s, dir), col("doc_id"), col("text"),
-          blockBy = col("doc_id") % 1000000L, shingleK = 3, threshold = 0.5)
+          blockBy = prefixBlock(col("text")), shingleK = 3, threshold = 0.5)
         .select(col("id_a"), col("id_b"))
       DupClusters.connectedComponents(pairs).orderBy(col("doc_id"))
     },
@@ -227,6 +236,17 @@ object TextQueries {
       |  UNION ALL
       |  SELECT doc_id + 1000000 AS doc_id, text || ' graftdup' AS text
       |  FROM documents WHERE doc_id % 10 = 0)""".stripMargin
+
+  /** Content-prefix blocking key for pair joins: md5 of the first 5
+    * lowercased tokens. Scale-stable where id-modulus keys are not —
+    * block size tracks actual duplicate-group size at every SF, and
+    * the planted dups (suffix-appended) share their original's block.
+    */
+  private[queries] def prefixBlock(text: Column): Column =
+    md5(array_join(slice(split(trim(lower(text)), "\\s+"), 1, 5), " "))
+
+  private[queries] val prefixBlockSql: String => String = t =>
+    s"md5(array_to_string((string_split_regex(trim(lower($t)), '\\s+'))[1:5], ' '))"
 
   /** Word-3-shingle set per doc, DuckDB formulation (proven equal to
     * TextAnalysis.wordShingles by the q_dedup_ngram oracle).
@@ -362,9 +382,11 @@ object TextQueries {
     "q_dup_clusters" ->
       s"""WITH RECURSIVE $allDocsCte,
          |$shinglesCte,
+         |blk AS (SELECT doc_id, ${prefixBlockSql("text")} AS block FROM all_docs),
          |prs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-         |        FROM sh a JOIN sh b
-         |          ON (a.doc_id % 1000000) = (b.doc_id % 1000000) AND a.doc_id < b.doc_id
+         |        FROM sh a JOIN blk ba ON ba.doc_id = a.doc_id
+         |        JOIN sh b ON a.doc_id < b.doc_id
+         |        JOIN blk bb ON bb.doc_id = b.doc_id AND bb.block = ba.block
          |        WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
          |              / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.5),
          |edges AS (SELECT id_a AS src, id_b AS dst FROM prs
@@ -419,13 +441,13 @@ object TextQueries {
         |FROM documents GROUP BY md5(text), length(text) ORDER BY keep_id""".stripMargin,
 
     "q_dedup_ngram" ->
-      """WITH all_docs AS (
+      s"""WITH all_docs AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
         |  SELECT doc_id + 1000000 AS doc_id, text || ' graftdup' AS text
         |  FROM documents WHERE doc_id % 10 = 0),
-        |tok AS (SELECT doc_id, doc_id % 1000000 AS block,
-        |               string_split_regex(trim(lower(text)), '\s+') AS toks FROM all_docs),
+        |tok AS (SELECT doc_id, ${prefixBlockSql("text")} AS block,
+        |               string_split_regex(trim(lower(text)), '\\s+') AS toks FROM all_docs),
         |sh AS (SELECT doc_id, block,
         |         list_distinct(CASE WHEN len(toks) >= 3
         |           THEN list_transform(range(1, len(toks) - 1),
