@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -229,12 +229,14 @@ object CorpusQueries {
     },
 
     // A43: per-group correlation + least-squares fit, computed from
-    // integer-exact moment sums (floored/scaled measures keep
-    // n·Σy² inside int64 at the bench SF) so the final doubles
-    // derive identically in any engine: corr, slope, intercept per
-    // returnflag. At petabyte row counts the moment sums need
-    // DECIMAL accumulators or a merge of per-partition Welford
-    // states; the integer formulation is the oracle-exact twin.
+    // integer-exact moment sums so the final doubles derive
+    // identically in any engine: corr, slope, intercept per
+    // returnflag. The n·Σyy / (Σy)² PRODUCTS overflow int64 past
+    // ~10M rows per group (hit at the derived sf10), so they are
+    // taken in DECIMAL(38,0) — exact to 1e38, same promotion DuckDB
+    // gets for free from its HUGEINT sum() — and only the (small)
+    // DIFFERENCES cast back to bigint, exactly as the twin's
+    // CAST(n*syy - sy*sy AS BIGINT).
     "q_corr_regress" -> { (s, dir) =>
       val li = t(s, dir, "lineitem").select(col("l_returnflag").as("grp"),
         floor(col("l_quantity")).cast("bigint").as("x"),
@@ -245,10 +247,16 @@ object CorpusQueries {
         sum(col("x") * col("x")).as("sxx"),
         sum(col("y") * col("y")).as("syy"),
         sum(col("x") * col("y")).as("sxy"))
+      // 19 digits holds any int64; the 19x19 product caps at
+      // decimal(38,0) and the largest possible value (9.2e18)^2 =
+      // 8.5e37 still fits, so the arithmetic is exact for ANY inputs
+      val dec = "decimal(19,0)"
+      def prodDiff(a: Column, b: Column, c: Column, d: Column): Column =
+        (a.cast(dec) * b.cast(dec) - c.cast(dec) * d.cast(dec)).cast("bigint")
       m.select(col("grp"), col("n"),
-          (col("n") * col("sxy") - col("sx") * col("sy")).as("cov_num"),
-          (col("n") * col("sxx") - col("sx") * col("sx")).as("var_x_num"),
-          (col("n") * col("syy") - col("sy") * col("sy")).as("var_y_num"),
+          prodDiff(col("n"), col("sxy"), col("sx"), col("sy")).as("cov_num"),
+          prodDiff(col("n"), col("sxx"), col("sx"), col("sx")).as("var_x_num"),
+          prodDiff(col("n"), col("syy"), col("sy"), col("sy")).as("var_y_num"),
           col("sx"), col("sy"))
         .select(col("grp"), col("n"), col("cov_num"), col("var_x_num"), col("var_y_num"),
           round(col("cov_num").cast("double") /

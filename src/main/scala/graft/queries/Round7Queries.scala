@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Decontaminate, Dedup, EpochShuffle, HardNegatives, Novelty, QualityClassifier, Sampling, Selection, Splits, SystematicSampling, TextAnalysis}
+import graft.ops.{Calibration, Decontaminate, Dedup, EpochShuffle, Features, HardNegatives, Novelty, QualityClassifier, Quantization, Sampling, Selection, Splits, SystematicSampling, TextAnalysis}
 
 /** Round-7 capability queries: leakage-safe cluster splits,
   * hard-negative mining, token-budget corpus selection, and bloom-
@@ -25,6 +25,9 @@ object Round7Queries {
   val ShuffleShards = 4
   val GroupTopK = 5
   val SnippetToks = 45
+  val QtK = 20
+  val BowDim = 64
+  val EmbDim = 64
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -142,6 +145,53 @@ object Round7Queries {
         .select(col("id_a"), col("id_b"), col("n_common"), col("size_a"),
           col("size_b"), round(col("containment"), 4).as("containment"))
         .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // C68: corpus-calibrated per-dimension int8 quantization — the
+    // cross-vector-comparable quantizer (per-row max-abs scales are
+    // not), emitted as comma-joined ints (engine-stable formatting).
+    "q_quantize_cal" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val cal = Quantization.fitMinMax(e, col("embedding"))
+      Quantization.quantize(e, col("vec_id"), col("embedding"), cal)
+        .select(col("vec_id"),
+          array_join(transform(col("qvec"), x => x.cast("string")), ",").as("q8_cal"))
+        .orderBy(col("vec_id"))
+    },
+
+    // C68b: top-k search IN the quantized domain — exact integer dot
+    // products (deterministic under any partitioning), bounded-heap
+    // per-query combiner instead of a corpus-wide window.
+    "q_quantized_topk" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val cal = Quantization.fitMinMax(e, col("embedding"))
+      val q = Quantization.quantize(e, col("vec_id"), col("embedding"), cal)
+      val qids = Seq(0L, 1L, 2L)
+      val queries = q.filter(col("vec_id").isin(qids: _*))
+        .select(col("vec_id").as("query_id"), col("qvec"))
+      Quantization.quantizedTopK(q.filter(!col("vec_id").isin(qids: _*)), queries, QtK)
+        .orderBy(col("query_id"), col("rank"))
+    },
+
+    // C70: per-language quality calibration — percent_rank within
+    // lang via the distributed prefix device (no whole-lang window),
+    // keep the top half of each language.
+    "q_quality_calibrate" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      val scored = d.select(col("doc_id"), col("lang"),
+        TextAnalysis.tokenCount(col("text")).as("n_toks"))
+      Calibration.rankNormalize(scored, col("doc_id"), col("lang"), col("n_toks"))
+        .filter(col("pct") >= 0.5)
+        .select(col("doc_id"), col("grp").as("lang"), col("score").as("n_toks"),
+          round(col("pct"), 6).as("pct"))
+        .orderBy(col("doc_id"))
+    },
+
+    // C71: hashing-trick bag-of-words — vocabulary-free fixed-dim
+    // features; sparse (doc, bucket, cnt) form for the oracle.
+    "q_hashed_bow" -> { (s, dir) =>
+      Features.hashedBow(t(s, dir, "documents"), col("doc_id"), col("text"), BowDim)
+        .orderBy(col("doc_id"), col("bucket"))
     }
   )
 
@@ -314,6 +364,57 @@ object Round7Queries {
          |JOIN sizes sa ON sa.doc_id = m.id_a
          |JOIN sizes sb ON sb.doc_id = m.id_b
          |WHERE CAST(m.n_common AS DOUBLE) / least(sa.sz, sb.sz) >= 0.8
-         |ORDER BY id_a, id_b""".stripMargin
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_quantize_cal" ->
+      s"""WITH ex AS (SELECT vec_id, u.i AS dim, CAST(embedding AS DOUBLE[])[u.i] AS v
+         |            FROM embeddings, unnest(range(1, ${EmbDim + 1})) AS u(i)),
+         |cal AS (SELECT dim, min(v) AS lo, max(v) AS hi FROM ex GROUP BY dim)
+         |SELECT vec_id,
+         |  string_agg(CAST(CASE WHEN cal.hi = cal.lo THEN 0
+         |    ELSE CAST(round((ex.v - cal.lo) * 254.0 / (cal.hi - cal.lo)) AS INTEGER) - 127 END
+         |    AS VARCHAR), ',' ORDER BY ex.dim) AS q8_cal
+         |FROM ex JOIN cal USING (dim)
+         |GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+    "q_quantized_topk" ->
+      s"""WITH ex AS (SELECT vec_id, u.i AS dim, CAST(embedding AS DOUBLE[])[u.i] AS v
+         |            FROM embeddings, unnest(range(1, ${EmbDim + 1})) AS u(i)),
+         |cal AS (SELECT dim, min(v) AS lo, max(v) AS hi FROM ex GROUP BY dim),
+         |q AS (SELECT vec_id, dim,
+         |        CASE WHEN cal.hi = cal.lo THEN 0
+         |          ELSE CAST(round((ex.v - cal.lo) * 254.0 / (cal.hi - cal.lo)) AS INTEGER) - 127
+         |        END AS qv
+         |      FROM ex JOIN cal USING (dim)),
+         |s AS (SELECT qq.vec_id AS query_id, c.vec_id,
+         |        CAST(SUM(CAST(c.qv AS BIGINT) * qq.qv) AS BIGINT) AS iprod
+         |      FROM q c JOIN q qq USING (dim)
+         |      WHERE qq.vec_id IN (0, 1, 2) AND c.vec_id NOT IN (0, 1, 2)
+         |      GROUP BY 1, 2),
+         |r AS (SELECT query_id, vec_id, iprod,
+         |        CAST(row_number() OVER (PARTITION BY query_id
+         |          ORDER BY iprod DESC, vec_id) AS BIGINT) AS rank
+         |      FROM s)
+         |SELECT query_id, vec_id, iprod, rank
+         |FROM r WHERE rank <= $QtK ORDER BY query_id, rank""".stripMargin,
+
+    "q_quality_calibrate" ->
+      s"""WITH sc AS (SELECT doc_id, lang,
+         |              CAST(${TextAnalysis.tokenCountSql("text")} AS BIGINT) AS n_toks
+         |            FROM documents),
+         |r AS (SELECT doc_id, lang, n_toks,
+         |        percent_rank() OVER (PARTITION BY lang ORDER BY n_toks, doc_id) AS pct
+         |      FROM sc)
+         |SELECT doc_id, lang, n_toks, round(pct, 6) AS pct
+         |FROM r WHERE pct >= 0.5 ORDER BY doc_id""".stripMargin,
+
+    "q_hashed_bow" ->
+      s"""WITH tok AS (SELECT doc_id,
+         |               unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+         |             FROM documents),
+         |b AS (SELECT doc_id, ${graft.ops.Features.bucketSql("tok", BowDim)} AS bucket
+         |      FROM tok WHERE tok <> '')
+         |SELECT doc_id, bucket, count(*) AS cnt
+         |FROM b GROUP BY doc_id, bucket ORDER BY doc_id, bucket""".stripMargin
   )
 }
