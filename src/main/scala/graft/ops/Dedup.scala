@@ -274,11 +274,13 @@ object Dedup {
     * anchoring are exactly those sharing ONLY boilerplate-frequency
     * shingles, which the boilerplate/dup-span operators own.
     *
-    * Shuffle shape: distinct (doc, shingle-hash60) fixed-width rows —
-    * once for df counting, once for the candidate join, once keyed by
-    * the (id_a, id_b) pair for intersection counting. Text never
-    * shuffles. Returns (id_a, id_b, n_common, size_a, size_b,
-    * containment) with id_a < id_b, containment >= threshold.
+    * Shuffle shape: distinct (doc, shingle-hash60) fixed-width rows
+    * for df counting and the candidate join; the exact verify joins
+    * CANDIDATE rows against per-doc hash arrays (one array-assembly
+    * shuffle of the corpus, then candidate-bounded movement only) and
+    * intersects in a narrow codegen map. Text never shuffles. Returns
+    * (id_a, id_b, n_common, size_a, size_b, containment) with
+    * id_a < id_b, containment >= threshold.
     */
   def containment(
       df: DataFrame,
@@ -292,7 +294,14 @@ object Dedup {
       .select(col("doc_id"), md5Hash60(col("shingle")).as("h"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    // per-doc distinct-hash ARRAYS: the exploded stream shuffles ONCE
+    // (this groupBy); the verify stage then moves only candidate-pair
+    // rows + their two arrays and intersects with a narrow codegen
+    // map — never a re-explode + re-shuffle of the whole corpus per
+    // join side (that shape wrote tens of GB of shuffle at 100x)
+    val arrays = sh.groupBy(col("doc_id"))
+      .agg(collect_list(col("h")).as("hs"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     val rare = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= maxDf)
@@ -304,15 +313,13 @@ object Dedup {
       .select(col("id_a"), col("id_b"))
       .distinct()
 
-    val common = candidates
-      .join(sh.select(col("doc_id").as("id_a"), col("h")), "id_a")
-      .join(sh.select(col("doc_id").as("id_b"), col("h")), Seq("id_b", "h"), "left_semi")
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(count(lit(1)).as("n_common"))
-
-    common
-      .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("size_a")), "id_a")
-      .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("size_b")), "id_b")
+    candidates
+      .join(arrays.select(col("doc_id").as("id_a"), col("hs").as("hs_a")), "id_a")
+      .join(arrays.select(col("doc_id").as("id_b"), col("hs").as("hs_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("hs_a"), col("hs_b"))).cast("bigint").as("n_common"),
+        size(col("hs_a")).cast("bigint").as("size_a"),
+        size(col("hs_b")).cast("bigint").as("size_b"))
       .withColumn("containment",
         col("n_common").cast("double") / least(col("size_a"), col("size_b")).cast("double"))
       .filter(col("containment") >= threshold)

@@ -231,12 +231,13 @@ object CorpusQueries {
     // A43: per-group correlation + least-squares fit, computed from
     // integer-exact moment sums so the final doubles derive
     // identically in any engine: corr, slope, intercept per
-    // returnflag. The n·Σyy / (Σy)² PRODUCTS overflow int64 past
-    // ~10M rows per group (hit at the derived sf10), so they are
-    // taken in DECIMAL(38,0) — exact to 1e38, same promotion DuckDB
-    // gets for free from its HUGEINT sum() — and only the (small)
-    // DIFFERENCES cast back to bigint, exactly as the twin's
-    // CAST(n*syy - sy*sy AS BIGINT).
+    // returnflag. The n·Σyy / (Σy)² numerators grow QUADRATICALLY
+    // with group size — they overflow int64 past ~10M rows/group
+    // (hit at the derived sf10), so the whole moment path runs in
+    // DECIMAL(38,0): exact to 1e38 (room for ~1e12-row groups at
+    // 100 TB), the same promotion DuckDB's HUGEINT sum() gives its
+    // twin, and the numerator OUTPUT columns stay decimal — a bigint
+    // output column here would be an intrinsic scale cap.
     "q_corr_regress" -> { (s, dir) =>
       val li = t(s, dir, "lineitem").select(col("l_returnflag").as("grp"),
         floor(col("l_quantity")).cast("bigint").as("x"),
@@ -252,7 +253,7 @@ object CorpusQueries {
       // 8.5e37 still fits, so the arithmetic is exact for ANY inputs
       val dec = "decimal(19,0)"
       def prodDiff(a: Column, b: Column, c: Column, d: Column): Column =
-        (a.cast(dec) * b.cast(dec) - c.cast(dec) * d.cast(dec)).cast("bigint")
+        (a.cast(dec) * b.cast(dec) - c.cast(dec) * d.cast(dec)).cast("decimal(38,0)")
       m.select(col("grp"), col("n"),
           prodDiff(col("n"), col("sxy"), col("sx"), col("sy")).as("cov_num"),
           prodDiff(col("n"), col("sxx"), col("sx"), col("sx")).as("var_x_num"),
@@ -262,9 +263,12 @@ object CorpusQueries {
           round(col("cov_num").cast("double") /
             sqrt(col("var_x_num").cast("double") * col("var_y_num").cast("double")), 4)
             .as("corr"),
-          round(col("cov_num").cast("double") / col("var_x_num"), 4).as("slope"),
-          round((col("sy") - col("cov_num").cast("double") / col("var_x_num") * col("sx"))
-            / col("n"), 4).as("intercept"))
+          round(col("cov_num").cast("double") / col("var_x_num").cast("double"), 4)
+            .as("slope"),
+          round((col("sy").cast("double") -
+              col("cov_num").cast("double") / col("var_x_num").cast("double")
+                * col("sx").cast("double"))
+            / col("n").cast("double"), 4).as("intercept"))
         .orderBy(col("grp"))
     },
 
@@ -471,14 +475,15 @@ object CorpusQueries {
         |        FROM lineitem)
         |  GROUP BY 1)
         |SELECT grp, CAST(n AS BIGINT) AS n,
-        |  CAST(n * sxy - sx * sy AS BIGINT) AS cov_num,
-        |  CAST(n * sxx - sx * sx AS BIGINT) AS var_x_num,
-        |  CAST(n * syy - sy * sy AS BIGINT) AS var_y_num,
+        |  CAST(n * sxy - sx * sy AS DECIMAL(38,0)) AS cov_num,
+        |  CAST(n * sxx - sx * sx AS DECIMAL(38,0)) AS var_x_num,
+        |  CAST(n * syy - sy * sy AS DECIMAL(38,0)) AS var_y_num,
         |  round(CAST(n * sxy - sx * sy AS DOUBLE)
         |    / sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)), 4) AS corr,
-        |  round(CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS BIGINT), 4) AS slope,
-        |  round((sy - CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS BIGINT) * sx)
-        |    / n, 4) AS intercept
+        |  round(CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE), 4) AS slope,
+        |  round((CAST(sy AS DOUBLE) - CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |    / CAST(n AS DOUBLE), 4) AS intercept
         |FROM m ORDER BY grp""".stripMargin,
 
     "q_mode" ->
