@@ -17,7 +17,8 @@ object SparkEntry {
       graft.queries.PipelineQueries.defs ++
       graft.queries.CorpusQueries.defs ++
       graft.queries.Round6Queries.defs ++
-      graft.queries.Round7Queries.defs
+      graft.queries.Round7Queries.defs ++
+      graft.queries.Round7bQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -28,5 +29,6 @@ object SparkEntry {
       graft.queries.PipelineQueries.oracles ++
       graft.queries.CorpusQueries.oracles ++
       graft.queries.Round6Queries.oracles ++
-      graft.queries.Round7Queries.oracles
+      graft.queries.Round7Queries.oracles ++
+      graft.queries.Round7bQueries.oracles
 }

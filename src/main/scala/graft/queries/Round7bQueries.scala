@@ -1,0 +1,119 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.{Allocation, Scrub}
+import graft.plans.UnicodeNormalizeOps
+
+/** Round-7 hygiene/sampling queries: PII redaction, Unicode NFC
+  * canonicalization, Hamilton proportional stratified sampling.
+  *
+  * The synthetic `documents` table carries no natural PII or
+  * denormalized Unicode, so these queries CONSTRUCT the interesting
+  * content deterministically from doc_id INSIDE the query — with the
+  * identical construction in the DuckDB twin — so the regex chain /
+  * normalizer is exercised on per-row-distinct matches rather than
+  * trivially passing on a no-op corpus. The planted-fixture edge
+  * cases live in the ScalaTest specs.
+  */
+object Round7bQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.read(s, dir, name)
+
+  val PropK = 60
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // C72: PII scrubbing — staged email → IPv4 → digit-run redaction
+    // with per-stage counts; pure narrow map, RE2-portable patterns.
+    "q_pii_redact" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      val aug = d.select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com via 10.0."),
+          pmod(col("doc_id"), lit(256L)).cast("string"),
+          lit(".77 ref "),
+          (col("doc_id") * lit(1009L)).cast("string")).as("text"))
+      Scrub.redactPii(aug, col("doc_id"), col("text"))
+        .orderBy(col("id"))
+    },
+
+    // C71: Unicode NFC canonicalization — the native Normalizer
+    // expression vs DuckDB's nfc_normalize, plus the replacement-char
+    // (mojibake) count; planted combining marks compose so
+    // len_raw > len_nfc on every row.
+    "q_nfc_normalize" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      val aug = d.select(col("doc_id"),
+        concat(col("text"), lit(" cafe\u0301 "), lit("\uFFFD"),
+          lit(" nai\u0308ve")).as("raw"))
+      aug.select(col("doc_id"),
+        UnicodeNormalizeOps.nfc(col("raw")).as("nfc"),
+        length(col("raw")).cast("bigint").as("len_raw"),
+        length(UnicodeNormalizeOps.nfc(col("raw"))).cast("bigint").as("len_nfc"),
+        (length(col("raw")) -
+          length(regexp_replace(col("raw"), "\uFFFD", ""))).cast("bigint").as("n_bad"))
+        .orderBy(col("doc_id"))
+    },
+
+    // C73: Hamilton proportional stratified sample — global budget k
+    // split across languages ∝ size with Σ alloc = k exactly, then
+    // hash-ranked selection through the C66 bounded heap.
+    "q_proportional_sample" -> { (s, dir) =>
+      Allocation.proportionalSample(
+          t(s, dir, "documents"), col("doc_id"), col("lang"), PropK)
+        .orderBy(col("stratum"), col("rank"))
+    }
+  )
+
+  val oracles: Map[String, String] = Map(
+
+    "q_pii_redact" ->
+      s"""WITH aug AS (SELECT doc_id,
+         |  text || ' contact user' || CAST(doc_id AS VARCHAR)
+         |       || '@example.com via 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+         |       || '.77 ref ' || CAST(doc_id * 1009 AS VARCHAR) AS t
+         |  FROM documents)
+         |SELECT ${Scrub.redactPiiSql("doc_id", "t")}
+         |FROM aug ORDER BY id""".stripMargin,
+
+    "q_nfc_normalize" ->
+      """WITH aug AS (SELECT doc_id,
+        |  text || ' cafe' || chr(769) || ' ' || chr(65533)
+        |       || ' nai' || chr(776) || 've' AS raw
+        |  FROM documents)
+        |SELECT doc_id, nfc_normalize(raw) AS nfc,
+        |  CAST(length(raw) AS BIGINT) AS len_raw,
+        |  CAST(length(nfc_normalize(raw)) AS BIGINT) AS len_nfc,
+        |  CAST(length(raw) - length(replace(raw, chr(65533), '')) AS BIGINT) AS n_bad
+        |FROM aug ORDER BY doc_id""".stripMargin,
+
+    "q_proportional_sample" ->
+      s"""WITH cnt AS (SELECT lang AS stratum, count(*) AS n_h
+         |             FROM documents GROUP BY lang),
+         |tot AS (SELECT SUM(n_h) AS n_tot FROM cnt),
+         |qa AS (SELECT stratum, n_h,
+         |         ($PropK * n_h) // n_tot AS base,
+         |         ($PropK * n_h) % n_tot AS rem
+         |       FROM cnt, tot),
+         |lo AS (SELECT $PropK - SUM(base) AS leftover FROM qa),
+         |al AS (SELECT stratum, n_h,
+         |         least(n_h, base + CASE
+         |           WHEN row_number() OVER (ORDER BY rem DESC, stratum)
+         |                <= (SELECT leftover FROM lo) THEN 1 ELSE 0 END) AS alloc
+         |       FROM qa),
+         |rk AS (SELECT lang AS stratum, doc_id,
+         |         row_number() OVER (PARTITION BY lang
+         |           ORDER BY ${PipelineQueries.hash60("doc_id")}, doc_id) AS rank
+         |       FROM documents)
+         |SELECT r.stratum, r.doc_id, CAST(r.rank AS BIGINT) AS rank,
+         |  CAST(a.alloc AS BIGINT) AS alloc, a.n_h
+         |FROM rk r JOIN al a USING (stratum)
+         |WHERE r.rank <= a.alloc
+         |ORDER BY stratum, rank""".stripMargin
+  )
+}

@@ -1,0 +1,157 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.plans.UnicodeNormalizeOps
+
+/** Specs for the third round-7 operator batch: PII scrubbing, Unicode
+  * NFC/NFKC canonicalization, Hamilton proportional stratified
+  * sampling.
+  */
+class Round7cOpsSpec extends AnyFunSuite with SparkTestBase {
+
+  import spark.implicits._
+
+  // ----------------------------------------------------------- Scrub
+
+  private def redact(rows: Seq[(Long, String)]) =
+    Scrub.redactPii(rows.toDF("id", "text"), col("id"), col("text"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+
+  test("redactPii: emails, IPs and digit runs masked with per-stage counts") {
+    val got = redact(Seq(
+      1L -> "write a.b+c%d@sub.example.co or x_1@y.io today",
+      2L -> "host 192.168.0.1 and 10.0.255.77 up",
+      3L -> "ref 123456 and 9999 but not 123",
+      4L -> "clean text with no pii at all"))
+    assert(got(1L) == (("write <EMAIL> or <EMAIL> today", 2L, 0L, 0L)))
+    assert(got(2L) == (("host <IP> and <IP> up", 0L, 2L, 0L)))
+    assert(got(3L) == (("ref <NUM> and <NUM> but not 123", 0L, 0L, 2L)))
+    assert(got(4L) == (("clean text with no pii at all", 0L, 0L, 0L)))
+  }
+
+  test("redactPii: staged counting never double-counts digits inside an email or IP") {
+    val got = redact(Seq(1L -> "mail 12345@ids.example.com ip 10.20.30.40 plain 55555"))
+    // the email eats its 5-digit local part; the IP eats its octets;
+    // only the bare run remains for the <NUM> stage
+    assert(got(1L) == (("mail <EMAIL> ip <IP> plain <NUM>", 1L, 1L, 1L)))
+  }
+
+  test("redactPii: word boundaries keep short digit groups and non-IP dots intact") {
+    val got = redact(Seq(1L -> "v1.2.3.4x is a version not an ip, 1.2 stays"))
+    // 1.2.3.4 is flanked by word chars (v…x) -> \b fails on both sides
+    assert(got(1L)._1 == "v1.2.3.4x is a version not an ip, 1.2 stays")
+    assert(got(1L)._3 == 0L)
+  }
+
+  // --------------------------------------------- UnicodeNormalizeExpr
+
+  private def nfcOne(s: String): String =
+    Seq(Tuple1(s)).toDF("t").select(UnicodeNormalizeOps.nfc(col("t"))).head().getString(0)
+
+  private def nfkcOne(s: String): String =
+    Seq(Tuple1(s)).toDF("t").select(UnicodeNormalizeOps.nfkc(col("t"))).head().getString(0)
+
+  test("nfc: combining marks compose; composed input is returned unchanged") {
+    assert(nfcOne("cafe\u0301") == "caf\u00e9")
+    assert(nfcOne("nai\u0308ve") == "na\u00efve")
+    assert(nfcOne("caf\u00e9") == "caf\u00e9")
+    assert(nfcOne("plain ascii") == "plain ascii")
+  }
+
+  test("nfc: idempotent, and length shrinks by exactly the composed marks") {
+    val raw = "a\u0301e\u0301 x"
+    val once = nfcOne(raw)
+    assert(once == "\u00e1\u00e9 x")
+    assert(nfcOne(once) == once)
+    assert(raw.codePointCount(0, raw.length) - once.codePointCount(0, once.length) == 2)
+  }
+
+  test("nfkc folds compatibility forms NFC must preserve") {
+    // U+FB01 LATIN SMALL LIGATURE FI, U+FF12 FULLWIDTH DIGIT TWO
+    assert(nfkcOne("\ufb01le \uff12x") == "file 2x")
+    assert(nfcOne("\ufb01le \uff12x") == "\ufb01le \uff12x")
+  }
+
+  test("unicode normalize: null-safe and interpreted == codegen") {
+    val df = Seq(Some("cafe\u0301"), None).toDF("t")
+    val got = df.select(UnicodeNormalizeOps.nfc(col("t"))).collect().map(r =>
+      if (r.isNullAt(0)) null else r.getString(0))
+    assert(got.toSeq == Seq("caf\u00e9", null))
+    // interpreted path (no codegen): same result via direct eval
+    import org.apache.spark.unsafe.types.UTF8String
+    assert(UnicodeNormalizeOps.normalize(UTF8String.fromString("cafe\u0301"), "NFC")
+      .toString == "caf\u00e9")
+  }
+
+  // ------------------------------------------------------- Allocation
+
+  /** Driver-side Hamilton reference: (stratum -> alloc). */
+  private def hamilton(counts: Map[String, Long], k: Long): Map[String, Long] = {
+    val n = counts.values.sum
+    val base = counts.map { case (s, c) => s -> (k * c / n) }
+    val rem = counts.map { case (s, c) => s -> (k * c % n) }
+    val leftover = k - base.values.sum
+    val extra = counts.keys.toSeq
+      .sortBy(s => (-rem(s), s))
+      .take(leftover.toInt).toSet
+    counts.map { case (s, c) =>
+      s -> math.min(c, base(s) + (if (extra(s)) 1L else 0L))
+    }
+  }
+
+  private def corpus(counts: Map[String, Int]) = {
+    val rows = counts.toSeq.sortBy(_._1).flatMap { case (s, n) =>
+      (0 until n).map(i => (s.hashCode.toLong * 1000 + i, s))
+    }
+    rows.toDF("doc_id", "lang")
+  }
+
+  test("proportionalSample: allocations are Hamilton-exact and sum to k") {
+    val counts = Map("a" -> 7, "b" -> 2, "c" -> 1)
+    val df = corpus(counts)
+    val got = Allocation.proportionalSample(df, col("doc_id"), col("lang"), 5)
+    val alloc = got.select("stratum", "alloc").distinct()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = hamilton(counts.map { case (s, n) => s -> n.toLong }, 5L)
+      .filter(_._2 > 0)
+    assert(alloc == want)
+    assert(got.count() == 5)
+  }
+
+  test("proportionalSample: selects exactly the hash-smallest ids per stratum") {
+    val counts = Map("x" -> 20, "y" -> 10)
+    val df = corpus(counts)
+    val k = 9
+    val got = Allocation.proportionalSample(df, col("doc_id"), col("lang"), k)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val want = hamilton(counts.map { case (s, n) => s -> n.toLong }, k.toLong)
+    // reference: per stratum, take alloc_h smallest by (md5h, id)
+    val byHash = df.select(col("lang"), col("doc_id"),
+        Dedup.md5Hash60(col("doc_id").cast("string")).as("h"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    val expect = byHash.toSeq.flatMap { case (s, rows) =>
+      rows.toSeq.sortBy(r => (r._3, r._2)).take(want(s).toInt).map(r => (s, r._2))
+    }.toSet
+    assert(got == expect)
+  }
+
+  test("proportionalSample: stable under repartitioning; k >= N takes everything") {
+    val counts = Map("a" -> 6, "b" -> 3)
+    val df = corpus(counts)
+    val a = Allocation.proportionalSample(df, col("doc_id"), col("lang"), 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val b = Allocation.proportionalSample(df.repartition(7), col("doc_id"), col("lang"), 4)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(a == b)
+    val all = Allocation.proportionalSample(df, col("doc_id"), col("lang"), 9)
+    assert(all.count() == 9)
+    val allocs = all.select("stratum", "alloc").distinct().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(allocs == Map("a" -> 6L, "b" -> 3L))
+  }
+}
