@@ -24,6 +24,8 @@ object Round7bQueries {
     Tables.read(s, dir, name)
 
   val PropK = 60
+  val TfIdfMaxDf = 10
+  val TfIdfTau = 0.3
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -67,6 +69,18 @@ object Round7bQueries {
       Allocation.proportionalSample(
           t(s, dir, "documents"), col("doc_id"), col("lang"), PropK)
         .orderBy(col("stratum"), col("rank"))
+    },
+
+    // C74: idf-weighted all-pairs cosine — posting-list self-join with
+    // df-pruned fan-out; planted dups (suffix-appended replicas) land
+    // near cosine 1 while unrelated token-soup pairs stay below τ.
+    "q_tfidf_pairs" -> { (s, dir) =>
+      val corpus = TextQueries.docsWithPlantedDups(s, dir)
+      graft.ops.TfIdf.similarPairs(corpus, col("doc_id"), col("text"),
+          shingleK = 3, maxDf = TfIdfMaxDf, threshold = TfIdfTau)
+        .select(col("id_a"), col("id_b"), col("dot_milli2"),
+          round(col("cosine"), 4).as("cosine"))
+        .orderBy(col("id_a"), col("id_b"))
     }
   )
 
@@ -114,6 +128,34 @@ object Round7bQueries {
          |  CAST(a.alloc AS BIGINT) AS alloc, a.n_h
          |FROM rk r JOIN al a USING (stratum)
          |WHERE r.rank <= a.alloc
-         |ORDER BY stratum, rank""".stripMargin
+         |ORDER BY stratum, rank""".stripMargin,
+
+    "q_tfidf_pairs" ->
+      s"""WITH ${TextQueries.allDocsCte},
+         |${TextQueries.shinglesCte},
+         |e AS (SELECT DISTINCT doc_id, ${PipelineQueries.hash60("u.s")} AS h
+         |      FROM sh, unnest(sh.shingles) AS u(s)),
+         |nn AS (SELECT count(*) AS n_docs FROM all_docs),
+         |dfc AS (SELECT h, count(*) AS df FROM e GROUP BY h
+         |        HAVING count(*) <= $TfIdfMaxDf),
+         |wts AS (SELECT e.doc_id, e.h, dfc.df,
+         |          CAST(floor(ln(CAST(n_docs + 1 AS DOUBLE)
+         |            / CAST(df + 1 AS DOUBLE)) * 1000) AS BIGINT) AS idf
+         |        FROM e JOIN dfc USING (h), nn),
+         |nsq AS (SELECT doc_id, CAST(SUM(idf * idf) AS BIGINT) AS nsq
+         |        FROM wts GROUP BY doc_id),
+         |dots AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |           CAST(SUM(a.idf * b.idf) AS BIGINT) AS dot_milli2
+         |         FROM wts a JOIN wts b ON a.h = b.h AND a.doc_id < b.doc_id
+         |         WHERE a.df >= 2
+         |         GROUP BY 1, 2),
+         |c AS (SELECT d.id_a, d.id_b, d.dot_milli2,
+         |        CAST(d.dot_milli2 AS DOUBLE)
+         |          / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE))) AS cosine
+         |      FROM dots d
+         |      JOIN nsq na ON na.doc_id = d.id_a
+         |      JOIN nsq nb ON nb.doc_id = d.id_b)
+         |SELECT id_a, id_b, dot_milli2, round(cosine, 4) AS cosine
+         |FROM c WHERE cosine >= $TfIdfTau ORDER BY id_a, id_b""".stripMargin
   )
 }

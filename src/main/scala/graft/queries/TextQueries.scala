@@ -384,9 +384,9 @@ object TextQueries {
          |$shinglesCte,
          |blk AS (SELECT doc_id, ${prefixBlockSql("text")} AS block FROM all_docs),
          |prs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-         |        FROM sh a JOIN blk ba ON ba.doc_id = a.doc_id
-         |        JOIN sh b ON a.doc_id < b.doc_id
-         |        JOIN blk bb ON bb.doc_id = b.doc_id AND bb.block = ba.block
+         |        FROM blk ba JOIN blk bb ON bb.block = ba.block AND ba.doc_id < bb.doc_id
+         |        JOIN sh a ON a.doc_id = ba.doc_id
+         |        JOIN sh b ON b.doc_id = bb.doc_id
          |        WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
          |              / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.5),
          |edges AS (SELECT id_a AS src, id_b AS dst FROM prs

@@ -140,6 +140,70 @@ class Round7cOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got == expect)
   }
 
+  // ------------------------------------------------------------ TfIdf
+
+  private def tfidfPairs(rows: Seq[(Long, String)], maxDf: Int = 10, tau: Double = 0.0) =
+    TfIdf.similarPairs(rows.toDF("doc_id", "text"), col("doc_id"), col("text"),
+      shingleK = 3, maxDf = maxDf, threshold = tau)
+
+  test("tfidf: exact duplicate pair scores cosine ~1, higher than partial overlap") {
+    val a = "alpha beta gamma delta epsilon zeta eta theta"
+    // doc 4 keeps the (1,3) shared shingles' df below N, so their idf
+    // stays positive (df == N terms weigh 0 — correct tf-idf behavior)
+    val rows = Seq(1L -> a, 2L -> a,
+      3L -> "alpha beta gamma delta other words here now",
+      4L -> "wholly unrelated filler content sentence tokens")
+    val got = tfidfPairs(rows).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(math.abs(got((1L, 2L)) - 1.0) < 1e-9)
+    assert(got((1L, 3L)) > 0.0 && got((1L, 3L)) < got((1L, 2L)))
+    assert(got((1L, 3L)) == got((2L, 3L))) // same shingle sets -> same cosine
+  }
+
+  test("tfidf: cosine matches a driver-side reference on a hand fixture") {
+    val rows = Seq(
+      1L -> "red fox jumps over lazy dog",
+      2L -> "red fox jumps over sleepy cat",
+      3L -> "completely different tokens in this document body")
+    val got = tfidfPairs(rows).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    // reference: shingle sets, df, idf_milli = floor(1000*ln((N+1)/(df+1)))
+    def shingles(t: String) = t.split("\\s+").sliding(3).map(_.mkString(" ")).toSet
+    val sets = rows.toMap.map { case (id, t) => id -> shingles(t) }
+    val n = rows.size
+    val df = sets.values.flatten.toSeq.groupBy(identity).map { case (s, xs) => s -> xs.size }
+    def idf(s: String) = math.floor(1000.0 * math.log((n + 1.0) / (df(s) + 1.0))).toLong
+    def nsq(id: Long) = sets(id).toSeq.map(s => idf(s) * idf(s)).sum
+    for (((ia, ib), (dot, cos)) <- got) {
+      val common = sets(ia) & sets(ib)
+      val wantDot = common.toSeq.map(s => idf(s) * idf(s)).sum
+      assert(dot == wantDot, s"pair ($ia,$ib)")
+      val wantCos = wantDot.toDouble / (math.sqrt(nsq(ia).toDouble) * math.sqrt(nsq(ib).toDouble))
+      assert(math.abs(cos - wantCos) < 1e-9, s"pair ($ia,$ib)")
+    }
+    assert(got.contains((1L, 2L)) && !got.contains((1L, 3L)))
+  }
+
+  test("tfidf: shingles above maxDf never pair documents") {
+    // the only shared shingle appears in ALL 6 docs -> df=6 > maxDf=5
+    val boiler = "common boiler plate"
+    val rows = (1L to 6L).map(i => i -> s"$boiler unique$i tail$i words$i")
+    val got = tfidfPairs(rows, maxDf = 5, tau = 0.0)
+    assert(got.count() == 0)
+    // raising the cap re-admits them
+    assert(tfidfPairs(rows, maxDf = 6, tau = 0.0).count() == 15)
+  }
+
+  test("tfidf: deterministic under repartitioning") {
+    val rows = (1L to 30L).map(i =>
+      i -> s"tok${i % 7} tok${i % 5} tok${i % 3} body word$i extra${i % 4} more${i % 11}")
+    val df1 = tfidfPairs(rows).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val df2 = TfIdf.similarPairs(rows.toDF("doc_id", "text").repartition(13),
+        col("doc_id"), col("text"), 3, 10, 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(df1 == df2 && df1.nonEmpty)
+  }
+
   test("proportionalSample: stable under repartitioning; k >= N takes everything") {
     val counts = Map("a" -> 6, "b" -> 3)
     val df = corpus(counts)
