@@ -126,6 +126,73 @@ object Multimodal {
     }
   }
 
+  /** Real audio decode via `javax.sound.sampled` (WAV/AIFF/AU PCM
+    * readers ship with the JDK): downmix to mono and reduce the
+    * waveform to a `dim`-window RMS energy envelope in [0,1] — the
+    * audio analog of [[ImageIoDecoder]]'s luminance grid, and like it
+    * robust to re-encoding of the same signal (sample-rate and
+    * bit-depth changes preserve the envelope). Same contract:
+    * undecodable, empty or non-PCM payloads return the zero vector.
+    * Supports 8/16-bit PCM, any channel count, either endianness.
+    */
+  object WavDecoder extends MediaDecoder {
+    def decode(payload: Array[Byte], dim: Int): Array[Float] = {
+      val out = new Array[Float](dim)
+      if (payload == null || payload.isEmpty) return out
+      import javax.sound.sampled.{AudioFormat, AudioSystem}
+      val ais =
+        try AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(payload))
+        catch { case _: Exception => null }
+      if (ais == null) return out
+      try {
+        val fmt = ais.getFormat
+        val enc = fmt.getEncoding
+        val signed = enc == AudioFormat.Encoding.PCM_SIGNED
+        if (!signed && enc != AudioFormat.Encoding.PCM_UNSIGNED) return out
+        val bps = fmt.getSampleSizeInBits / 8
+        if (bps != 1 && bps != 2) return out
+        val ch = math.max(1, fmt.getChannels)
+        val data = ais.readAllBytes()
+        val frameBytes = bps * ch
+        val n = data.length / frameBytes
+        if (n == 0) return out
+        val mono = new Array[Double](n)
+        var i = 0
+        while (i < n) {
+          var s = 0.0
+          var c = 0
+          while (c < ch) {
+            val off = i * frameBytes + c * bps
+            s += (if (bps == 2) {
+              val (b0, b1) = (data(off) & 0xff, data(off + 1) & 0xff)
+              val raw = if (fmt.isBigEndian) (b0 << 8) | b1 else (b1 << 8) | b0
+              (if (signed) raw.toShort.toInt else raw - 32768) / 32768.0
+            } else {
+              (if (signed) data(off).toInt else (data(off) & 0xff) - 128) / 128.0
+            })
+            c += 1
+          }
+          mono(i) = s / ch
+          i += 1
+        }
+        var w = 0
+        while (w < dim) {
+          val lo = (w.toLong * n / dim).toInt
+          val hi = ((w + 1).toLong * n / dim).toInt
+          if (hi > lo) {
+            var acc = 0.0
+            var j = lo
+            while (j < hi) { acc += mono(j) * mono(j); j += 1 }
+            out(w) = math.sqrt(acc / (hi - lo)).toFloat
+          }
+          w += 1
+        }
+        out
+      } catch { case _: Exception => new Array[Float](dim) }
+      finally ais.close()
+    }
+  }
+
   /** A sampled frame row: 1 media row explodes into up to
     * `maxFrames` of these.
     */

@@ -158,4 +158,70 @@ class MultimodalSpec extends AnyFunSuite with SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((1L, 2L)), s"got $pairs")
   }
+
+  // ------------------------------------------------- real audio decode
+
+  /** PCM samples → a WAV container via the JDK encoder. 16-bit writes
+    * signed little-endian; 8-bit follows the WAV unsigned convention.
+    */
+  private def wav(samples: Array[Short], bits: Int = 16, channels: Int = 1,
+      rate: Float = 8000f): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    val fmt = new AudioFormat(rate, bits, channels, bits == 16, false)
+    val raw = new Array[Byte](samples.length * bits / 8)
+    var i = 0
+    while (i < samples.length) {
+      if (bits == 16) {
+        raw(2 * i) = (samples(i) & 0xff).toByte
+        raw(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      } else raw(i) = ((samples(i) / 256) + 128).toByte
+      i += 1
+    }
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(raw), fmt, samples.length / channels)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("WavDecoder: RMS envelope of a silence-then-tone signal, bit-depth robust") {
+    val n = 8000
+    // first half silence, second half a full-scale square wave (RMS = 1)
+    val sig = Array.tabulate[Short](n)(i =>
+      if (i < n / 2) 0 else if (i % 2 == 0) 32767 else -32767)
+    val env = Multimodal.WavDecoder.decode(wav(sig), 8)
+    (0 until 4).foreach(w => assert(math.abs(env(w)) < 1e-3, s"window $w"))
+    (4 until 8).foreach(w => assert(math.abs(env(w) - 1.0f) < 1e-2, s"window $w"))
+    // the 8-bit re-encode of the same signal keeps the envelope
+    val env8 = Multimodal.WavDecoder.decode(wav(sig, bits = 8), 8)
+    env.zip(env8).foreach { case (a, b) => assert(math.abs(a - b) < 0.02) }
+    // stereo downmix: L = -R cancels to silence everywhere
+    val st = Array.tabulate[Short](n * 2)(i =>
+      if (i % 2 == 0) 12000 else -12000)
+    val envSt = Multimodal.WavDecoder.decode(wav(st, channels = 2), 8)
+    envSt.foreach(v => assert(math.abs(v) < 1e-3))
+    // corrupt payload -> zero vector, no crash
+    val bad = Multimodal.WavDecoder.decode(Array.tabulate[Byte](64)(_.toByte), 8)
+    assert(bad.forall(_ == 0.0f))
+  }
+
+  test("WavDecoder feeds the pHash near-dup path: re-encode pairs, different envelope does not") {
+    val n = 8000
+    def tone(loudFirst: Boolean) = Array.tabulate[Short](n) { i =>
+      val loud = if (loudFirst) i < n / 2 else i >= n / 2
+      if (loud) (28000 * math.sin(i * 0.7)).toShort else (600 * math.sin(i * 0.7)).toShort
+    }
+    val a16 = wav(tone(loudFirst = false))
+    val a8 = wav(tone(loudFirst = false), bits = 8)
+    val rev = wav(tone(loudFirst = true))
+    val media = Multimodal.packBinary(
+      Seq((1L, a16), (2L, a8), (3L, rev)).toDF("id", "content"),
+      col("id"), col("content"), "audio")
+    val h = Multimodal.perceptualHash(media, decoder = Multimodal.WavDecoder)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(x: Long, y: Long) = java.lang.Long.bitCount(x ^ y)
+    assert(hamming(h(1L), h(2L)) <= 3, s"16 vs 8 bit: ${hamming(h(1L), h(2L))}")
+    // loud-half swapped -> complementary threshold pattern, far away
+    assert(hamming(h(1L), h(3L)) >= 32, s"reversed: ${hamming(h(1L), h(3L))}")
+  }
 }
