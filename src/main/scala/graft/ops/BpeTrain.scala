@@ -1,0 +1,139 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE tokenizer training (C75): learn the first `n`
+  * merge rules over a corpus — the full iterative loop whose single
+  * inner statistic [[BpePairs]] (C40) scores. Classic Sennrich BPE on
+  * the word-frequency table: count adjacent symbol pairs weighted by
+  * word frequency, merge the best pair everywhere (greedy
+  * left-to-right, non-overlapping), repeat.
+  *
+  * Representation: a word's symbol sequence is ONE string with every
+  * symbol wrapped in U+001F unit separators — "abc" →
+  * `␟a␟␟b␟␟c␟`. Under this encoding applying a merge (l, r) IS the
+  * plain literal `replace(rep, "␟l␟␟r␟", "␟lr␟")`: each token's
+  * wrapper participates in at most one match, so non-overlapping
+  * left-to-right replacement reproduces exactly BPE's greedy merge
+  * order (e.g. `aaa` + (a,a) → `aa,a`), and both Spark's
+  * `StringReplace` and DuckDB's `replace` share those semantics —
+  * which is what keeps the unrolled-CTE oracle (the C7b device)
+  * byte-exact.
+  *
+  * Scale shape, 100 TB framing:
+  *  - the corpus collapses ONCE to the (word, count) frequency table
+  *    (orders of magnitude smaller than the token stream at any real
+  *    scale); every iteration runs on that persisted table;
+  *  - per iteration: pair explode + one partial-agg shuffle on the
+  *    (left, right) key, a 1-row TakeOrdered decision collected to
+  *    the driver (the bounded-collect pattern of IvfIndex's Lloyd's
+  *    loop), and a zero-shuffle narrow `replace` map;
+  *  - lineage is localCheckpoint-truncated every few merges
+  *    (the PageRank/DupClusters device), so plan size stays constant
+  *    in `n`.
+  */
+object BpeTrain {
+
+  final val Sep = "\u001f"
+
+  /** Learn `nMerges` merge rules: (merge_rank, lhs, rhs, n_total)
+    * ordered by rank; n_total is the merged pair's weighted count at
+    * the time it won. Ties break (count desc, lhs asc, rhs asc).
+    * Stops early when no pair remains.
+    */
+  def learnMerges(df: DataFrame, text: Column, nMerges: Int): DataFrame = {
+    require(nMerges >= 1, s"need at least one merge, got $nMerges")
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    var words = df
+      .select(explode(split(trim(lower(text)), "\\s+")).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy(col("word")).agg(count(lit(1)).as("wc"))
+      .select(col("wc"),
+        regexp_replace(col("word"), "(.)", s"$Sep$$1$Sep").as("rep"))
+      .persist()
+    words.count()
+
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var rank = 1
+    var exhausted = false
+    while (rank <= nMerges && !exhausted) {
+      val toks = words.select(col("wc"),
+        split(trim(col("rep"), Sep), s"$Sep$Sep").as("toks"))
+        // fully-merged single-symbol words carry no pairs — and MUST
+        // drop before the index sequence: Spark's sequence(1, 0) is
+        // DESCENDING [1, 0], not empty (DuckDB's range(1, 1) is)
+        .filter(size(col("toks")) >= 2)
+      val best = toks
+        .select(col("wc"), explode(transform(
+          sequence(lit(1), size(col("toks")) - 1),
+          i => struct(element_at(col("toks"), i).as("lhs"),
+            element_at(col("toks"), i + 1).as("rhs")))).as("p"))
+        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .agg(sum(col("wc")).as("n_total"))
+        .orderBy(col("n_total").desc, col("lhs"), col("rhs"))
+        .limit(1) // TakeOrderedAndProject: a 1-row driver decision
+        .collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, r, n) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += ((rank, l, r, n))
+        val prev = words
+        words = words
+          .withColumn("rep", call_function("replace", col("rep"),
+            lit(s"$Sep$l$Sep$Sep$r$Sep"), lit(s"$Sep$l$r$Sep")))
+        if (rank % 4 == 0) { words = words.localCheckpoint(); prev.unpersist() }
+        rank += 1
+      }
+    }
+    words.unpersist()
+    merges.toSeq.toDF("merge_rank", "lhs", "rhs", "n_total")
+      .select(col("merge_rank").cast("bigint").as("merge_rank"),
+        col("lhs"), col("rhs"), col("n_total"))
+  }
+
+  /** DuckDB twin of [[learnMerges]] over `table(text)`, unrolled for
+    * exactly `nMerges` rounds (the q_ann_ivf unrolled-CTE device).
+    */
+  def learnMergesSql(table: String, nMerges: Int): String = {
+    val sep = "chr(31)"
+    def pairsCte(rep: String, i: Int): String =
+      s"""p$i AS (
+         |  SELECT t.lhs, t.rhs, CAST(SUM(wc) AS BIGINT) AS n_total
+         |  FROM (
+         |    SELECT wc,
+         |      toks[CAST(g.i AS INT)] AS lhs,
+         |      toks[CAST(g.i AS INT) + 1] AS rhs
+         |    FROM (SELECT wc, string_split(trim(rep, $sep), $sep || $sep) AS toks FROM $rep),
+         |    unnest(range(1, len(toks))) AS g(i)) t
+         |  GROUP BY t.lhs, t.rhs),
+         |b$i AS (SELECT lhs, rhs, n_total FROM p$i
+         |        ORDER BY n_total DESC, lhs, rhs LIMIT 1)""".stripMargin
+    def mergeCte(prev: String, i: Int): String =
+      s"""r$i AS (
+         |  SELECT wc, replace(rep, $sep || b$i.lhs || $sep || $sep || b$i.rhs || $sep,
+         |    $sep || b$i.lhs || b$i.rhs || $sep) AS rep
+         |  FROM $prev, b$i)""".stripMargin
+    val rounds = (1 to nMerges).map { i =>
+      val rep = if (i == 1) "r0" else s"r${i - 1}"
+      pairsCte(rep, i) + (if (i < nMerges) ",\n" + mergeCte(rep, i) else "")
+    }.mkString(",\n")
+    val union = (1 to nMerges)
+      .map(i => s"SELECT $i AS merge_rank, lhs, rhs, n_total FROM b$i")
+      .mkString("\nUNION ALL\n")
+    s"""WITH w AS (
+       |  SELECT u.word AS word, count(*) AS wc
+       |  FROM $table, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS u(word)
+       |  WHERE len(u.word) >= 2
+       |  GROUP BY u.word),
+       |r0 AS (SELECT wc,
+       |         regexp_replace(word, '(.)', $sep || '\\1' || $sep, 'g') AS rep
+       |       FROM w),
+       |$rounds
+       |SELECT CAST(merge_rank AS BIGINT) AS merge_rank, lhs, rhs, n_total
+       |FROM ($union)
+       |ORDER BY merge_rank""".stripMargin
+  }
+}

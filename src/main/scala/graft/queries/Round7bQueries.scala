@@ -26,6 +26,7 @@ object Round7bQueries {
   val PropK = 60
   val TfIdfMaxDf = 10
   val TfIdfTau = 0.3
+  val BpeMerges = 6
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -69,6 +70,13 @@ object Round7bQueries {
       Allocation.proportionalSample(
           t(s, dir, "documents"), col("doc_id"), col("lang"), PropK)
         .orderBy(col("stratum"), col("rank"))
+    },
+
+    // C75: distributed BPE tokenizer training — the iterative merge
+    // loop over the word-frequency table; unrolled-CTE twin.
+    "q_bpe_train" -> { (s, dir) =>
+      graft.ops.BpeTrain.learnMerges(t(s, dir, "documents"), col("text"), BpeMerges)
+        .orderBy(col("merge_rank"))
     },
 
     // C74: idf-weighted all-pairs cosine — posting-list self-join with
@@ -129,6 +137,9 @@ object Round7bQueries {
          |FROM rk r JOIN al a USING (stratum)
          |WHERE r.rank <= a.alloc
          |ORDER BY stratum, rank""".stripMargin,
+
+    "q_bpe_train" ->
+      graft.ops.BpeTrain.learnMergesSql("documents", BpeMerges),
 
     "q_tfidf_pairs" ->
       s"""WITH ${TextQueries.allDocsCte},

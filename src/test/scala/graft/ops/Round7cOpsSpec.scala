@@ -87,6 +87,73 @@ class Round7cOpsSpec extends AnyFunSuite with SparkTestBase {
       .toString == "caf\u00e9")
   }
 
+  // --------------------------------------------------------- BpeTrain
+
+  /** Sequential reference BPE (Sennrich): word-freq table, best pair
+    * by (count desc, lhs asc, rhs asc), greedy left-to-right merge.
+    */
+  private def refBpe(texts: Seq[String], n: Int): Seq[(Int, String, String, Long)] = {
+    def greedyMerge(syms: List[String], l: String, r: String): List[String] = syms match {
+      case a :: b :: rest if a == l && b == r => (l + r) :: greedyMerge(rest, l, r)
+      case a :: rest => a :: greedyMerge(rest, l, r)
+      case Nil => Nil
+    }
+    var seqs: Map[List[String], Long] = texts
+      .flatMap(_.trim.toLowerCase.split("\\s+")).filter(_.length >= 2)
+      .groupBy(identity).map { case (w, xs) => w.map(_.toString).toList -> xs.size.toLong }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var rank = 1
+    var done = false
+    while (rank <= n && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, c) <- seqs; p <- syms.sliding(2) if p.size == 2)
+        counts((p.head, p(1))) = counts.getOrElse((p.head, p(1)), 0L) + c
+      if (counts.isEmpty) done = true
+      else {
+        val ((l, r), cnt) = counts.minBy { case ((l, r), c) => (-c, l, r) }
+        out += ((rank, l, r, cnt))
+        seqs = seqs.toSeq.map { case (syms, c) => greedyMerge(syms, l, r) -> c }
+          .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+        rank += 1
+      }
+    }
+    out.toSeq
+  }
+
+  private def learn(texts: Seq[String], n: Int, parts: Int = 1) = {
+    val df0 = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    BpeTrain.learnMerges(if (parts > 1) df0.repartition(parts) else df0, col("text"), n)
+      .collect().map(r => (r.getLong(0).toInt, r.getString(1), r.getString(2), r.getLong(3))).toSeq
+  }
+
+  test("bpeTrain: matches the sequential reference on the classic corpus") {
+    val texts = Seq("low lower lowest", "low low newer newest", "newer wider low")
+    val got = learn(texts, 8)
+    assert(got == refBpe(texts, 8))
+    assert(got.size == 8)
+    // learned units actually compound: some merge consumes a prior merge
+    assert(got.exists { case (_, l, r, _) => l.length > 1 || r.length > 1 })
+  }
+
+  test("bpeTrain: greedy left-to-right non-overlapping merge (aaaa -> aa,aa)") {
+    val texts = Seq("aaaa aaaa bb")
+    val got = learn(texts, 2)
+    assert(got == refBpe(texts, 2))
+    // merge 1 is (a,a) with 6 weighted positions (3 per word occurrence x2);
+    // merge 2 must be (aa,aa) — proving "aaaa" merged to [aa,aa], not [a,aa,a]
+    assert(got(0)._2 == "a" && got(0)._3 == "a")
+    assert(got(1)._2 == "aa" && got(1)._3 == "aa")
+  }
+
+  test("bpeTrain: deterministic under repartitioning and early-stops when exhausted") {
+    val texts = Seq("ab ab cd", "ab cd cd ef")
+    assert(learn(texts, 5) == learn(texts, 5, parts = 7))
+    // every word collapses to one symbol after 3 merges -> early stop
+    val got = learn(texts, 10)
+    assert(got == refBpe(texts, 10))
+    assert(got.size == 3)
+  }
+
   // ------------------------------------------------------- Allocation
 
   /** Driver-side Hamilton reference: (stratum -> alloc). */
