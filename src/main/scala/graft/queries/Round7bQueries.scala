@@ -27,6 +27,7 @@ object Round7bQueries {
   val TfIdfMaxDf = 10
   val TfIdfTau = 0.3
   val BpeMerges = 6
+  val SkewTopN = 10
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -70,6 +71,14 @@ object Round7bQueries {
       Allocation.proportionalSample(
           t(s, dir, "documents"), col("doc_id"), col("lang"), PropK)
         .orderBy(col("stratum"), col("rank"))
+    },
+
+    // C76: key-skew diagnosis — heavy keys via the bounded heap plus
+    // exact nearest-rank group-size percentiles; the pre-shuffle audit
+    // that decides salting/AQE for a key.
+    "q_key_skew" -> { (s, dir) =>
+      graft.ops.Diagnostics.keySkew(t(s, dir, "events"), col("user_id"), SkewTopN)
+        .orderBy(col("rank"))
     },
 
     // C75: distributed BPE tokenizer training — the iterative merge
@@ -140,6 +149,9 @@ object Round7bQueries {
 
     "q_bpe_train" ->
       graft.ops.BpeTrain.learnMergesSql("documents", BpeMerges),
+
+    "q_key_skew" ->
+      graft.ops.Diagnostics.keySkewSql("events", "user_id", SkewTopN),
 
     "q_tfidf_pairs" ->
       s"""WITH ${TextQueries.allDocsCte},

@@ -87,6 +87,51 @@ class Round7cOpsSpec extends AnyFunSuite with SparkTestBase {
       .toString == "caf\u00e9")
   }
 
+  // ------------------------------------------------------ Diagnostics
+
+  private def skew(rows: Seq[(Long, String)], topN: Int, parts: Int = 1) = {
+    val df0 = rows.toDF("id", "k")
+    Diagnostics.keySkew(if (parts > 1) df0.repartition(parts) else df0, col("k"), topN)
+  }
+
+  test("keySkew: hand-computed heavy keys, percentiles and top share") {
+    // counts: a=6, b=3, c=1, d=1, e=1 -> n_keys=5, n_rows=12, max=6
+    val rows =
+      (1 to 6).map(i => (i.toLong, "a")) ++ (7 to 9).map(i => (i.toLong, "b")) ++
+        Seq((10L, "c"), (11L, "d"), (12L, "e"))
+    val got = skew(rows, 2).orderBy("rank").collect()
+    assert(got.map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq ==
+      Seq((1L, "a", 6L), (2L, "b", 3L)))
+    val r0 = got(0)
+    assert(r0.getLong(3) == 5L && r0.getLong(4) == 12L && r0.getLong(5) == 6L)
+    // sizes sorted: [1,1,1,3,6]; nearest-rank: p50 -> ceil(2.5)=3rd -> 1,
+    // p90 -> ceil(4.5)=5th -> 6, p99 -> 5th -> 6
+    assert(r0.getLong(6) == 1L && r0.getLong(7) == 6L && r0.getLong(8) == 6L)
+    // top share: (6+3)*1000 // 12 = 750
+    assert(r0.getLong(9) == 750L)
+  }
+
+  test("keySkew: boundary ties cut by key hash, stable under repartitioning") {
+    // b, c, d all have count 2 -> the topN=2 cut keeps 'a' (count 3)
+    // plus whichever tied key hashes smallest
+    val rows = Seq("a", "a", "a", "b", "b", "c", "c", "d", "d")
+      .zipWithIndex.map { case (k, i) => (i.toLong, k) }
+    val a = skew(rows, 2).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val tied = Seq("b", "c", "d").minBy(k =>
+      Seq(Tuple1(k)).toDF("k").select(Dedup.md5Hash60(col("k"))).head().getLong(0))
+    assert(a == Set((1L, "a"), (2L, tied)))
+    val b = skew(rows, 2, parts = 5).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(a == b)
+  }
+
+  test("keySkew: topN beyond key cardinality returns every key, share 1000") {
+    val rows = Seq((1L, "x"), (2L, "y"), (3L, "y"))
+    val got = skew(rows, 10).orderBy("rank").collect()
+    assert(got.length == 2)
+    assert(got(0).getLong(9) == 1000L)
+    assert(got(0).getString(1) == "y" && got(1).getString(1) == "x")
+  }
+
   // --------------------------------------------------------- BpeTrain
 
   /** Sequential reference BPE (Sennrich): word-freq table, best pair
