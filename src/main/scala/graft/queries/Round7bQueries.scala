@@ -28,6 +28,8 @@ object Round7bQueries {
   val TfIdfTau = 0.3
   val BpeMerges = 6
   val SkewTopN = 10
+  val BlockPhrases: Seq[String] =
+    Seq("table scan", "fast merge", "agg row", "value table", "slow filter")
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -71,6 +73,20 @@ object Round7bQueries {
       Allocation.proportionalSample(
           t(s, dir, "documents"), col("doc_id"), col("lang"), PropK)
         .orderBy(col("stratum"), col("rank"))
+    },
+
+    // C77: dictionary phrase matching — one Aho–Corasick pass counts
+    // every (overlapping) occurrence of each blocklist phrase; the
+    // corpus's own bigrams occur organically, so counts are non-trivial.
+    "q_phrase_match" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      d.select(col("doc_id"),
+          posexplode(graft.plans.PhraseMatchExpr.counts(col("text"), BlockPhrases)))
+        .filter(col("col") > 0)
+        .select(col("doc_id"),
+          element_at(array(BlockPhrases.map(lit): _*), col("pos") + 1).as("phrase"),
+          col("col").as("n"))
+        .orderBy(col("doc_id"), col("phrase"))
     },
 
     // C76: key-skew diagnosis — heavy keys via the bounded heap plus
@@ -152,6 +168,18 @@ object Round7bQueries {
 
     "q_key_skew" ->
       graft.ops.Diagnostics.keySkewSql("events", "user_id", SkewTopN),
+
+    "q_phrase_match" -> {
+      val values = BlockPhrases.map(p => s"('$p')").mkString(", ")
+      s"""WITH ph AS (SELECT * FROM (VALUES $values) AS t(phrase))
+         |SELECT d.doc_id, ph.phrase, count(*) AS n
+         |FROM documents d
+         |CROSS JOIN ph
+         |CROSS JOIN unnest(range(1, length(d.text) + 1)) AS g(i)
+         |WHERE substr(lower(d.text), CAST(g.i AS INT), length(ph.phrase)) = ph.phrase
+         |GROUP BY d.doc_id, ph.phrase
+         |ORDER BY d.doc_id, ph.phrase""".stripMargin
+    },
 
     "q_tfidf_pairs" ->
       s"""WITH ${TextQueries.allDocsCte},

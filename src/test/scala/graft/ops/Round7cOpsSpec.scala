@@ -87,6 +87,49 @@ class Round7cOpsSpec extends AnyFunSuite with SparkTestBase {
       .toString == "caf\u00e9")
   }
 
+  // ------------------------------------------------- PhraseMatchExpr
+
+  private def phraseCounts(text: String, phrases: Seq[String]): Seq[Long] =
+    Seq(Tuple1(text)).toDF("t")
+      .select(graft.plans.PhraseMatchExpr.counts(col("t"), phrases))
+      .head().getSeq[Long](0)
+
+  /** Naive reference: count every start position (overlapping). */
+  private def refCounts(text: String, phrases: Seq[String]): Seq[Long] = {
+    val s = text.toLowerCase
+    phrases.map(_.toLowerCase).map { p =>
+      (0 to s.length - p.length).count(i => s.regionMatches(i, p, 0, p.length)).toLong
+    }
+  }
+
+  test("phraseCounts: overlapping occurrences, shared affixes, fail-link hits") {
+    // "aa" occurs twice in "aaa" (overlap); "ab"+"bc" both end inside "abc"
+    assert(phraseCounts("aaa abc", Seq("aa", "ab", "bc", "abc")) == Seq(2L, 1L, 1L, 1L))
+    // phrase spanning a token boundary, at start and at end
+    assert(phraseCounts("table scan x table scan", Seq("table scan")) == Seq(2L))
+    // case-insensitive; absent phrase zero
+    assert(phraseCounts("Fast MERGE", Seq("fast merge", "nope")) == Seq(1L, 0L))
+  }
+
+  test("phraseCounts: equals the naive position scan on generated text") {
+    val rnd = new scala.util.Random(7)
+    val alpha = Seq("a", "b", "ab", "ba", "aab", "bab", "abba")
+    (1 to 30).foreach { _ =>
+      val text = Seq.fill(40)(if (rnd.nextBoolean()) 'a' else 'b').mkString
+      assert(phraseCounts(text, alpha) == refCounts(text, alpha), s"text=$text")
+    }
+  }
+
+  test("phraseCounts: null-safe, distributed over a corpus column") {
+    val df = Seq((1L, Some("x agg row y")), (2L, None), (3L, Some("agg row agg row")))
+      .toDF("id", "t")
+    val got = df.select(col("id"),
+        graft.plans.PhraseMatchExpr.counts(col("t"), Seq("agg row")))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getSeq[Long](1)))
+      .toMap
+    assert(got(1L) == Seq(1L) && got(2L) == null && got(3L) == Seq(2L))
+  }
+
   // ------------------------------------------------------ Diagnostics
 
   private def skew(rows: Seq[(Long, String)], topN: Int, parts: Int = 1) = {
