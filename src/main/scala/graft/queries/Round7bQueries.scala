@@ -30,6 +30,11 @@ object Round7bQueries {
   val SkewTopN = 10
   val BlockPhrases: Seq[String] =
     Seq("table scan", "fast merge", "agg row", "value table", "slow filter")
+  val EmbDim2 = 64
+  val PqM = 4
+  val PqK = 4
+  val PqIters = 2
+  val PqTopK = 20
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -73,6 +78,20 @@ object Round7bQueries {
       Allocation.proportionalSample(
           t(s, dir, "documents"), col("doc_id"), col("lang"), PropK)
         .orderBy(col("stratum"), col("rank"))
+    },
+
+    // C78: product-quantization ANN — m integer sub-codebooks, narrow
+    // argmin encode, ADC top-k by LUT-literal integer sums.
+    "q_pq_topk" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val corpus = e.filter(col("vec_id") =!= 0L)
+      val cb = graft.ops.PqIndex.fitCodebooks(corpus, col("vec_id"), col("embedding"),
+        dim = EmbDim2, m = PqM, k = PqK, iters = PqIters)
+      val codes = graft.ops.PqIndex.encode(corpus, col("vec_id"), col("embedding"), cb)
+      val qv = e.filter(col("vec_id") === 0L)
+        .select(col("embedding").cast("array<double>")).head().getSeq[Double](0).toArray
+      graft.ops.PqIndex.adcTopK(codes, qv, cb, PqTopK)
+        .orderBy(col("adc_dist"), col("vec_id"))
     },
 
     // C77: dictionary phrase matching — one Aho–Corasick pass counts
@@ -168,6 +187,9 @@ object Round7bQueries {
 
     "q_key_skew" ->
       graft.ops.Diagnostics.keySkewSql("events", "user_id", SkewTopN),
+
+    "q_pq_topk" ->
+      graft.ops.PqIndex.pqSql(EmbDim2, PqM, PqK, PqIters, PqTopK),
 
     "q_phrase_match" -> {
       val values = BlockPhrases.map(p => s"('$p')").mkString(", ")

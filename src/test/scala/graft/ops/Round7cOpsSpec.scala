@@ -87,6 +87,74 @@ class Round7cOpsSpec extends AnyFunSuite with SparkTestBase {
       .toString == "caf\u00e9")
   }
 
+  // ---------------------------------------------------------- PqIndex
+
+  private def pqCorpus(n: Int, dim: Int): Seq[(Long, Seq[Double])] =
+    (1 to n).map { i =>
+      // 4 well-separated cluster centers per subspace + small jitter
+      val c = i % 4
+      i.toLong -> Seq.tabulate(dim)(d =>
+        c * 2.0 + math.sin(i * 0.37 + d) * 0.15)
+    }
+
+  test("pq: encode matches a driver-side argmin against the learned codebooks") {
+    val rows = pqCorpus(40, 16)
+    val df = rows.toDF("vec_id", "embedding")
+    val cb = PqIndex.fitCodebooks(df, col("vec_id"), col("embedding"),
+      dim = 16, m = 4, k = 4, iters = 2)
+    val got = PqIndex.encode(df, col("vec_id"), col("embedding"), cb)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    rows.foreach { case (id, v) =>
+      val qv = v.map(x => math.floor(x * cb.scale).toLong).toArray
+      (0 until cb.m).foreach { s =>
+        val sub = qv.slice(s * cb.subDim, (s + 1) * cb.subDim)
+        val dists = cb.books(s).map(c =>
+          c.zip(sub).map { case (a, b) => val d = b - a; d * d }.sum)
+        val want = dists.indexOf(dists.min)
+        assert(got(id)(s) == want, s"id=$id sub=$s")
+      }
+    }
+  }
+
+  test("pq: adc distance is the exact LUT sum; a corpus copy of the query ranks first") {
+    val rows = pqCorpus(40, 16)
+    val qv = rows.head._2.toArray // vector 1 doubles as the query
+    val df = rows.toDF("vec_id", "embedding")
+    val cb = PqIndex.fitCodebooks(df, col("vec_id"), col("embedding"), 16, 4, 4, 2)
+    val codes = PqIndex.encode(df, col("vec_id"), col("embedding"), cb)
+    val top = PqIndex.adcTopK(codes, qv, cb, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // driver reference for every returned distance
+    val qq = qv.map(x => math.floor(x * cb.scale).toLong)
+    val codeMap = codes.collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    top.foreach { case (id, dist) =>
+      val want = (0 until cb.m).map { s =>
+        val cent = cb.books(s)(codeMap(id)(s))
+        cent.indices.map { d =>
+          val diff = qq(s * cb.subDim + d) - cent(d); diff * diff
+        }.sum
+      }.sum
+      assert(dist == want, s"id=$id")
+    }
+    // the query's own copy holds the per-sub minimum in every subspace
+    assert(top.head._1 == 1L)
+    // and PQ recall vs exact: its cluster-mates (i%4==1) fill the top 10
+    assert(top.map(_._1).count(id => id % 4 == 1) == 10)
+  }
+
+  test("pq: deterministic under repartitioning") {
+    val rows = pqCorpus(60, 16)
+    def run(parts: Int) = {
+      val df0 = rows.toDF("vec_id", "embedding")
+      val df = if (parts > 1) df0.repartition(parts) else df0
+      val cb = PqIndex.fitCodebooks(df, col("vec_id"), col("embedding"), 16, 4, 4, 2)
+      PqIndex.adcTopK(PqIndex.encode(df, col("vec_id"), col("embedding"), cb),
+          rows(5)._2.toArray, cb, 15)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    }
+    assert(run(1) == run(9))
+  }
+
   // ------------------------------------------------- PhraseMatchExpr
 
   private def phraseCounts(text: String, phrases: Seq[String]): Seq[Long] =
