@@ -91,6 +91,30 @@ object PqIndex {
       .limit(topK)
   }
 
+  /** IVF-PQ: the production composition — a coarse IVF quantizer
+    * prunes the corpus to the query's nProbe nearest cells (a
+    * partition-prunable literal IN-filter), then ADC scores only the
+    * survivors. Provably equals [[adcTopK]] restricted to the probed
+    * cells (see the spec); at 100 TB the cell filter prunes the
+    * encoded-table scan itself when the layout is cell-partitioned
+    * ([[IvfIndex.writeIndex]]).
+    */
+  def ivfPqTopK(corpus: DataFrame, id: Column, vec: Column,
+      coarse: Array[Array[Long]], cb: Codebooks,
+      queryVec: Array[Double], nProbe: Int, topK: Int): DataFrame = {
+    val qq = queryVec.map(x => math.floor(x * cb.scale).toLong)
+    val cellDist = coarse.zipWithIndex.map { case (c, i) =>
+      var acc = 0L; var d = 0
+      while (d < c.length) { val diff = qq(d) - c(d); acc += diff * diff; d += 1 }
+      (acc, i)
+    }
+    val probe = cellDist.sorted.take(nProbe).map(_._2)
+    val pruned = corpus.filter(
+      IvfIndex.cellOfInt(IvfIndex.quantized(vec, cb.scale), coarse)
+        .isin(probe.map(Int.box): _*))
+    adcTopK(encode(pruned, id, vec, cb), queryVec, cb, topK)
+  }
+
   /** DuckDB twin over `embeddings` (corpus = vec_id <> 0, query =
     * vec_id 0): m sub-fits unrolled as CTEs (the C7b device), encode
     * as per-sub rank-1 windows, ADC as an (s, code)-keyed join

@@ -142,6 +142,37 @@ class Round7cOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(top.map(_._1).count(id => id % 4 == 1) == 10)
   }
 
+  test("ivfPq: equals ADC restricted to the probed cells; full probe equals plain ADC") {
+    val rows = pqCorpus(60, 16)
+    val df = rows.toDF("vec_id", "embedding")
+    val coarse = IvfIndex.fitIntegerPortable(df, col("vec_id"),
+      col("embedding"), k = 4, iters = 2)
+    val cb = PqIndex.fitCodebooks(df, col("vec_id"), col("embedding"), 16, 4, 4, 2)
+    val qv = rows(2)._2.toArray
+    // nProbe = all cells -> identical to plain ADC over everything
+    val full = PqIndex.ivfPqTopK(df, col("vec_id"), col("embedding"),
+        coarse, cb, qv, nProbe = 4, topK = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val plain = PqIndex.adcTopK(
+        PqIndex.encode(df, col("vec_id"), col("embedding"), cb), qv, cb, 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(full == plain)
+    // nProbe = 1: equals ADC over exactly the rows assigned to that cell
+    val one = PqIndex.ivfPqTopK(df, col("vec_id"), col("embedding"),
+        coarse, cb, qv, nProbe = 1, topK = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val qq = qv.map(x => math.floor(x * 1000L).toLong)
+    val bestCell = coarse.zipWithIndex.map { case (c, i) =>
+      (c.zip(qq).map { case (a, b) => val d = b - a; d * d }.sum, i)
+    }.min._2
+    val inCell = df.filter(IvfIndex.cellOfInt(
+        IvfIndex.quantized(col("embedding"), 1000L), coarse) === bestCell)
+    val manual = PqIndex.adcTopK(
+        PqIndex.encode(inCell, col("vec_id"), col("embedding"), cb), qv, cb, 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(one == manual && one.nonEmpty)
+  }
+
   test("pq: deterministic under repartitioning") {
     val rows = pqCorpus(60, 16)
     def run(parts: Int) = {
