@@ -40,14 +40,51 @@ object PqIndex {
 
   /** Fit `m` codebooks of `k` centroids each over `iters` Lloyd's
     * rounds; `dim` must divide evenly into `m` subvectors.
+    *
+    * FUSED: every subspace's assignment depends only on its own
+    * centroids, so all m sub-fits share one persisted quantized pass
+    * and ONE distributed job per iteration — the (s, cell, dim)-keyed
+    * partial agg collapses to m·k·subDim = k·dim rows regardless of
+    * corpus size. The naive per-sub loop costs m passes per
+    * iteration; at 100 TB that difference is m× the fit's scan bill.
+    * Results are bit-identical to independent per-sub fits (the spec
+    * proves it against [[IvfIndex.fitIntegerPortable]] per slice,
+    * which is also what the unrolled twin computes).
     */
   def fitCodebooks(corpus: DataFrame, id: Column, vec: Column,
       dim: Int, m: Int, k: Int, iters: Int, scale: Long = 1000L): Codebooks = {
     require(m >= 1 && dim % m == 0, s"dim=$dim must split into m=$m subvectors")
     val subDim = dim / m
-    val books = (0 until m).map { s =>
-      IvfIndex.fitIntegerPortable(corpus, id, subCol(vec, s, subDim), k, iters, scale)
-    }.toArray
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val q = corpus
+      .select(id.cast("bigint").as("vid"),
+        IvfIndex.quantized(vec, scale).as("qv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // seeds: the k smallest vids' slices — identical to per-sub fits
+    val seedRows = q.orderBy(col("vid")).limit(k)
+      .select(col("qv")).as[Seq[Long]].collect()
+    val books: Array[Array[Array[Long]]] = Array.tabulate(m) { s =>
+      seedRows.map(_.slice(s * subDim, (s + 1) * subDim).toArray)
+    }
+    def subSlice(s: Int): Column = slice(col("qv"), s * subDim + 1, subDim)
+    for (_ <- 0 until iters) {
+      // one job: per-vector argmin in EVERY subspace, exploded to
+      // (s, cell, dim, val) and partial-agged to k·dim rows total
+      val perSub = (0 until m).map { s =>
+        struct(lit(s).as("s"),
+          IvfIndex.cellOfInt(subSlice(s), books(s)).as("cell"),
+          subSlice(s).as("sv"))
+      }
+      val sums = q
+        .select(explode(array(perSub: _*)).as("e"))
+        .select(col("e.s"), col("e.cell"), posexplode(col("e.sv")).as(Seq("dim", "val")))
+        .groupBy(col("s"), col("cell"), col("dim"))
+        .agg(sum(col("val")).as("sum"), count(lit(1)).as("n"))
+        .as[(Int, Int, Int, Long, Long)].collect()
+      sums.foreach { case (s, cell, d, sm, n) => books(s)(cell)(d) = sm / n }
+    }
+    q.unpersist()
     Codebooks(m, subDim, scale, books)
   }
 

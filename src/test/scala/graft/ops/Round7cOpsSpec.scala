@@ -173,6 +173,17 @@ class Round7cOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(one == manual && one.nonEmpty)
   }
 
+  test("pq: fused one-pass codebook fit is bit-identical to independent per-sub fits") {
+    val rows = pqCorpus(50, 16)
+    val df = rows.toDF("vec_id", "embedding")
+    val fused = PqIndex.fitCodebooks(df, col("vec_id"), col("embedding"), 16, 4, 4, 3)
+    (0 until 4).foreach { s =>
+      val solo = IvfIndex.fitIntegerPortable(df, col("vec_id"),
+        slice(col("embedding").cast("array<double>"), s * 4 + 1, 4), k = 4, iters = 3)
+      assert(fused.books(s).map(_.toSeq).toSeq == solo.map(_.toSeq).toSeq, s"sub=$s")
+    }
+  }
+
   test("pq: deterministic under repartitioning") {
     val rows = pqCorpus(60, 16)
     def run(parts: Int) = {
