@@ -18,7 +18,8 @@ object SparkEntry {
       graft.queries.CorpusQueries.defs ++
       graft.queries.Round6Queries.defs ++
       graft.queries.Round7Queries.defs ++
-      graft.queries.Round7bQueries.defs
+      graft.queries.Round7bQueries.defs ++
+      graft.queries.Round7cQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -30,5 +31,6 @@ object SparkEntry {
       graft.queries.CorpusQueries.oracles ++
       graft.queries.Round6Queries.oracles ++
       graft.queries.Round7Queries.oracles ++
-      graft.queries.Round7bQueries.oracles
+      graft.queries.Round7bQueries.oracles ++
+      graft.queries.Round7cQueries.oracles
 }

@@ -61,4 +61,71 @@ object Decontaminate {
       .distinct()
     corpus.join(dirty, id === col("__doc_id"), "left_anti")
   }
+
+  /** Semantic (embedding-space) decontamination — the C54 complement
+    * of [[cleanDocs]]'s exact shingle overlap: flag training rows
+    * whose embedding lands in the same anchor cell as an eval row
+    * with cosine ≥ threshold (paraphrased eval leakage that shares no
+    * n-gram). Returns (train_id, n_eval_hits, max_cos) per
+    * contaminated training row; compose with an anti-join
+    * ([[semanticClean]]) to drop them.
+    *
+    * The blocking is the SemDeDup cell device: both sides assign to
+    * data-independent fixed-seed anchor cells in a zero-shuffle
+    * narrow argmax, and only same-cell pairs are scored — |cell_t|
+    * × |cell_e| work instead of train × eval. The eval side is
+    * broadcast (eval sets are small by construction); the train side
+    * never shuffles at all.
+    */
+  def semanticHits(train: DataFrame, trainId: Column, trainVec: Column,
+      eval: DataFrame, evalId: Column, evalVec: Column,
+      threshold: Double, anchorSeq: Seq[Seq[Double]]): DataFrame = {
+    val t = train.select(trainId.cast("bigint").as("train_id"),
+      trainVec.cast("array<double>").as("v_t"),
+      SemanticDedup.cellOf(trainVec, anchorSeq).as("cell"))
+    val e = eval.select(evalId.cast("bigint").as("eval_id"),
+      evalVec.cast("array<double>").as("v_e"),
+      SemanticDedup.cellOf(evalVec, anchorSeq).as("cell"))
+    t.join(broadcast(e), Seq("cell"))
+      .withColumn("cos_sim",
+        graft.functions.VectorFunctions.cosineSimilarity(col("v_t"), col("v_e")))
+      .filter(col("cos_sim") >= threshold)
+      .groupBy(col("train_id"))
+      .agg(count(lit(1)).as("n_eval_hits"),
+        round(max(col("cos_sim")), 4).as("max_cos"))
+  }
+
+  /** Training rows (all columns) with NO same-cell eval neighbor at
+    * cosine ≥ threshold.
+    */
+  def semanticClean(train: DataFrame, trainId: Column, trainVec: Column,
+      eval: DataFrame, evalId: Column, evalVec: Column,
+      threshold: Double, anchorSeq: Seq[Seq[Double]]): DataFrame = {
+    val hits = semanticHits(train, trainId, trainVec,
+      eval, evalId, evalVec, threshold, anchorSeq)
+    train.join(hits, trainId.cast("bigint") === col("train_id"), "left_anti")
+  }
+
+  /** DuckDB twin of [[semanticHits]] over `embeddings(vec_id,
+    * embedding)` with the eval/train split given as SQL predicates on
+    * `vec_id`; final relation `sdh(train_id, n_eval_hits, max_cos)`.
+    */
+  def semanticHitsSql(trainPred: String, evalPred: String,
+      threshold: Double, anchorSeq: Seq[Seq[Double]]): String =
+    s"""sce AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |sca AS (SELECT * FROM ${SemanticDedup.anchorsSql(anchorSeq)}),
+       |scd AS (SELECT e.vec_id, e.v, a.cell, list_dot_product(e.v, a.av) AS dot
+       |        FROM sce e, sca a),
+       |scc AS (SELECT vec_id, v, cell FROM (
+       |          SELECT vec_id, v, cell,
+       |            row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cell) AS rk
+       |          FROM scd) WHERE rk = 1),
+       |sct AS (SELECT * FROM scc WHERE $trainPred),
+       |scv AS (SELECT * FROM scc WHERE $evalPred),
+       |sdh AS (
+       |  SELECT t.vec_id AS train_id, count(*) AS n_eval_hits,
+       |    round(max(list_cosine_similarity(t.v, e.v)), 4) AS max_cos
+       |  FROM sct t JOIN scv e ON t.cell = e.cell
+       |  WHERE list_cosine_similarity(t.v, e.v) >= $threshold
+       |  GROUP BY t.vec_id)""".stripMargin
 }
