@@ -42,7 +42,16 @@ object BpeTrain {
     * the time it won. Ties break (count desc, lhs asc, rhs asc).
     * Stops early when no pair remains.
     */
-  def learnMerges(df: DataFrame, text: Column, nMerges: Int): DataFrame = {
+  def learnMerges(df: DataFrame, text: Column, nMerges: Int): DataFrame =
+    fit(df, text, nMerges)._1
+
+  /** Training core: returns (merge table, final encoded vocabulary
+    * `(word, wc, rep)` after all merges applied). The vocabulary is
+    * what [[encode]] joins documents against — BPE application needs
+    * no replay of the merge sequence, because the training loop has
+    * already encoded every corpus word.
+    */
+  def fit(df: DataFrame, text: Column, nMerges: Int): (DataFrame, DataFrame) = {
     require(nMerges >= 1, s"need at least one merge, got $nMerges")
     val spark = df.sparkSession
     import spark.implicits._
@@ -51,7 +60,7 @@ object BpeTrain {
       .select(explode(split(trim(lower(text)), "\\s+")).as("word"))
       .filter(length(col("word")) >= 2)
       .groupBy(col("word")).agg(count(lit(1)).as("wc"))
-      .select(col("wc"),
+      .select(col("word"), col("wc"),
         regexp_replace(col("word"), "(.)", s"$Sep$$1$Sep").as("rep"))
       .persist()
     words.count()
@@ -88,10 +97,42 @@ object BpeTrain {
         rank += 1
       }
     }
+    // pin the encoded vocabulary, then release the training base: the
+    // checkpoint truncates lineage back to the persisted first table
+    val vocab = words.localCheckpoint(true)
     words.unpersist()
-    merges.toSeq.toDF("merge_rank", "lhs", "rhs", "n_total")
+    val mergesDf = merges.toSeq.toDF("merge_rank", "lhs", "rhs", "n_total")
       .select(col("merge_rank").cast("bigint").as("merge_rank"),
         col("lhs"), col("rhs"), col("n_total"))
+    (mergesDf, vocab)
+  }
+
+  /** Tokenizer APPLICATION — encode every document under the
+    * vocabulary trained by [[fit]] on this corpus: (doc_id, n_words,
+    * n_bpe_tokens). The token count per word reads straight off the
+    * separator-wrapped representation (`(len − len-without-seps)/2`),
+    * and words too short to train (length < 2) encode as one token.
+    *
+    * Scale shape: application is NOT a per-document merge replay —
+    * the (word, rep) vocabulary (orders of magnitude smaller than the
+    * token stream) carries the encoding, documents explode to words
+    * once and join the vocabulary on the word key (AQE broadcasts it
+    * while it fits; hash the key at 100 TB), and one doc-keyed
+    * partial-agg shuffle sums the counts.
+    */
+  def encode(df: DataFrame, id: Column, text: Column, nMerges: Int): DataFrame = {
+    val (_, vocab) = fit(df, text, nMerges)
+    val docWords = df.select(id.cast("bigint").as("doc_id"),
+      explode(split(trim(lower(text)), "\\s+")).as("word"))
+    docWords
+      .join(vocab.select(col("word"), col("rep")), Seq("word"), "left")
+      .select(col("doc_id"),
+        when(col("rep").isNull, lit(1L))
+          .otherwise(((length(col("rep")) -
+            length(call_function("replace", col("rep"), lit(Sep), lit("")))) / 2)
+            .cast("bigint")).as("ntok"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("ntok")).as("n_bpe_tokens"))
   }
 
   /** DuckDB twin of [[learnMerges]] over `table(text)`, unrolled for
@@ -135,5 +176,54 @@ object BpeTrain {
        |SELECT CAST(merge_rank AS BIGINT) AS merge_rank, lhs, rhs, n_total
        |FROM ($union)
        |ORDER BY merge_rank""".stripMargin
+  }
+
+  /** DuckDB twin of [[encode]] over `table(doc_id, text)`, unrolled
+    * for exactly `nMerges` rounds (merge exhaustion before round n is
+    * the caller's responsibility, as in [[learnMergesSql]]); final
+    * relation `bpenc(doc_id, n_words, n_bpe_tokens)`.
+    */
+  def encodeSql(table: String, nMerges: Int): String = {
+    val sep = "chr(31)"
+    def pairsCte(rep: String, i: Int): String =
+      s"""ep$i AS (
+         |  SELECT t.lhs, t.rhs, CAST(SUM(wc) AS BIGINT) AS n_total
+         |  FROM (
+         |    SELECT wc,
+         |      toks[CAST(g.i AS INT)] AS lhs,
+         |      toks[CAST(g.i AS INT) + 1] AS rhs
+         |    FROM (SELECT wc, string_split(trim(rep, $sep), $sep || $sep) AS toks FROM $rep),
+         |    unnest(range(1, len(toks))) AS g(i)) t
+         |  GROUP BY t.lhs, t.rhs),
+         |eb$i AS (SELECT lhs, rhs FROM ep$i
+         |         ORDER BY n_total DESC, lhs, rhs LIMIT 1)""".stripMargin
+    def mergeCte(prev: String, i: Int): String =
+      s"""er$i AS (
+         |  SELECT word, wc, replace(rep, $sep || eb$i.lhs || $sep || $sep || eb$i.rhs || $sep,
+         |    $sep || eb$i.lhs || eb$i.rhs || $sep) AS rep
+         |  FROM $prev, eb$i)""".stripMargin
+    val rounds = (1 to nMerges).map { i =>
+      val rep = if (i == 1) "er0" else s"er${i - 1}"
+      pairsCte(rep, i) + ",\n" + mergeCte(rep, i)
+    }.mkString(",\n")
+    s"""ew AS (
+       |  SELECT u.word AS word, count(*) AS wc
+       |  FROM $table, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS u(word)
+       |  WHERE len(u.word) >= 2
+       |  GROUP BY u.word),
+       |er0 AS (SELECT word, wc,
+       |          regexp_replace(word, '(.)', $sep || '\\1' || $sep, 'g') AS rep
+       |        FROM ew),
+       |$rounds,
+       |edocw AS (
+       |  SELECT doc_id, u.word AS word
+       |  FROM $table, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS u(word)),
+       |bpenc AS (
+       |  SELECT d.doc_id, count(*) AS n_words,
+       |    CAST(sum(CASE WHEN r.rep IS NULL THEN 1
+       |      ELSE (len(r.rep) - len(replace(r.rep, $sep, ''))) // 2 END) AS BIGINT)
+       |      AS n_bpe_tokens
+       |  FROM edocw d LEFT JOIN er$nMerges r ON d.word = r.word
+       |  GROUP BY d.doc_id)""".stripMargin
   }
 }

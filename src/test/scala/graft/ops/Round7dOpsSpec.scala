@@ -141,6 +141,114 @@ class Round7dOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got.toSeq == Seq((1L, 1L, 1.0)))
   }
 
+  // ------------------------------------------------- BpeTrain.encode
+
+  test("encode: hand-traced merges and per-word token counts") {
+    // words: low(3), lower(1), lowest(1); merges: (l,o) then (lo,w)
+    val df = Seq((1L, "low lower lowest low"), (2L, "low"))
+      .toDF("doc_id", "text")
+    val got = BpeTrain.encode(df, col("doc_id"), col("text"), 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // low -> [low] = 1, lower -> [low, e, r] = 3, lowest -> [low, e, s, t] = 4
+    assert(got(1L) == ((4L, 1L + 3L + 4L + 1L)))
+    assert(got(2L) == ((1L, 1L)))
+  }
+
+  test("encode: single-char words (below the training floor) count one token") {
+    val df = Seq((1L, "a a bb a")).toDF("doc_id", "text")
+    val got = BpeTrain.encode(df, col("doc_id"), col("text"), 1)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // bb merges (b,b) -> 1 token; each "a" is 1 token
+    assert(got(1L) == ((4L, 4L)))
+  }
+
+  test("encode matches a sequential reference BPE") {
+    def refBpe(corpus: Seq[String], n: Int): (Seq[(String, String)], Map[String, Seq[String]]) = {
+      var vocab: Map[Seq[String], Long] = corpus
+        .flatMap(_.trim.toLowerCase.split("\\s+")).filter(_.length >= 2)
+        .groupBy(identity).map { case (w, ws) => w.map(_.toString) -> ws.size.toLong }
+      val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+      var done = false
+      while (merges.size < n && !done) {
+        val pairCounts = scala.collection.mutable.Map.empty[(String, String), Long]
+        vocab.foreach { case (syms, c) =>
+          syms.sliding(2).filter(_.size == 2).foreach { p =>
+            pairCounts((p(0), p(1))) = pairCounts.getOrElse((p(0), p(1)), 0L) + c
+          }
+        }
+        if (pairCounts.isEmpty) done = true
+        else {
+          val best = pairCounts.toSeq.minBy { case ((l, r), c) => (-c, l, r) }._1
+          merges += best
+          vocab = vocab.map { case (syms, c) =>
+            val out = scala.collection.mutable.ArrayBuffer.empty[String]
+            var i = 0
+            while (i < syms.size) {
+              if (i + 1 < syms.size && syms(i) == best._1 && syms(i + 1) == best._2) {
+                out += syms(i) + syms(i + 1); i += 2
+              } else { out += syms(i); i += 1 }
+            }
+            out.toSeq -> c
+          }.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+        }
+      }
+      (merges.toSeq, vocab.keys.map(s => s.mkString -> s).toMap)
+    }
+    val corpus = Seq(
+      "the merge table scans fast rows", "the table scans the rows fast",
+      "merge the fast table rows now", "scans merge rows the fast table")
+    val (_, encoded) = refBpe(corpus, 5)
+    val df = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = BpeTrain.encode(df, col("doc_id"), col("text"), 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val want = corpus.zipWithIndex.map { case (t, i) =>
+      i.toLong -> t.trim.toLowerCase.split("\\s+").map { w =>
+        if (w.length < 2) 1L else encoded(w).size.toLong
+      }.sum
+    }.toMap
+    assert(got == want)
+  }
+
+  // --------------------------------------------------- ParagraphDedup
+
+  private def pddAll(rows: Seq[(Long, String)]) =
+    ParagraphDedup.dedup(rows.toDF("doc_id", "ptext"), col("doc_id"), col("ptext"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+
+  test("paragraph dedup: global first occurrence wins, later copies drop") {
+    val got = pddAll(Seq(
+      1L -> "A\n\nB",
+      2L -> "B\n\nC",
+      3L -> "A\n\nC\n\nA"))
+    assert(got(1L) == ((2L, 2L, "A\n\nB")))
+    assert(got(2L) == ((2L, 1L, "C")))
+    assert(got(3L) == ((3L, 0L, "")))
+  }
+
+  test("paragraph dedup: within-doc repeats keep only the first instance") {
+    val got = pddAll(Seq(1L -> "X one\n\nY two\n\nX one"))
+    assert(got(1L) == ((3L, 2L, "X one\n\nY two")))
+  }
+
+  test("paragraph dedup: empty paragraphs (separator runs) are dropped before counting") {
+    val got = pddAll(Seq(1L -> "A\n\n\n\nB\n\n  \n\nC"))
+    assert(got(1L) == ((3L, 3L, "A\n\nB\n\nC")))
+  }
+
+  test("paragraph dedup is stable under repartitioning") {
+    val rows = Seq.tabulate(30)(i =>
+      (i.toLong, s"shared para\n\nunique ${i % 7}\n\nalso shared"))
+    val df = rows.toDF("doc_id", "ptext")
+    val a = ParagraphDedup.dedup(df, col("doc_id"), col("ptext"))
+      .orderBy(col("doc_id")).collect().toSeq
+    val b = ParagraphDedup.dedup(df.repartition(5, col("ptext")),
+        col("doc_id"), col("ptext"))
+      .orderBy(col("doc_id")).collect().toSeq
+    assert(a == b)
+  }
+
   test("semanticClean drops exactly the flagged rows") {
     val df = Seq(
       (1L, Seq(0.6f, 0.8f, 0.0f, 0.0f)),
