@@ -1,0 +1,117 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Margin-based parallel-pair mining (the CCMatrix/LASER pipeline
+  * step, Artetxe & Schwenk 2019's ratio margin): given two embedding
+  * corpora (source/target languages, or two snapshots to align),
+  * mine pairs that are MUTUAL nearest neighbors and whose cosine
+  * stands out against both neighborhoods —
+  * `margin(x,y) = cos(x,y) / ((avgTopK(x→T) + avgTopK(y→S)) / 2)`.
+  * Raw cosine thresholds over-mine hubs (vectors similar to
+  * everything); the margin normalizes by the local neighborhood
+  * density, which is what makes mined bitext usable for training.
+  *
+  * Scale shape: both directions are ONE corpus pass each via C6b's
+  * bounded per-partition combiner (partitions × |queries| × k rows
+  * reach the shuffle, never corpus × queries); neighborhood sums and
+  * the mutual-best pair collapse to |src| + |tgt| rows via
+  * partial-aggregable sum/max(struct); the margin arithmetic runs on
+  * integer micro-cosines so every comparison is engine-portable.
+  */
+object BitextMining {
+
+  /** Mutual-top-1 pairs with ratio margin ≥ marginMilli/1000:
+    * (src_id, tgt_id, cos_micro, margin_milli) where cos_micro =
+    * floor(1e6·cos) and margin_milli = floor(2000·k·cos_micro /
+    * (sumTopK_micro(src) + sumTopK_micro(tgt))). Pairs whose summed
+    * neighborhoods are non-positive are discarded (no meaningful
+    * density to normalize by).
+    */
+  def minePairs(src: DataFrame, srcId: Column, srcVec: Column,
+      tgt: DataFrame, tgtId: Column, tgtVec: Column,
+      k: Int, marginMilli: Long): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    val srcC = src.select(srcId.cast("bigint").as("vec_id"),
+      srcVec.cast("array<double>").as("v"))
+    val tgtC = tgt.select(tgtId.cast("bigint").as("vec_id"),
+      tgtVec.cast("array<double>").as("v"))
+    val srcQ = srcC.select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val tgtQ = tgtC.select(col("vec_id").as("query_id"), col("v").as("qv"))
+
+    val fwd = Similarity.bruteForceTopKBatch(tgtC, col("vec_id"), col("v"), srcQ, k)
+      .select(col("query_id").as("src_id"), col("vec_id").as("tgt_id"),
+        floor(col("cos_sim") * 1e6).cast("bigint").as("cm"))
+    val bwd = Similarity.bruteForceTopKBatch(srcC, col("vec_id"), col("v"), tgtQ, k)
+      .select(col("query_id").as("tgt_id"), col("vec_id").as("src_id"),
+        floor(col("cos_sim") * 1e6).cast("bigint").as("cm"))
+
+    // per side: neighborhood sum + best pair by (micro-cos DESC, id
+    // ASC) — the quantized order, so the pick is engine-portable even
+    // where raw cosines tie at the 6th decimal
+    val fAgg = fwd.groupBy(col("src_id"))
+      .agg(sum(col("cm")).as("sf"),
+        max(struct(col("cm").as("cm"), (-col("tgt_id")).as("nid"))).as("fb"))
+      .select(col("src_id"), col("sf"),
+        col("fb.cm").as("cm"), (-col("fb.nid")).as("tgt_id"))
+    val bAgg = bwd.groupBy(col("tgt_id"))
+      .agg(sum(col("cm")).as("sb"),
+        max(struct(col("cm").as("cm"), (-col("src_id")).as("nid"))).as("bb"))
+      .select(col("tgt_id"), col("sb"), (-col("bb.nid")).as("back_src"))
+
+    fAgg.join(bAgg, Seq("tgt_id"))
+      .filter(col("back_src") === col("src_id") && col("sf") + col("sb") > 0)
+      .select(col("src_id"), col("tgt_id"), col("cm").as("cos_micro"),
+        floor(lit(2000.0 * k) * col("cm").cast("double") /
+          (col("sf") + col("sb")).cast("double")).cast("bigint")
+          .as("margin_milli"))
+      .filter(col("margin_milli") >= marginMilli)
+  }
+
+  /** DuckDB twin of [[minePairs]] over `embeddings(vec_id,
+    * embedding)` with the src/tgt split given as predicates; final
+    * relation `bmm(src_id, tgt_id, cos_micro, margin_milli)`.
+    */
+  def minePairsSql(srcPred: String, tgtPred: String,
+      k: Int, marginMilli: Long): String =
+    s"""bms AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |        FROM embeddings WHERE $srcPred),
+       |bmt AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |        FROM embeddings WHERE $tgtPred),
+       |bmf AS (SELECT s.vec_id AS sid, t.vec_id AS tid,
+       |          list_cosine_similarity(t.v, s.v) AS cs
+       |        FROM bms s, bmt t),
+       |bmfk AS (SELECT sid, tid, CAST(floor(cs * 1e6) AS BIGINT) AS cm FROM (
+       |           SELECT sid, tid, cs,
+       |             row_number() OVER (PARTITION BY sid ORDER BY cs DESC, tid) AS rk
+       |           FROM bmf) WHERE rk <= $k),
+       |bmfa AS (SELECT sid, sum(cm) AS sf FROM bmfk GROUP BY sid),
+       |bmfb AS (SELECT sid, tid, cm FROM (
+       |           SELECT sid, tid, cm,
+       |             row_number() OVER (PARTITION BY sid ORDER BY cm DESC, tid) AS rb
+       |           FROM bmfk) WHERE rb = 1),
+       |bmb AS (SELECT t.vec_id AS tid, s.vec_id AS sid,
+       |          list_cosine_similarity(s.v, t.v) AS cs
+       |        FROM bmt t, bms s),
+       |bmbk AS (SELECT tid, sid, CAST(floor(cs * 1e6) AS BIGINT) AS cm FROM (
+       |           SELECT tid, sid, cs,
+       |             row_number() OVER (PARTITION BY tid ORDER BY cs DESC, sid) AS rk
+       |           FROM bmb) WHERE rk <= $k),
+       |bmba AS (SELECT tid, sum(cm) AS sb FROM bmbk GROUP BY tid),
+       |bmbb AS (SELECT tid, sid AS back_src FROM (
+       |           SELECT tid, sid, cm,
+       |             row_number() OVER (PARTITION BY tid ORDER BY cm DESC, sid) AS rb
+       |           FROM bmbk) WHERE rb = 1),
+       |bmm AS (
+       |  SELECT src_id, tgt_id, cos_micro, margin_milli FROM (
+       |    SELECT f.sid AS src_id, f.tid AS tgt_id, f.cm AS cos_micro,
+       |      CAST(floor(${2000.0 * k} * f.cm / (a.sf + b.sb)) AS BIGINT)
+       |        AS margin_milli
+       |    FROM bmfb f
+       |    JOIN bmbb bb ON bb.tid = f.tid AND bb.back_src = f.sid
+       |    JOIN bmfa a ON a.sid = f.sid
+       |    JOIN bmba b ON b.tid = f.tid
+       |    WHERE a.sf + b.sb > 0)
+       |  WHERE margin_milli >= $marginMilli)""".stripMargin
+}

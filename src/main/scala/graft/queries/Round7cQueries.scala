@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{BpeTrain, Decontaminate, Outliers, ParagraphDedup, SemanticDedup}
+import graft.ops.{BitextMining, BpeTrain, Decontaminate, Outliers, ParagraphDedup, SemanticDedup}
+import graft.plans.CharEntropyExprOps
 
 /** Round-7 continuation: robust outlier gating and cross-corpus
   * semantic decontamination.
@@ -28,6 +29,11 @@ object Round7cQueries {
     */
   val ParaTokens = 8
   val ParaFooter = "standard footer boilerplate paragraph"
+  /** Bitext mining: neighborhood size + ratio-margin gate (1.2 —
+    * cuts the mutual-top-1 set from 125 to 34 pairs at sf0.01, so the
+    * margin itself is exercised, not just mutuality). */
+  val BitextK = 4
+  val BitextMarginMilli = 1200L
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -78,6 +84,30 @@ object Round7cQueries {
         .select(col("doc_id"), col("n_paras"), col("n_kept"),
           md5(col("text_kept")).as("kept_md5"))
         .orderBy(col("doc_id"))
+    },
+
+    // C83: char-distribution entropy — the single-pass codegen
+    // kernel; zero shuffle (the explode+groupBy formulation this
+    // replaces exchanges every character of the corpus).
+    "q_char_entropy" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), CharEntropyExprOps.stats(col("text")).as("st"))
+        .select(col("doc_id"), col("st.n_chars").as("n_chars"),
+          col("st.n_distinct_chars").as("n_distinct_chars"),
+          col("st.entropy_micro").as("entropy_micro"))
+        .orderBy(col("doc_id"))
+    },
+
+    // C84: margin-based bitext mining — mutual top-1 pairs across
+    // the parity-split embedding corpus, ratio margin in integer
+    // micro-cosine arithmetic.
+    "q_bitext_margin" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val src = emb.filter(pmod(col("vec_id"), lit(2L)) === 0)
+      val tgt = emb.filter(pmod(col("vec_id"), lit(2L)) === 1)
+      BitextMining.minePairs(src, col("vec_id"), col("embedding"),
+          tgt, col("vec_id"), col("embedding"), BitextK, BitextMarginMilli)
+        .orderBy(col("src_id"))
     })
 
   val oracles: Map[String, String] = Map(
@@ -114,5 +144,24 @@ object Round7cQueries {
          |  FROM ppre),
          |${ParagraphDedup.dedupSql("paug")}
          |SELECT doc_id, n_paras, n_kept, kept_md5
-         |FROM pdd ORDER BY doc_id""".stripMargin)
+         |FROM pdd ORDER BY doc_id""".stripMargin,
+
+    "q_char_entropy" ->
+      s"""WITH ceh AS (
+         |  SELECT doc_id, u.ch
+         |  FROM (SELECT doc_id, string_split(text, '') AS cs FROM documents),
+         |    unnest(cs) AS u(ch)),
+         |cec AS (SELECT doc_id, ch, count(*) AS c FROM ceh GROUP BY doc_id, ch),
+         |cet AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM cec GROUP BY doc_id)
+         |SELECT t.doc_id, t.n AS n_chars, count(*) AS n_distinct_chars,
+         |  CAST(sum(CAST(floor(-(c.c / t.n) * ln(c.c / t.n) * 1e6) AS BIGINT))
+         |    AS BIGINT) AS entropy_micro
+         |FROM cec c JOIN cet t USING (doc_id)
+         |GROUP BY t.doc_id, t.n ORDER BY t.doc_id""".stripMargin,
+
+    "q_bitext_margin" ->
+      s"""WITH ${BitextMining.minePairsSql(
+             "vec_id % 2 = 0", "vec_id % 2 = 1", BitextK, BitextMarginMilli)}
+         |SELECT src_id, tgt_id, cos_micro, margin_milli
+         |FROM bmm ORDER BY src_id""".stripMargin)
 }

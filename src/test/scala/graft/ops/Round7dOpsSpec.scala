@@ -210,6 +210,118 @@ class Round7dOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got == want)
   }
 
+  // ------------------------------------------------- CharEntropyExpr
+
+  private def centAll(rows: Seq[(Long, String)]) =
+    rows.toDF("id", "t")
+      .select(col("id"), graft.plans.CharEntropyExprOps.stats(col("t")).as("s"))
+      .select(col("id"), col("s.n_chars"), col("s.n_distinct_chars"),
+        col("s.entropy_micro"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+
+  test("char entropy: hand-computed micro-nat sums") {
+    val got = centAll(Seq(1L -> "aab", 2L -> "zzzz", 3L -> ""))
+    // aab: p(a)=2/3, p(b)=1/3 -> floor terms 270310 + 366204 = 636514
+    assert(got(1L) == ((3L, 2L, 636514L)))
+    assert(got(2L) == ((4L, 1L, 0L)))
+    assert(got(3L) == ((0L, 0L, 0L)))
+  }
+
+  test("char entropy counts codepoints, not UTF-16 units") {
+    val got = centAll(Seq(1L -> "😀😀a"))
+    assert(got(1L)._1 == 3L)
+    assert(got(1L)._2 == 2L)
+  }
+
+  test("char entropy equals the explode+count composition") {
+    val texts = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "aaaaabbbbbcccccddddd",
+      3L -> "mixed CASE With  spaces\tand\nnewlines")
+    val got = centAll(texts)
+    texts.foreach { case (id, t) =>
+      val cps = t.codePoints().toArray.toSeq
+      val n = cps.size
+      val want = cps.groupBy(identity).values.map { g =>
+        val p = g.size.toDouble / n
+        math.floor(-p * math.log(p) * 1e6).toLong
+      }.sum
+      assert(got(id) == ((n.toLong, cps.distinct.size.toLong, want)))
+    }
+  }
+
+  test("char entropy is null on null input") {
+    val r = Seq(Tuple1(Option.empty[String])).toDF("t")
+      .select(graft.plans.CharEntropyExprOps.stats(col("t"))).head()
+    assert(r.isNullAt(0))
+  }
+
+  // ----------------------------------------------------- BitextMining
+
+  private def refMine(srcV: Seq[(Long, Seq[Double])], tgtV: Seq[(Long, Seq[Double])],
+      k: Int, marginMilli: Long): Seq[(Long, Long, Long, Long)] = {
+    def topk(qs: Seq[(Long, Seq[Double])], cs: Seq[(Long, Seq[Double])]) =
+      qs.map { case (qid, qv) =>
+        val ranked = cs.map { case (cid, cv) => (cid, cosLocal(cv, qv)) }
+          .sortBy { case (cid, c) => (-c, cid) }.take(k)
+          .map { case (cid, c) => (cid, math.floor(c * 1e6).toLong) }
+        val sum = ranked.map(_._2).sum
+        val best = ranked.minBy { case (cid, cm) => (-cm, cid) }
+        qid -> ((sum, best))
+      }.toMap
+    val f = topk(srcV, tgtV)
+    val b = topk(tgtV, srcV)
+    srcV.flatMap { case (sid, _) =>
+      val (sf, (tid, cm)) = f(sid)
+      val (sb, (backSid, _)) = b(tid)
+      if (backSid != sid || sf + sb <= 0) None
+      else {
+        val margin = math.floor(2000.0 * k * cm / (sf + sb)).toLong
+        if (margin >= marginMilli) Some((sid, tid, cm, margin)) else None
+      }
+    }
+  }
+
+  private def mineDf(rows: Seq[(Long, Seq[Double])]) =
+    rows.map { case (id, v) => (id, v.map(_.toFloat)) }.toDF("vec_id", "embedding")
+
+  test("bitext mining matches the sequential reference on a mixed fixture") {
+    val srcV: Seq[(Long, Seq[Double])] = Seq(
+      0L -> Seq(1.0, 0.05, 0.0), 2L -> Seq(0.0, 1.0, 0.1),
+      4L -> Seq(0.1, 0.1, 1.0), 6L -> Seq(0.9, 0.1, 0.1),
+      8L -> Seq(0.5, 0.5, 0.0))
+    val tgtV: Seq[(Long, Seq[Double])] = Seq(
+      1L -> Seq(0.95, 0.1, 0.0), 3L -> Seq(0.05, 0.95, 0.05),
+      5L -> Seq(0.0, 0.2, 0.9), 7L -> Seq(0.6, 0.4, 0.1))
+    val k = 2
+    for (thr <- Seq(0L, 1050L)) {
+      val got = BitextMining.minePairs(
+          mineDf(srcV), col("vec_id"), col("embedding"),
+          mineDf(tgtV), col("vec_id"), col("embedding"), k, thr)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1).toSeq
+      val want = refMine(srcV, tgtV, k, thr).sortBy(_._1)
+      assert(got == want, s"thr=$thr")
+      assert(want.nonEmpty, s"fixture must mine at least one pair at thr=$thr")
+    }
+  }
+
+  test("bitext mining: non-mutual best pairs are excluded") {
+    // hub: both sources' best is tgt 1, but tgt 1's best is src 0 —
+    // so (2, 1) must not be mined even though 1 is 2's best
+    val srcV: Seq[(Long, Seq[Double])] = Seq(
+      0L -> Seq(1.0, 0.0), 2L -> Seq(0.9, 0.44))
+    val tgtV: Seq[(Long, Seq[Double])] = Seq(
+      1L -> Seq(1.0, 0.01), 3L -> Seq(0.0, 1.0))
+    val got = BitextMining.minePairs(
+        mineDf(srcV), col("vec_id"), col("embedding"),
+        mineDf(tgtV), col("vec_id"), col("embedding"), 2, 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((0L, 1L)))
+    assert(!got.exists(_._1 == 2L))
+  }
+
   // --------------------------------------------------- ParagraphDedup
 
   private def pddAll(rows: Seq[(Long, String)]) =
