@@ -125,6 +125,31 @@ object Dedup {
       slice => md5(concat_ws(",", transform(slice, _.cast("string")))), threshold)
   }
 
+  /** One-permutation MinHash + LSH (C85): the hash-CPU scale path —
+    * ONE md5 per shingle instead of numHashes affine maps, bins +
+    * rotation densification ([[graft.plans.OphMinHashExpr]]), then
+    * the SAME band→bucket-join→exact-jaccard-verify pipeline as
+    * [[minHashLshMd5]]. Verified pairs are true ≥-threshold pairs by
+    * construction (the verify is exact); only candidate RECALL
+    * differs from the classic signature, and the estimator stays
+    * unbiased. Identical shuffle shape: bands × docs fixed-width
+    * rows, never text.
+    */
+  def ophMinHashLsh(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      shingleK: Int = 3,
+      numBins: Int = 16,
+      bands: Int = 4,
+      threshold: Double = 0.7): DataFrame = {
+    require(numBins % bands == 0, "numBins must be divisible by bands")
+    lshCore(shingled(df, id, text, shingleK),
+      graft.plans.OphMinHashExpr.signature(col("shingles"), numBins),
+      bands, numBins / bands,
+      slice => md5(concat_ws(",", transform(slice, _.cast("string")))), threshold)
+  }
+
   /** The portable MinHash signature via interpreted HOFs — the
     * verification baseline for [[graft.plans.MinHashMd5Expr]].
     */

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{BitextMining, BpeTrain, Decontaminate, Outliers, ParagraphDedup, SemanticDedup}
+import graft.ops.{BitextMining, BpeTrain, Decontaminate, Dedup, Outliers, ParagraphDedup, SemanticDedup}
 import graft.plans.CharEntropyExprOps
 
 /** Round-7 continuation: robust outlier gating and cross-corpus
@@ -34,6 +34,10 @@ object Round7cQueries {
     * margin itself is exercised, not just mutuality). */
   val BitextK = 4
   val BitextMarginMilli = 1200L
+  /** OPH signature: bins, bands, verify threshold (q_dedup_minhash's). */
+  val OphBins = 16
+  val OphBands = 4
+  val OphThreshold = 0.5
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -108,6 +112,19 @@ object Round7cQueries {
       BitextMining.minePairs(src, col("vec_id"), col("embedding"),
           tgt, col("vec_id"), col("embedding"), BitextK, BitextMarginMilli)
         .orderBy(col("src_id"))
+    },
+
+    // C85: one-permutation MinHash near-dup — one md5 per shingle
+    // (vs 16 affine maps in q_dedup_minhash), bins + rotation
+    // densification, same band→bucket→exact-verify pipeline over the
+    // planted-dup corpus.
+    "q_dedup_oph" -> { (s, dir) =>
+      Dedup.ophMinHashLsh(TextQueries.docsWithPlantedDups(s, dir),
+          col("doc_id"), col("text"),
+          shingleK = 3, numBins = OphBins, bands = OphBands,
+          threshold = OphThreshold)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
     })
 
   val oracles: Map[String, String] = Map(
@@ -163,5 +180,44 @@ object Round7cQueries {
       s"""WITH ${BitextMining.minePairsSql(
              "vec_id % 2 = 0", "vec_id % 2 = 1", BitextK, BitextMarginMilli)}
          |SELECT src_id, tgt_id, cos_micro, margin_milli
-         |FROM bmm ORDER BY src_id""".stripMargin)
+         |FROM bmm ORDER BY src_id""".stripMargin,
+
+    "q_dedup_oph" -> {
+      val p = graft.plans.OphMinHashOps.P
+      val rawBins = (0 until OphBins)
+        .map(i => s"list_min(list_filter(hs, h -> h % $OphBins = $i))")
+        .mkString("[", ",\n           ", "]")
+      val densified = (0 until OphBins).map { i =>
+        val rotation = (0 until OphBins)
+          .map(j => s"rawb[${(i + j) % OphBins + 1}]").mkString(", ")
+        s"coalesce($rotation, $p)"
+      }.mkString("[", ",\n           ", "]")
+      val rows = OphBins / OphBands
+      val bandSelects = (0 until OphBands).map { b =>
+        val elems = (1 to rows).map(j => s"sig[${b * rows + j}]").mkString(", ")
+        s"SELECT doc_id, $b AS band, md5(concat_ws(',', $elems)) AS band_key FROM om"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH ${TextQueries.allDocsCte},
+         |${TextQueries.shinglesCte},
+         |bh AS (SELECT doc_id, shingles,
+         |         list_transform(shingles, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % $p) AS hs
+         |       FROM sh),
+         |ob AS (SELECT doc_id, shingles,
+         |         $rawBins AS rawb
+         |       FROM bh),
+         |om AS (SELECT doc_id, shingles,
+         |         $densified AS sig
+         |       FROM ob),
+         |banded AS (
+         |  $bandSelects),
+         |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |         FROM banded x JOIN banded y
+         |           ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
+         |j AS (SELECT c.id_a, c.id_b,
+         |        CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+         |          / len(list_distinct(list_concat(a.shingles, b.shingles))) AS jac
+         |      FROM cand c JOIN sh a ON c.id_a = a.doc_id JOIN sh b ON c.id_b = b.doc_id)
+         |SELECT id_a, id_b, round(jac, 4) AS jaccard FROM j
+         |WHERE jac >= $OphThreshold ORDER BY id_a, id_b""".stripMargin
+    })
 }

@@ -257,6 +257,67 @@ class Round7dOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(r.isNullAt(0))
   }
 
+  // ---------------------------------------------------- OphMinHash
+
+  private def ophRef(shingles: Seq[String], k: Int): Seq[Long] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val p = graft.plans.OphMinHashOps.P
+    val bins = Array.fill(k)(Long.MaxValue)
+    shingles.foreach { s =>
+      val d = md.digest(s.getBytes("UTF-8"))
+      var h = 0L
+      (0 until 8).foreach(b => h = (h << 8) | (d(b) & 0xffL))
+      h = (h >>> 4) % p
+      val bin = (h % k).toInt
+      if (h < bins(bin)) bins(bin) = h
+    }
+    (0 until k).map { i =>
+      (0 until k).map(j => bins((i + j) % k)).find(_ != Long.MaxValue).getOrElse(p)
+    }
+  }
+
+  private def ophSig(shingles: Seq[String], k: Int): Seq[Long] =
+    Seq(Tuple1(shingles)).toDF("sh")
+      .select(graft.plans.OphMinHashExpr.signature(col("sh"), k))
+      .head().getSeq[Long](0)
+
+  test("oph signature matches the sequential reference incl. densification") {
+    val fixtures = Seq(
+      Seq("a b c", "b c d", "c d e", "d e f", "x y z"),
+      Seq("one two three"),
+      Seq.tabulate(40)(i => s"sh $i gram"))
+    fixtures.foreach { sh =>
+      assert(ophSig(sh, 16) == ophRef(sh, 16), s"fixture $sh")
+    }
+  }
+
+  test("oph signature: single shingle fills every bin by rotation") {
+    val sig = ophSig(Seq("only shingle here"), 16)
+    assert(sig.distinct.size == 1)
+    assert(sig.head != graft.plans.OphMinHashOps.P)
+  }
+
+  test("oph signature: empty shingle set emits the p sentinel everywhere") {
+    val sig = ophSig(Seq.empty[String], 8)
+    assert(sig == Seq.fill(8)(graft.plans.OphMinHashOps.P))
+  }
+
+  test("oph near-dup pipeline recovers planted duplicates") {
+    val base = Seq.tabulate(12)(i =>
+      (i.toLong, s"alpha bravo charlie delta echo foxtrot golf hotel item$i extra words here"))
+    val planted = Seq(
+      (100L, base(0)._2 + " dup"),
+      (101L, base(5)._2 + " dup"))
+    val df = (base ++ planted).toDF("doc_id", "text")
+    val pairs = Dedup.ophMinHashLsh(df, col("doc_id"), col("text"),
+        shingleK = 3, numBins = 16, bands = 4, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val ids = pairs.map(p => (p._1, p._2)).toSet
+    assert(ids.contains((0L, 100L)))
+    assert(ids.contains((5L, 101L)))
+    assert(pairs.forall(_._3 >= 0.5))
+  }
+
   // ----------------------------------------------------- BitextMining
 
   private def refMine(srcV: Seq[(Long, Seq[Double])], tgtV: Seq[(Long, Seq[Double])],
