@@ -80,12 +80,17 @@ object Decontaminate {
   def semanticHits(train: DataFrame, trainId: Column, trainVec: Column,
       eval: DataFrame, evalId: Column, evalVec: Column,
       threshold: Double, anchorSeq: Seq[Seq[Double]]): DataFrame = {
+    // materialize both assignments BEFORE the join (the SemanticDedup
+    // device): the k-dot argmax inside the join stage defeats
+    // whole-stage fusion — measured 8× on this operator at sf0.1
     val t = train.select(trainId.cast("bigint").as("train_id"),
       trainVec.cast("array<double>").as("v_t"),
       SemanticDedup.cellOf(trainVec, anchorSeq).as("cell"))
+      .localCheckpoint(true)
     val e = eval.select(evalId.cast("bigint").as("eval_id"),
       evalVec.cast("array<double>").as("v_e"),
       SemanticDedup.cellOf(evalVec, anchorSeq).as("cell"))
+      .localCheckpoint(true)
     t.join(broadcast(e), Seq("cell"))
       .withColumn("cos_sim",
         graft.functions.VectorFunctions.cosineSimilarity(col("v_t"), col("v_e")))
