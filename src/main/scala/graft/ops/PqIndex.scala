@@ -92,12 +92,58 @@ object PqIndex {
     * narrow argmin per subvector against codebook literals; ties to
     * the smallest cell, mirroring the twin's (dist, cell) window.
     */
+  private def codesCol(vec: Column, cb: Codebooks): Column =
+    array((0 until cb.m).map { s =>
+      IvfIndex.cellOfInt(
+        IvfIndex.quantized(subCol(vec, s, cb.subDim), cb.scale), cb.books(s))
+    }: _*)
+
   def encode(corpus: DataFrame, id: Column, vec: Column, cb: Codebooks): DataFrame =
-    corpus.select(id.cast("bigint").as("vec_id"),
-      array((0 until cb.m).map { s =>
-        IvfIndex.cellOfInt(
-          IvfIndex.quantized(subCol(vec, s, cb.subDim), cb.scale), cb.books(s))
-      }: _*).as("codes"))
+    corpus.select(id.cast("bigint").as("vec_id"), codesCol(vec, cb).as("codes"))
+
+  /** The query's nProbe nearest coarse cells (exact integer
+    * sq-distances — a driver-side k·dim computation).
+    */
+  def probeCells(queryVec: Array[Double], coarse: Array[Array[Long]],
+      scale: Long, nProbe: Int): Seq[Int] = {
+    val qq = queryVec.map(x => math.floor(x * scale).toLong)
+    coarse.zipWithIndex.map { case (c, i) =>
+      var acc = 0L; var d = 0
+      while (d < c.length) { val diff = qq(d) - c(d); acc += diff * diff; d += 1 }
+      (acc, i)
+    }.sorted.take(nProbe).map(_._2).toSeq
+  }
+
+  /** Persist the IVF-PQ SERVING layout: the encoded corpus (vec_id,
+    * codes) partitioned by its coarse IVF cell — m small integer
+    * codes per document, 30–100× smaller than the float vectors,
+    * which never land in the index at all. A probe
+    * ([[probeIvfPqIndex]]) reads ONLY its nProbe cell partitions
+    * (partition pruning at the scan, the C7/C7b layout argument) and
+    * scores codes by LUT lookups — the memory-bound serving path end
+    * to end, refit-free as shards append to existing cells.
+    */
+  def writeIvfPqIndex(corpus: DataFrame, id: Column, vec: Column, path: String,
+      coarse: Array[Array[Long]], cb: Codebooks): Unit =
+    graft.gtfs.GtfsLake.writePartitioned(
+      corpus.select(id.cast("bigint").as("vec_id"), codesCol(vec, cb).as("codes"),
+        IvfIndex.cellOfInt(IvfIndex.quantized(vec.cast("array<double>"), cb.scale),
+          coarse).as("cell")),
+      path, "cell")
+
+  /** ADC top-k against the persisted layout: reads only the query's
+    * nProbe cell partitions. Identical results to [[ivfPqTopK]] on
+    * the same corpus/models (spec-proved).
+    */
+  def probeIvfPqIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      queryVec: Array[Double], coarse: Array[Array[Long]], cb: Codebooks,
+      nProbe: Int, topK: Int): DataFrame = {
+    val probe = probeCells(queryVec, coarse, cb.scale, nProbe)
+    val codes = spark.read.parquet(path)
+      .filter(col("cell").isin(probe.map(Int.box): _*))
+      .select(col("vec_id"), col("codes"))
+    adcTopK(codes, queryVec, cb, topK)
+  }
 
   /** ADC top-k for one query vector over the encoded corpus:
     * (vec_id, adc_dist) — smallest integer ADC distance first,
@@ -139,13 +185,7 @@ object PqIndex {
   def ivfPqTopK(corpus: DataFrame, id: Column, vec: Column,
       coarse: Array[Array[Long]], cb: Codebooks,
       queryVec: Array[Double], nProbe: Int, topK: Int): DataFrame = {
-    val qq = queryVec.map(x => math.floor(x * cb.scale).toLong)
-    val cellDist = coarse.zipWithIndex.map { case (c, i) =>
-      var acc = 0L; var d = 0
-      while (d < c.length) { val diff = qq(d) - c(d); acc += diff * diff; d += 1 }
-      (acc, i)
-    }
-    val probe = cellDist.sorted.take(nProbe).map(_._2)
+    val probe = probeCells(queryVec, coarse, cb.scale, nProbe)
     val pruned = corpus.filter(
       IvfIndex.cellOfInt(IvfIndex.quantized(vec, cb.scale), coarse)
         .isin(probe.map(Int.box): _*))

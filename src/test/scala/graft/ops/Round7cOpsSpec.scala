@@ -173,6 +173,32 @@ class Round7cOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(one == manual && one.nonEmpty)
   }
 
+  test("ivfPq persisted index: probe equals the in-flight composition and prunes partitions") {
+    val rows = pqCorpus(60, 16)
+    val df = rows.toDF("vec_id", "embedding")
+    val coarse = IvfIndex.fitIntegerPortable(df, col("vec_id"),
+      col("embedding"), k = 4, iters = 2)
+    val cb = PqIndex.fitCodebooks(df, col("vec_id"), col("embedding"), 16, 4, 4, 2)
+    val path = java.nio.file.Files.createTempDirectory("ivfpq_index").toString + "/idx"
+    PqIndex.writeIvfPqIndex(df, col("vec_id"), col("embedding"), path, coarse, cb)
+
+    val qv = rows(2)._2.toArray
+    val probed = PqIndex.probeIvfPqIndex(spark, path, qv, coarse, cb,
+      nProbe = 2, topK = 12)
+    val inFlight = PqIndex.ivfPqTopK(df, col("vec_id"), col("embedding"),
+        coarse, cb, qv, nProbe = 2, topK = 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(probed.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == inFlight)
+    assert(inFlight.nonEmpty)
+    // the cell filter reaches the scan as a PartitionFilter — only the
+    // probed cell directories are read; the float vectors are not in
+    // the index at all
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      s"expected partition pruning on cell, plan:\n$plan")
+    assert(!spark.read.parquet(path).columns.contains("embedding"))
+  }
+
   test("pq: fused one-pass codebook fit is bit-identical to independent per-sub fits") {
     val rows = pqCorpus(50, 16)
     val df = rows.toDF("vec_id", "embedding")
