@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{BitextMining, BpeTrain, Decontaminate, Dedup, Outliers, ParagraphDedup, SemanticDedup}
+import graft.ops.{BitextMining, BpeTrain, Decontaminate, Dedup, NgramLm, Outliers, ParagraphDedup, SemanticDedup}
 import graft.plans.CharEntropyExprOps
 
 /** Round-7 continuation: robust outlier gating and cross-corpus
@@ -125,6 +125,15 @@ object Round7cQueries {
           threshold = OphThreshold)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // C86: Kneser-Ney bigram perplexity scoring — absolute-discount
+    // back-off weighted by CONTINUATION counts (vs C37's
+    // Jelinek-Mercer unigram mixture).
+    "q_kn_score" -> { (s, dir) =>
+      NgramLm.kneserNeyScore(t(s, dir, "documents"),
+          col("doc_id"), col("text"), discount = 0.75)
+        .orderBy(col("doc_id"))
     })
 
   val oracles: Map[String, String] = Map(
@@ -219,5 +228,10 @@ object Round7cQueries {
          |      FROM cand c JOIN sh a ON c.id_a = a.doc_id JOIN sh b ON c.id_b = b.doc_id)
          |SELECT id_a, id_b, round(jac, 4) AS jaccard FROM j
          |WHERE jac >= $OphThreshold ORDER BY id_a, id_b""".stripMargin
-    })
+    },
+
+    "q_kn_score" ->
+      s"""WITH ${NgramLm.kneserNeyScoreSql("documents", discount = 0.75)}
+         |SELECT doc_id, n_bigrams, avg_logprob
+         |FROM knsc ORDER BY doc_id""".stripMargin)
 }

@@ -257,6 +257,65 @@ class Round7dOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(r.isNullAt(0))
   }
 
+  // ---------------------------------------------- NgramLm.kneserNey
+
+  test("kneser-ney: hand-computed probabilities on a tiny corpus") {
+    // corpus "a b a b" + "a c": bigrams ab(2), ba(1), ac(1)
+    // ctx(a)=3 fanout 2; ctx(b)=1 fanout 1; cont: b<-1, a<-1, c<-1; types=3
+    val df = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    val d = 0.75
+    def pkn(c2: Double, ctx: Double, n1f: Double, n1b: Double, bt: Double) =
+      (c2 - d) / ctx + d * n1f / ctx * (n1b / bt)
+    val pab = pkn(2, 3, 2, 1, 3) // p(b|a)
+    val pba = pkn(1, 1, 1, 1, 3) // p(a|b)
+    val pac = pkn(1, 3, 2, 1, 3) // p(c|a)
+    def lpMicro(p: Double) = math.floor(math.log(p) * 1e6)
+    val got = NgramLm.kneserNeyScore(df, col("doc_id"), col("text"), d)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // doc 1: bigrams ab, ba, ab
+    val s1 = lpMicro(pab) + lpMicro(pba) + lpMicro(pab)
+    assert(got(1L) == ((3L,
+      BigDecimal(s1 / 3e6).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    val s2 = lpMicro(pac)
+    assert(got(2L) == ((1L,
+      BigDecimal(s2 / 1e6).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+  }
+
+  test("kneser-ney probabilities sum to one per context") {
+    // the discounted mass exactly funds the continuation back-off:
+    // sum_w2 p(w2|w1) must be 1 for every observed context w1
+    val corpus = Seq(
+      "the fast table scans rows", "the table holds fast rows",
+      "fast rows join the table", "table scans beat slow scans")
+    val toks = corpus.flatMap(_.split(" "))
+    val bigrams = corpus.flatMap(s => s.split(" ").sliding(2).map(a => (a(0), a(1))))
+    val biC = bigrams.groupBy(identity).map { case (k, v) => k -> v.size.toDouble }
+    val ctx = biC.groupBy(_._1._1).map { case (w1, m) =>
+      w1 -> ((m.values.sum, m.size.toDouble)) }
+    val cont = biC.groupBy(_._1._2).map { case (w2, m) => w2 -> m.size.toDouble }
+    val bt = biC.size.toDouble
+    val d = 0.75
+    val vocab2 = biC.keys.map(_._2).toSeq.distinct
+    ctx.foreach { case (w1, (cw, n1f)) =>
+      val total = vocab2.map { w2 =>
+        val c2 = biC.getOrElse((w1, w2), 0.0)
+        // unseen bigrams get only the back-off term
+        (if (c2 > 0) (c2 - d) / cw else 0.0) + d * n1f / cw * (cont(w2) / bt)
+      }.sum
+      // full vocab coverage of continuations makes this exactly 1 when
+      // every w2 in the continuation table is considered
+      assert(math.abs(total - 1.0) < 1e-9, s"context $w1 sums to $total")
+    }
+  }
+
+  test("kneser-ney: docs with fewer than two tokens score zero") {
+    val df = Seq((1L, "single"), (2L, "a b a")).toDF("doc_id", "text")
+    val got = NgramLm.kneserNeyScore(df, col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got(1L) == ((0L, 0.0)))
+    assert(got(2L)._1 == 2L)
+  }
+
   // ---------------------------------------------------- OphMinHash
 
   private def ophRef(shingles: Seq[String], k: Int): Seq[Long] = {
