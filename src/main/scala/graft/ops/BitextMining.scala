@@ -46,10 +46,16 @@ object BitextMining {
     val bwd = Similarity.bruteForceTopKBatch(srcC, col("vec_id"), col("v"), tgtQ, k)
       .select(col("query_id").as("tgt_id"), col("vec_id").as("src_id"),
         floor(col("cos_sim") * 1e6).cast("bigint").as("cm"))
+    marginTail(fwd, bwd, k, marginMilli)
+  }
 
-    // per side: neighborhood sum + best pair by (micro-cos DESC, id
-    // ASC) — the quantized order, so the pick is engine-portable even
-    // where raw cosines tie at the 6th decimal
+  /** The shared margin assembly: per side neighborhood sum + best
+    * pair by (micro-cos DESC, id ASC) — the quantized order, so the
+    * pick is engine-portable even where raw cosines tie at the 6th
+    * decimal — then mutual-best + margin gate.
+    */
+  private def marginTail(fwd: DataFrame, bwd: DataFrame,
+      k: Int, marginMilli: Long): DataFrame = {
     val fAgg = fwd.groupBy(col("src_id"))
       .agg(sum(col("cm")).as("sf"),
         max(struct(col("cm").as("cm"), (-col("tgt_id")).as("nid"))).as("fb"))
@@ -67,6 +73,109 @@ object BitextMining {
           (col("sf") + col("sb")).cast("double")).cast("bigint")
           .as("margin_milli"))
       .filter(col("margin_milli") >= marginMilli)
+  }
+
+  /** LSH-bucketed mining — the 100 TB path: [[minePairs]] is
+    * corpus×corpus by construction (every mutual-kNN is), which is
+    * fine for a one-off alignment but quadratic as both sides grow.
+    * Here candidates are pairs sharing a random-hyperplane sign
+    * bucket (the C7 device: data-independent planes, refit-free as
+    * shards append), so pair work drops to Σ_b |src_b|·|tgt_b| ≈
+    * |src|·|tgt|/2^planes — pick nPlanes so the expected bucket
+    * co-occupancy is the candidate budget. Each candidate's cosine
+    * is computed ONCE and feeds BOTH direction rankings (the brute
+    * path scores twice); neighborhoods and margins are then
+    * bucket-local, the CCMatrix trade (faiss-pruned neighborhoods)
+    * made deterministic.
+    */
+  def minePairsLsh(src: DataFrame, srcId: Column, srcVec: Column,
+      tgt: DataFrame, tgtId: Column, tgtVec: Column,
+      k: Int, marginMilli: Long, dim: Int, nPlanes: Int = 6,
+      seed: Long = 42L): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    val planes = Similarity.hyperplanes(dim, nPlanes, seed)
+    // materialize bucket assignments before the join (the C54 lesson:
+    // the plane-dot fold inside the join stage defeats fusion)
+    val srcB = src.select(srcId.cast("bigint").as("src_id"),
+      srcVec.cast("array<double>").as("v_s"),
+      Similarity.lshBucket(srcVec.cast("array<double>"), planes).as("bucket"))
+      .localCheckpoint(true)
+    val tgtB = tgt.select(tgtId.cast("bigint").as("tgt_id"),
+      tgtVec.cast("array<double>").as("v_t"),
+      Similarity.lshBucket(tgtVec.cast("array<double>"), planes).as("bucket"))
+      .localCheckpoint(true)
+
+    val pairs = srcB.join(tgtB, Seq("bucket"))
+      .select(col("src_id"), col("tgt_id"),
+        graft.functions.VectorFunctions.cosineSimilarity(col("v_s"), col("v_t"))
+          .as("cs"))
+      .localCheckpoint(true) // both rankings read it; score once
+
+    val wF = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src_id")).orderBy(col("cs").desc, col("tgt_id"))
+    val wB = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("tgt_id")).orderBy(col("cs").desc, col("src_id"))
+    val fwd = pairs.withColumn("rk", row_number().over(wF))
+      .filter(col("rk") <= k)
+      .select(col("src_id"), col("tgt_id"),
+        floor(col("cs") * 1e6).cast("bigint").as("cm"))
+    val bwd = pairs.withColumn("rk", row_number().over(wB))
+      .filter(col("rk") <= k)
+      .select(col("tgt_id"), col("src_id"),
+        floor(col("cs") * 1e6).cast("bigint").as("cm"))
+    marginTail(fwd, bwd, k, marginMilli)
+  }
+
+  /** DuckDB twin of [[minePairsLsh]] — plane literals embedded (the
+    * C7 oracle device); final relation `bml(src_id, tgt_id,
+    * cos_micro, margin_milli)`.
+    */
+  def minePairsLshSql(srcPred: String, tgtPred: String,
+      k: Int, marginMilli: Long, dim: Int, nPlanes: Int = 6,
+      seed: Long = 42L): String = {
+    val planes = Similarity.hyperplanes(dim, nPlanes, seed)
+    def bucketSql(v: String): String =
+      planes.zipWithIndex.map { case (p, i) =>
+        s"(CASE WHEN list_dot_product($v, ${p.mkString("[", ", ", "]")}) >= 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString("(", "\n       + ", ")")
+    s"""blsr AS (SELECT vec_id AS src_id, CAST(embedding AS DOUBLE[]) AS v,
+       |           ${bucketSql("CAST(embedding AS DOUBLE[])")} AS bucket
+       |         FROM embeddings WHERE $srcPred),
+       |bltr AS (SELECT vec_id AS tgt_id, CAST(embedding AS DOUBLE[]) AS v,
+       |           ${bucketSql("CAST(embedding AS DOUBLE[])")} AS bucket
+       |         FROM embeddings WHERE $tgtPred),
+       |blp AS (SELECT s.src_id, t.tgt_id,
+       |          list_cosine_similarity(s.v, t.v) AS cs
+       |        FROM blsr s JOIN bltr t USING (bucket)),
+       |blfk AS (SELECT src_id, tgt_id, CAST(floor(cs * 1e6) AS BIGINT) AS cm FROM (
+       |           SELECT src_id, tgt_id, cs,
+       |             row_number() OVER (PARTITION BY src_id ORDER BY cs DESC, tgt_id) AS rk
+       |           FROM blp) WHERE rk <= $k),
+       |blfa AS (SELECT src_id, sum(cm) AS sf FROM blfk GROUP BY src_id),
+       |blfb AS (SELECT src_id, tgt_id, cm FROM (
+       |           SELECT src_id, tgt_id, cm,
+       |             row_number() OVER (PARTITION BY src_id ORDER BY cm DESC, tgt_id) AS rb
+       |           FROM blfk) WHERE rb = 1),
+       |blbk AS (SELECT tgt_id, src_id, CAST(floor(cs * 1e6) AS BIGINT) AS cm FROM (
+       |           SELECT tgt_id, src_id, cs,
+       |             row_number() OVER (PARTITION BY tgt_id ORDER BY cs DESC, src_id) AS rk
+       |           FROM blp) WHERE rk <= $k),
+       |blba AS (SELECT tgt_id, sum(cm) AS sb FROM blbk GROUP BY tgt_id),
+       |blbb AS (SELECT tgt_id, src_id AS back_src FROM (
+       |           SELECT tgt_id, src_id, cm,
+       |             row_number() OVER (PARTITION BY tgt_id ORDER BY cm DESC, src_id) AS rb
+       |           FROM blbk) WHERE rb = 1),
+       |bml AS (
+       |  SELECT src_id, tgt_id, cos_micro, margin_milli FROM (
+       |    SELECT f.src_id, f.tgt_id, f.cm AS cos_micro,
+       |      CAST(floor(${2000.0 * k} * f.cm / (a.sf + b.sb)) AS BIGINT)
+       |        AS margin_milli
+       |    FROM blfb f
+       |    JOIN blbb bb ON bb.tgt_id = f.tgt_id AND bb.back_src = f.src_id
+       |    JOIN blfa a ON a.src_id = f.src_id
+       |    JOIN blba b ON b.tgt_id = f.tgt_id
+       |    WHERE a.sf + b.sb > 0)
+       |  WHERE margin_milli >= $marginMilli)""".stripMargin
   }
 
   /** DuckDB twin of [[minePairs]] over `embeddings(vec_id,

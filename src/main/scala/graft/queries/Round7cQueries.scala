@@ -38,6 +38,8 @@ object Round7cQueries {
   val OphBins = 16
   val OphBands = 4
   val OphThreshold = 0.5
+  /** LSH mining: planes sized so the bench corpus keeps candidates. */
+  val BitextPlanes = 4
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -111,6 +113,19 @@ object Round7cQueries {
       val tgt = emb.filter(pmod(col("vec_id"), lit(2L)) === 1)
       BitextMining.minePairs(src, col("vec_id"), col("embedding"),
           tgt, col("vec_id"), col("embedding"), BitextK, BitextMarginMilli)
+        .orderBy(col("src_id"))
+    },
+
+    // C84 scale path: LSH-bucketed mining — candidates only within
+    // shared sign-buckets, each pair's cosine scored ONCE for both
+    // direction rankings.
+    "q_bitext_lsh" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val src = emb.filter(pmod(col("vec_id"), lit(2L)) === 0)
+      val tgt = emb.filter(pmod(col("vec_id"), lit(2L)) === 1)
+      BitextMining.minePairsLsh(src, col("vec_id"), col("embedding"),
+          tgt, col("vec_id"), col("embedding"), BitextK, BitextMarginMilli,
+          dim = 64, nPlanes = BitextPlanes)
         .orderBy(col("src_id"))
     },
 
@@ -190,6 +205,13 @@ object Round7cQueries {
              "vec_id % 2 = 0", "vec_id % 2 = 1", BitextK, BitextMarginMilli)}
          |SELECT src_id, tgt_id, cos_micro, margin_milli
          |FROM bmm ORDER BY src_id""".stripMargin,
+
+    "q_bitext_lsh" ->
+      s"""WITH ${BitextMining.minePairsLshSql(
+             "vec_id % 2 = 0", "vec_id % 2 = 1", BitextK, BitextMarginMilli,
+             dim = 64, nPlanes = BitextPlanes)}
+         |SELECT src_id, tgt_id, cos_micro, margin_milli
+         |FROM bml ORDER BY src_id""".stripMargin,
 
     "q_dedup_oph" -> {
       val p = graft.plans.OphMinHashOps.P

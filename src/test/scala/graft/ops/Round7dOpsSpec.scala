@@ -427,6 +427,61 @@ class Round7dOpsSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("lsh-bucketed mining matches the bucket-restricted reference") {
+    val dim = 4
+    val nPlanes = 2
+    val planes = Similarity.hyperplanes(dim, nPlanes, 42L)
+    def bucketOf(v: Seq[Double]): Long =
+      planes.zipWithIndex.map { case (p, i) =>
+        if (p.zip(v).map { case (a, b) => a * b }.sum >= 0) 1L << i else 0L
+      }.sum
+    def refMineLsh(srcV: Seq[(Long, Seq[Double])], tgtV: Seq[(Long, Seq[Double])],
+        k: Int, marginMilli: Long): Seq[(Long, Long, Long, Long)] = {
+      val pairs = for {
+        (sid, sv) <- srcV; (tid, tv) <- tgtV
+        if bucketOf(sv) == bucketOf(tv)
+      } yield (sid, tid, cosLocal(sv, tv))
+      def side(byKey: ((Long, Long, Double)) => Long,
+          other: ((Long, Long, Double)) => Long) =
+        pairs.groupBy(byKey).map { case (id, ps) =>
+          val ranked = ps.sortBy(p => (-p._3, other(p))).take(k)
+            .map(p => (other(p), math.floor(p._3 * 1e6).toLong))
+          id -> ((ranked.map(_._2).sum, ranked.minBy { case (o, cm) => (-cm, o) }))
+        }
+      val f = side(_._1, _._2)
+      val b = side(_._2, _._1)
+      srcV.flatMap { case (sid, _) =>
+        f.get(sid).flatMap { case (sf, (tid, cm)) =>
+          val (sb, (backSid, _)) = b(tid)
+          if (backSid != sid || sf + sb <= 0) None
+          else {
+            val margin = math.floor(2000.0 * k * cm / (sf + sb)).toLong
+            if (margin >= marginMilli) Some((sid, tid, cm, margin)) else None
+          }
+        }
+      }
+    }
+    val srcV: Seq[(Long, Seq[Double])] = Seq(
+      0L -> Seq(1.0, 0.05, 0.0, 0.1), 2L -> Seq(0.0, 1.0, 0.1, -0.2),
+      4L -> Seq(0.1, 0.1, 1.0, 0.3), 6L -> Seq(0.9, 0.1, 0.1, 0.0),
+      8L -> Seq(-0.5, 0.5, 0.0, 0.4))
+    val tgtV: Seq[(Long, Seq[Double])] = Seq(
+      1L -> Seq(0.95, 0.1, 0.0, 0.12), 3L -> Seq(0.05, 0.95, 0.05, -0.15),
+      5L -> Seq(0.0, 0.2, 0.9, 0.25), 7L -> Seq(0.6, 0.4, 0.1, 0.05))
+    for (thr <- Seq(0L, 1050L)) {
+      val got = BitextMining.minePairsLsh(
+          mineDf(srcV), col("vec_id"), col("embedding"),
+          mineDf(tgtV), col("vec_id"), col("embedding"), 2, thr,
+          dim = dim, nPlanes = nPlanes)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1).toSeq
+      val want = refMineLsh(srcV, tgtV, 2, thr).sortBy(_._1)
+      assert(got == want, s"thr=$thr")
+    }
+    assert(refMineLsh(srcV, tgtV, 2, 0L).nonEmpty,
+      "fixture must mine at least one pair")
+  }
+
   test("bitext mining: non-mutual best pairs are excluded") {
     // hub: both sources' best is tgt 1, but tgt 1's best is src 0 —
     // so (2, 1) must not be mined even though 1 is 2's best
