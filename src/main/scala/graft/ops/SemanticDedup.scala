@@ -30,13 +30,23 @@ object SemanticDedup {
     Similarity.hyperplanes(dim, k, seed)
 
   /** Cell of a vector: argmax dot(v, anchor), ties to the smallest
-    * anchor index (first position of the max). Pure column
-    * expression — no shuffle, no UDF. Each dot product appears
-    * exactly once in the array: a when-fold would duplicate the
-    * running-best subtree per level and the expression tree grows
-    * 2^k (heap-exhausted at k=64).
+    * anchor index (first position of the max). The fused native
+    * kernel ([[graft.plans.AnchorArgmaxExpr]]): one loop over the
+    * anchor matrix shipped as a codegen reference. The composed
+    * array-argmax form ([[cellOfComposed]]) is the spec baseline —
+    * its k-fold cast fan-out drops the projection out of whole-stage
+    * codegen at k=64 and costs ~350 µs/row interpreted (measured 7 s
+    * for a 20 k-row assignment; the kernel runs it in ~0.1 s).
     */
-  def cellOf(vec: Column, anchors: Seq[Seq[Double]]): Column = {
+  def cellOf(vec: Column, anchors: Seq[Seq[Double]]): Column =
+    graft.plans.AnchorArgmaxExpr.cell(vec, anchors)
+
+  /** The composed argmax (verification baseline for the kernel).
+    * Each dot product appears exactly once in the array: a when-fold
+    * would duplicate the running-best subtree per level and the
+    * expression tree grows 2^k (heap-exhausted at k=64).
+    */
+  def cellOfComposed(vec: Column, anchors: Seq[Seq[Double]]): Column = {
     val v = vec.cast("array<double>")
     val dots = array(anchors.map(a => VectorFunctions.dotProduct(v, typedLit(a))): _*)
     (array_position(dots, array_max(dots)) - 1).cast("int")

@@ -257,6 +257,40 @@ class Round7dOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(r.isNullAt(0))
   }
 
+  // ------------------------------------------------ AnchorArgmaxExpr
+
+  test("anchor-argmax kernel matches the composed array argmax incl. ties") {
+    val anchors = SemanticDedup.anchors(dim = 8, k = 16, seed = 5L)
+    val vecs = Seq.tabulate(50)(i =>
+      (i.toLong, Seq.tabulate(8)(d => math.sin(i * 0.7 + d) * (1 + d * 0.1))))
+    // float input (the embeddings column type) and double input
+    val fdf = vecs.map { case (id, v) => (id, v.map(_.toFloat)) }
+      .toDF("vec_id", "v")
+    val kf = fdf.select(col("vec_id"),
+        SemanticDedup.cellOf(col("v"), anchors).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val cf = fdf.select(col("vec_id"),
+        SemanticDedup.cellOfComposed(col("v"), anchors).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(kf == cf)
+    // a tie fixture: identical anchors 3 and 7 -> smallest index wins
+    val dupAnchors = anchors.updated(7, anchors(3))
+    val tdf = vecs.map { case (id, v) => (id, v) }.toDF("vec_id", "v")
+    val kt = tdf.select(SemanticDedup.cellOf(col("v"), dupAnchors).as("c"))
+      .collect().map(_.getInt(0))
+    val ct = tdf.select(SemanticDedup.cellOfComposed(col("v"), dupAnchors).as("c"))
+      .collect().map(_.getInt(0))
+    assert(kt.toSeq == ct.toSeq)
+    assert(!kt.contains(7), "ties must resolve to the smaller duplicate index")
+  }
+
+  test("anchor-argmax kernel is null on null input") {
+    val anchors = SemanticDedup.anchors(dim = 4, k = 4, seed = 5L)
+    val r = Seq(Tuple1(Option.empty[Seq[Double]])).toDF("v")
+      .select(SemanticDedup.cellOf(col("v"), anchors)).head()
+    assert(r.isNullAt(0))
+  }
+
   // ---------------------------------------------- NgramLm.kneserNey
 
   test("kneser-ney: hand-computed probabilities on a tiny corpus") {
