@@ -78,14 +78,18 @@ object Round7cQueries {
     // C82: paragraph-level first-occurrence dedup — the corpus is
     // re-chunked into 8-token paragraphs plus a planted footer every
     // doc shares (the Round7b construction device: same construction
-    // in the twin), so exactly one doc keeps the footer.
+    // in the twin), so exactly one doc keeps the footer. The chunking
+    // is ONE codegen'd regex pass (break after every 8th token) — the
+    // transform(sequence, slice) formulation it replaces is an
+    // interpreted HOF whose lambda captures the tokenize subtree and
+    // re-evaluates it per paragraph (~80 re-tokenizations per doc,
+    // 5.8 s -> 0.3 s at sf1; the C30 defect class).
     "q_paragraph_dedup" -> { (s, dir) =>
-      val toks = split(trim(col("text")), "\\s+")
-      val nPara = ((size(toks) + lit(ParaTokens - 1)) / lit(ParaTokens)).cast("int")
-      val paras = transform(sequence(lit(0), nPara - 1),
-        i => array_join(slice(toks, i * ParaTokens + 1, lit(ParaTokens)), " "))
+      val norm = regexp_replace(trim(col("text")), "\\s+", " ")
+      val chunked = regexp_replace(norm,
+        s"((?:[^ ]+ ){${ParaTokens - 1}}[^ ]+) ", "$1\n\n")
       val aug = t(s, dir, "documents").select(col("doc_id"),
-        array_join(concat(paras, array(lit(ParaFooter))), "\n\n").as("ptext"))
+        concat(chunked, lit("\n\n"), lit(ParaFooter)).as("ptext"))
       ParagraphDedup.dedup(aug, col("doc_id"), col("ptext"))
         .select(col("doc_id"), col("n_paras"), col("n_kept"),
           md5(col("text_kept")).as("kept_md5"))
@@ -172,17 +176,12 @@ object Round7cQueries {
          |FROM bpenc ORDER BY doc_id""".stripMargin,
 
     "q_paragraph_dedup" ->
-      s"""WITH ppre AS (
-         |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk
+      s"""WITH paug AS (
+         |  SELECT doc_id,
+         |    regexp_replace(regexp_replace(trim(text), '\\s+', ' ', 'g'),
+         |      '((?:[^ ]+ ){${ParaTokens - 1}}[^ ]+) ', '\\1' || e'\\n\\n', 'g')
+         |      || e'\\n\\n' || '$ParaFooter' AS ptext
          |  FROM documents),
-         |paug AS (
-         |  SELECT doc_id, array_to_string(list_append(
-         |    list_transform(range(0, (len(tk) + ${ParaTokens - 1}) // $ParaTokens),
-         |      i -> array_to_string(
-         |        tk[CAST(i * $ParaTokens + 1 AS INT):CAST((i + 1) * $ParaTokens AS INT)],
-         |        ' ')),
-         |    '$ParaFooter'), e'\\n\\n') AS ptext
-         |  FROM ppre),
          |${ParagraphDedup.dedupSql("paug")}
          |SELECT doc_id, n_paras, n_kept, kept_md5
          |FROM pdd ORDER BY doc_id""".stripMargin,
