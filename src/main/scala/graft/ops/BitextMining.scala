@@ -105,24 +105,24 @@ object BitextMining {
       Similarity.lshBucket(tgtVec.cast("array<double>"), planes).as("bucket"))
       .localCheckpoint(true)
 
-    val pairs = srcB.join(tgtB, Seq("bucket"))
+    // one cosine per candidate pair, quantized immediately: BOTH
+    // direction rankings run in (micro-cos DESC, id ASC) order
+    // through the C66 bounded heap — the shuffle carries <= k rows
+    // per (task, side-id) instead of every candidate pair through two
+    // full row_number sorts (measured 9 s -> ~2 s at sf1)
+    val scored = srcB.join(tgtB, Seq("bucket"))
       .select(col("src_id"), col("tgt_id"),
-        graft.functions.VectorFunctions.cosineSimilarity(col("v_s"), col("v_t"))
-          .as("cs"))
-      .localCheckpoint(true) // both rankings read it; score once
-
-    val wF = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("src_id")).orderBy(col("cs").desc, col("tgt_id"))
-    val wB = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("tgt_id")).orderBy(col("cs").desc, col("src_id"))
-    val fwd = pairs.withColumn("rk", row_number().over(wF))
-      .filter(col("rk") <= k)
-      .select(col("src_id"), col("tgt_id"),
-        floor(col("cs") * 1e6).cast("bigint").as("cm"))
-    val bwd = pairs.withColumn("rk", row_number().over(wB))
-      .filter(col("rk") <= k)
-      .select(col("tgt_id"), col("src_id"),
-        floor(col("cs") * 1e6).cast("bigint").as("cm"))
+        floor(graft.functions.VectorFunctions
+          .cosineSimilarity(col("v_s"), col("v_t")) * 1e6)
+          .cast("bigint").as("cm"))
+    val fwd = scored.groupBy(col("src_id"))
+      .agg(graft.plans.TopKAgg.topK(col("cm"), col("tgt_id"), k).as("top"))
+      .select(col("src_id"), explode(col("top")).as("e"))
+      .select(col("src_id"), col("e.id").as("tgt_id"), col("e.score").as("cm"))
+    val bwd = scored.groupBy(col("tgt_id"))
+      .agg(graft.plans.TopKAgg.topK(col("cm"), col("src_id"), k).as("top"))
+      .select(col("tgt_id"), explode(col("top")).as("e"))
+      .select(col("tgt_id"), col("e.id").as("src_id"), col("e.score").as("cm"))
     marginTail(fwd, bwd, k, marginMilli)
   }
 
@@ -145,20 +145,20 @@ object BitextMining {
        |           ${bucketSql("CAST(embedding AS DOUBLE[])")} AS bucket
        |         FROM embeddings WHERE $tgtPred),
        |blp AS (SELECT s.src_id, t.tgt_id,
-       |          list_cosine_similarity(s.v, t.v) AS cs
+       |          CAST(floor(list_cosine_similarity(s.v, t.v) * 1e6) AS BIGINT) AS cm
        |        FROM blsr s JOIN bltr t USING (bucket)),
-       |blfk AS (SELECT src_id, tgt_id, CAST(floor(cs * 1e6) AS BIGINT) AS cm FROM (
-       |           SELECT src_id, tgt_id, cs,
-       |             row_number() OVER (PARTITION BY src_id ORDER BY cs DESC, tgt_id) AS rk
+       |blfk AS (SELECT src_id, tgt_id, cm FROM (
+       |           SELECT src_id, tgt_id, cm,
+       |             row_number() OVER (PARTITION BY src_id ORDER BY cm DESC, tgt_id) AS rk
        |           FROM blp) WHERE rk <= $k),
        |blfa AS (SELECT src_id, sum(cm) AS sf FROM blfk GROUP BY src_id),
        |blfb AS (SELECT src_id, tgt_id, cm FROM (
        |           SELECT src_id, tgt_id, cm,
        |             row_number() OVER (PARTITION BY src_id ORDER BY cm DESC, tgt_id) AS rb
        |           FROM blfk) WHERE rb = 1),
-       |blbk AS (SELECT tgt_id, src_id, CAST(floor(cs * 1e6) AS BIGINT) AS cm FROM (
-       |           SELECT tgt_id, src_id, cs,
-       |             row_number() OVER (PARTITION BY tgt_id ORDER BY cs DESC, src_id) AS rk
+       |blbk AS (SELECT tgt_id, src_id, cm FROM (
+       |           SELECT tgt_id, src_id, cm,
+       |             row_number() OVER (PARTITION BY tgt_id ORDER BY cm DESC, src_id) AS rk
        |           FROM blp) WHERE rk <= $k),
        |blba AS (SELECT tgt_id, sum(cm) AS sb FROM blbk GROUP BY tgt_id),
        |blbb AS (SELECT tgt_id, src_id AS back_src FROM (

@@ -475,11 +475,14 @@ class Round7dOpsSpec extends AnyFunSuite with SparkTestBase {
         (sid, sv) <- srcV; (tid, tv) <- tgtV
         if bucketOf(sv) == bucketOf(tv)
       } yield (sid, tid, cosLocal(sv, tv))
+      // quantize BEFORE ranking: the LSH variant runs entirely in
+      // (micro-cos DESC, id ASC) order (the bounded-heap contract)
       def side(byKey: ((Long, Long, Double)) => Long,
           other: ((Long, Long, Double)) => Long) =
         pairs.groupBy(byKey).map { case (id, ps) =>
-          val ranked = ps.sortBy(p => (-p._3, other(p))).take(k)
+          val ranked = ps
             .map(p => (other(p), math.floor(p._3 * 1e6).toLong))
+            .sortBy { case (o, cm) => (-cm, o) }.take(k)
           id -> ((ranked.map(_._2).sum, ranked.minBy { case (o, cm) => (-cm, o) }))
         }
       val f = side(_._1, _._2)
