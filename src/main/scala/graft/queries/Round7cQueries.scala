@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{BitextMining, BpeTrain, Decontaminate, Dedup, NgramLm, Outliers, ParagraphDedup, SemanticDedup}
+import graft.ops.{BitextMining, BpeTrain, Decontaminate, Dedup, DupClusters, NgramLm, Outliers, ParagraphDedup, SemanticDedup}
 import graft.plans.CharEntropyExprOps
 
 /** Round-7 continuation: robust outlier gating and cross-corpus
@@ -153,6 +153,20 @@ object Round7cQueries {
       NgramLm.kneserNeyScore(t(s, dir, "documents"),
           col("doc_id"), col("text"), discount = 0.75)
         .orderBy(col("doc_id"))
+    },
+
+    // C21 scale path: large-star/small-star contraction closes any
+    // component in O(log n) rounds regardless of diameter (min-label
+    // propagation needs diameter rounds — pathological on chain-shaped
+    // dup graphs). Same pair graph and output contract as
+    // q_dup_clusters, so the same recursive-CTE twin oracles it.
+    "q_dup_clusters_star" -> { (s, dir) =>
+      val pairs = Dedup.ngramJaccard(
+          TextQueries.docsWithPlantedDups(s, dir), col("doc_id"), col("text"),
+          blockBy = TextQueries.prefixBlock(col("text")),
+          shingleK = 3, threshold = 0.5)
+        .select(col("id_a"), col("id_b"))
+      DupClusters.connectedComponentsStar(pairs).orderBy(col("doc_id"))
     })
 
   val oracles: Map[String, String] = Map(
@@ -254,5 +268,8 @@ object Round7cQueries {
     "q_kn_score" ->
       s"""WITH ${NgramLm.kneserNeyScoreSql("documents", discount = 0.75)}
          |SELECT doc_id, n_bigrams, avg_logprob
-         |FROM knsc ORDER BY doc_id""".stripMargin)
+         |FROM knsc ORDER BY doc_id""".stripMargin,
+
+    // identical output contract to q_dup_clusters — same twin
+    "q_dup_clusters_star" -> TextQueries.oracles("q_dup_clusters"))
 }

@@ -257,6 +257,40 @@ class Round7dOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(r.isNullAt(0))
   }
 
+  // ---------------------------------- DupClusters.connectedComponentsStar
+
+  test("star CC equals min-label propagation on a mixed clique graph") {
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (1L, 3L), // clique
+      (10L, 11L), (11L, 10L),       // duplicate + reversed edges
+      (20L, 21L), (21L, 22L),       // small chain
+      (30L, 31L))
+      .toDF("id_a", "id_b")
+    val star = DupClusters.connectedComponentsStar(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val label = DupClusters.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star == label)
+    assert(star(3L) == 1L && star(22L) == 20L && star(31L) == 30L)
+  }
+
+  test("star CC closes a 300-node chain within the default round budget") {
+    // min-label propagation needs ~300 rounds here (the diameter);
+    // star contraction closes it in O(log n)
+    val pairs = (0L until 299L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val star = DupClusters.connectedComponentsStar(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(star.length == 300)
+    assert(star.forall(_._2 == 0L))
+  }
+
+  test("star CC: self-loops ignored, every paired node labeled") {
+    val pairs = Seq((5L, 5L), (6L, 7L)).toDF("id_a", "id_b")
+    val star = DupClusters.connectedComponentsStar(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star == Map(5L -> 5L, 6L -> 6L, 7L -> 6L))
+  }
+
   // ------------------------------------------------ AnchorArgmaxExpr
 
   test("anchor-argmax kernel matches the composed array argmax incl. ties") {
