@@ -19,7 +19,8 @@ object SparkEntry {
       graft.queries.Round6Queries.defs ++
       graft.queries.Round7Queries.defs ++
       graft.queries.Round7bQueries.defs ++
-      graft.queries.Round7cQueries.defs
+      graft.queries.Round7cQueries.defs ++
+      graft.queries.Round7dQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -32,5 +33,6 @@ object SparkEntry {
       graft.queries.Round6Queries.oracles ++
       graft.queries.Round7Queries.oracles ++
       graft.queries.Round7bQueries.oracles ++
-      graft.queries.Round7cQueries.oracles
+      graft.queries.Round7cQueries.oracles ++
+      graft.queries.Round7dQueries.oracles
 }

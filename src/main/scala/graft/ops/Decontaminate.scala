@@ -62,6 +62,67 @@ object Decontaminate {
     corpus.join(dirty, id === col("__doc_id"), "left_anti")
   }
 
+  /** Span-level contamination LOCALIZATION — where [[cleanDocs]]
+    * answers "is this training doc contaminated?", this answers
+    * WHERE and BY WHAT: every position in a training document whose
+    * k-token span occurs verbatim in the eval set, with the eval
+    * document responsible — the evidence view behind contamination
+    * audits (and the input to span-level excision instead of
+    * whole-doc removal, the C39 rewrite applied cross-corpus).
+    *
+    * Returns (doc_id, pos, eval_id): 1-based token position of each
+    * matching k-span, one row per (position, eval doc) witness.
+    *
+    * Scale shape: the eval span vocabulary — distinct (span-hash,
+    * eval_id), small by construction — BROADCASTS; the training
+    * corpus tokenizes once and streams its (doc, pos, hash60) span
+    * stream through the broadcast hash join as a narrow map: the
+    * 100 TB side never shuffles, and only witness rows survive.
+    */
+  def spanHits(train: DataFrame, id: Column, text: Column,
+      eval: DataFrame, evalId: Column, evalText: Column,
+      k: Int): DataFrame = {
+    require(k >= 2, s"span width must be >= 2 tokens, got $k")
+    def spans(df: DataFrame, idc: Column, tc: Column): DataFrame =
+      df.select(idc.cast("bigint").as("__id"),
+          split(trim(lower(tc)), "\\s+").as("toks"))
+        .filter(size(col("toks")) >= k)
+        .select(col("__id"), posexplode(
+          transform(sequence(lit(1), size(col("toks")) - (k - 1)),
+            p => Dedup.md5Hash60(array_join(slice(col("toks"), p, lit(k)), " ")))))
+        .select(col("__id"), (col("pos") + 1).cast("bigint").as("p"),
+          col("col").as("shash"))
+    val evalSpans = spans(eval, evalId, evalText)
+      .select(col("shash"), col("__id").as("eval_id")).distinct()
+    spans(train, id, text)
+      .join(broadcast(evalSpans), Seq("shash"))
+      .select(col("__id").as("doc_id"), col("p").as("pos"), col("eval_id"))
+  }
+
+  /** DuckDB twin of [[spanHits]]: `trainPred`/`evalPred` filter the
+    * `documents` table into the two corpora; final relation
+    * `sph(doc_id, pos, eval_id)`.
+    */
+  def spanHitsSql(trainPred: String, evalPred: String, k: Int): String =
+    s"""spt AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+       |        FROM documents WHERE $trainPred),
+       |spe AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+       |        FROM documents WHERE $evalPred),
+       |spts AS (
+       |  SELECT doc_id, p.i AS pos,
+       |    ('0x' || substr(md5(array_to_string(list_slice(toks, p.i, p.i + ${k - 1}), ' ')), 1, 15))::BIGINT AS shash
+       |  FROM spt, unnest(range(1, len(toks) - ${k - 2})) AS p(i)
+       |  WHERE len(toks) >= $k),
+       |spes AS (
+       |  SELECT DISTINCT
+       |    ('0x' || substr(md5(array_to_string(list_slice(toks, p.i, p.i + ${k - 1}), ' ')), 1, 15))::BIGINT AS shash,
+       |    doc_id AS eval_id
+       |  FROM spe, unnest(range(1, len(toks) - ${k - 2})) AS p(i)
+       |  WHERE len(toks) >= $k),
+       |sph AS (
+       |  SELECT t.doc_id, t.pos, e.eval_id
+       |  FROM spts t JOIN spes e USING (shash))""".stripMargin
+
   /** Semantic (embedding-space) decontamination — the C54 complement
     * of [[cleanDocs]]'s exact shingle overlap: flag training rows
     * whose embedding lands in the same anchor cell as an eval row

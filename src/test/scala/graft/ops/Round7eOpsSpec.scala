@@ -1,0 +1,200 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/** Specs for the fifth round-7 operator batch: histogram-device
+  * NTILE + perplexity bucketing, quality-aware cluster retention,
+  * span-level contamination localization, Zipf rank-frequency fit.
+  */
+class Round7eOpsSpec extends AnyFunSuite with SparkTestBase {
+
+  import spark.implicits._
+
+  // --------------------------------------------- PerplexityBuckets
+
+  test("histogram-device ntile equals the builtin window ntile") {
+    val rows = Seq(
+      ("a", 3.5, 1L), ("a", 1.0, 2L), ("a", 1.0, 3L), ("a", 2.0, 4L),
+      ("a", 9.0, 5L), ("a", 4.0, 6L), ("a", 0.5, 7L),
+      ("b", 1.0, 8L), ("b", 2.0, 9L), ("b", 3.0, 10L), ("b", 4.0, 11L),
+      ("c", 7.0, 12L))
+    val df = rows.toDF("g", "v", "i")
+    for (k <- Seq(2, 3, 4)) {
+      val got = PerplexityBuckets
+        .ntileByGroup(df, col("g"), col("v"), col("i"), k)
+        .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+      val want = df.select(col("i"),
+          ntile(k).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("g")).orderBy(col("v"), col("i"))).cast("bigint"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"k=$k")
+    }
+  }
+
+  test("ntile distribution: leading tiles take the remainder, ties split by id") {
+    // n=7, k=3 -> tile sizes 3,2,2; the two v=1.0 ties order by id
+    val df = Seq(
+      ("a", 1.0, 9L), ("a", 1.0, 1L), ("a", 2.0, 2L), ("a", 3.0, 3L),
+      ("a", 4.0, 4L), ("a", 5.0, 5L), ("a", 6.0, 6L))
+      .toDF("g", "v", "i")
+    val got = PerplexityBuckets.ntileByGroup(df, col("g"), col("v"), col("i"), 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got == Map(1L -> 1L, 9L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 2L,
+      5L -> 3L, 6L -> 3L))
+  }
+
+  test("ntile with fewer rows than tiles and repartition stability") {
+    val df = Seq(("a", 5.0, 1L), ("a", 4.0, 2L)).toDF("g", "v", "i")
+    val got = PerplexityBuckets.ntileByGroup(df, col("g"), col("v"), col("i"), 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got == Map(2L -> 1L, 1L -> 2L))
+    val big = (1L to 100L).map(i => ("g", (i % 7).toDouble, i)).toDF("g", "v", "i")
+    val a = PerplexityBuckets.ntileByGroup(big, col("g"), col("v"), col("i"), 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val b = PerplexityBuckets.ntileByGroup(big.repartition(7), col("g"), col("v"), col("i"), 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(a == b)
+  }
+
+  test("bucketize: thirds per language oriented tail->head by score") {
+    val docs = (1L to 9L).map { i =>
+      // three langs x three docs; doc text repetitiveness varies the
+      // KN score deterministically
+      val words = (1 to 6).map(j => s"w${(j + i) % (1 + i % 4)}").mkString(" ")
+      (i, s"l${i % 3}", words + " " + words)
+    }.toDF("doc_id", "lang", "text")
+    val out = PerplexityBuckets.bucketize(docs, col("doc_id"), col("text"), col("lang"))
+      .collect()
+    assert(out.length == 9)
+    val byLang = out.groupBy(_.getString(1))
+    byLang.foreach { case (_, rows) =>
+      assert(rows.map(_.getString(4)).sorted.toSeq == Seq("head", "middle", "tail"))
+      val score = rows.map(r => r.getString(4) -> r.getDouble(3)).toMap
+      assert(score("head") >= score("middle") && score("middle") >= score("tail"))
+    }
+  }
+
+  // ----------------------------------------------------- Retention
+
+  test("keepBest retains the max-quality member, ties to the smaller id") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val quality = Seq((1L, 5L), (2L, 9L), (3L, 9L), (10L, 4L), (11L, 7L))
+      .toDF("id", "q")
+    val got = Retention.keepBest(pairs, quality, col("id"), col("q"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, 1L, 5L, false), (2L, 1L, 9L, true), (3L, 1L, 9L, false),
+      (10L, 10L, 4L, false), (11L, 10L, 7L, true)))
+  }
+
+  test("keepBest: docs missing from the quality relation default to 0") {
+    val pairs = Seq((5L, 6L)).toDF("id_a", "id_b")
+    val quality = Seq((6L, -3L)).toDF("id", "q")
+    val got = Retention.keepBest(pairs, quality, col("id"), col("q"))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getBoolean(3))).sortBy(_._1)
+    // 5 has quality 0 > 6's -3 -> 5 wins
+    assert(got.toSeq == Seq((5L, 0L, true), (6L, -3L, false)))
+  }
+
+  test("keepBest: exactly one keeper per cluster on a planted corpus") {
+    val docs = (1L to 40L).map { i =>
+      val base = s"alpha beta gamma delta epsilon zeta eta theta iota kappa doc${i % 8}"
+      (i, if (i % 2 == 0) base else base + s" unique$i tail$i")
+    }.toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccard(docs, col("doc_id"), col("text"),
+        blockBy = md5(substring(col("text"), 1, 20)), shingleK = 3, threshold = 0.3)
+      .select(col("id_a"), col("id_b"))
+    val quality = docs.select(col("doc_id").as("id"), length(col("text")).cast("bigint").as("q"))
+    val out = Retention.keepBest(pairs, quality, col("id"), col("q"))
+    val perCluster = out.groupBy(col("cluster_id"))
+      .agg(sum(when(col("is_kept"), 1).otherwise(0)).as("nk"))
+      .collect().map(_.getLong(1))
+    assert(perCluster.nonEmpty && perCluster.forall(_ == 1L))
+  }
+
+  // ------------------------------------------- Decontaminate.spanHits
+
+  test("spanHits localizes eval spans with 1-based positions and witnesses") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "one two three four"), // shorter than k -> no spans
+      (3L, "quick brown fox jumps over and quick brown fox jumps over again"))
+      .toDF("doc_id", "text")
+    val eval = Seq(
+      (100L, "xx quick brown fox jumps over yy"),
+      (101L, "quick brown fox jumps over"))
+      .toDF("doc_id", "text")
+    val got = Decontaminate.spanHits(train, col("doc_id"), col("text"),
+        eval, col("doc_id"), col("text"), k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // doc 1: span at pos 2 ("quick brown fox jumps over"), both eval docs witness
+    // doc 3: the same span at pos 1 and pos 7
+    assert(got == Set(
+      (1L, 2L, 100L), (1L, 2L, 101L),
+      (3L, 1L, 100L), (3L, 1L, 101L), (3L, 7L, 100L), (3L, 7L, 101L)))
+  }
+
+  test("spanHits: clean corpora produce no rows, case/whitespace normalized") {
+    val train = Seq((1L, "  Quick   BROWN fox Jumps over  ")).toDF("doc_id", "text")
+    val evalHit = Seq((9L, "quick brown fox jumps over")).toDF("doc_id", "text")
+    val evalMiss = Seq((9L, "entirely different words here now")).toDF("doc_id", "text")
+    val hit = Decontaminate.spanHits(train, col("doc_id"), col("text"),
+      evalHit, col("doc_id"), col("text"), k = 5).collect()
+    val miss = Decontaminate.spanHits(train, col("doc_id"), col("text"),
+      evalMiss, col("doc_id"), col("text"), k = 5).collect()
+    assert(hit.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 1L)))
+    assert(miss.isEmpty)
+  }
+
+  // ------------------------------------------------------- ZipfFit
+
+  test("zipf fit matches hand-computed moments on a known corpus") {
+    val df = Seq(("s", "a a a a b b c")).toDF("source", "text")
+    val got = ZipfFit.fit(df, col("source"), col("text")).collect()(0)
+    // freqs: a=4 (rank 1), b=2 (rank 2), c=1 (rank 3)
+    val pts = Seq((1.0, 4.0), (2.0, 2.0), (3.0, 1.0)).map { case (r, c) =>
+      (math.floor(math.log(r) * 1e6), math.floor(math.log(c) * 1e6))
+    }
+    val n = pts.length.toDouble
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val (sxx, syy) = (pts.map(p => p._1 * p._1).sum, pts.map(p => p._2 * p._2).sum)
+    val num = n * sxy - sx * sy
+    val (dx, dy) = (n * sxx - sx * sx, n * syy - sy * sy)
+    def r4(v: Double) = BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_EVEN).toDouble
+    assert(got.getLong(1) == 3L && got.getLong(2) == 7L)
+    assert(got.getDouble(3) == r4(num / dx))
+    assert(got.getDouble(4) == r4(num / math.sqrt(dx * dy)))
+    assert(got.getDouble(3) < 0.0) // frequency falls with rank
+  }
+
+  test("zipf: ties share a competition rank; degenerate sources fit null") {
+    val df = Seq(
+      ("t", "a a b b c"), // a,b tie at rank 1; c rank 3
+      ("u", "a b c d")) // all freq 1 -> one shared rank -> no x variance
+      .toDF("source", "text")
+    val rows = ZipfFit.fit(df, col("source"), col("text"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val t = rows("t")
+    // two distinct (rank, freq) points: (1, 2) with nc=2 and (3, 1)
+    assert(t.getLong(1) == 3L && t.getLong(2) == 5L)
+    assert(!t.isNullAt(3))
+    val u = rows("u")
+    assert(u.getLong(1) == 4L && u.isNullAt(3) && u.isNullAt(4))
+  }
+
+  test("zipf fit is repartition-stable") {
+    val docs = (1L to 60L).map { i =>
+      (s"s${i % 3}", (1 to 12).map(j => s"w${(i * j) % 9}").mkString(" "))
+    }.toDF("source", "text")
+    val a = ZipfFit.fit(docs, col("source"), col("text"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    val b = ZipfFit.fit(docs.repartition(13), col("source"), col("text"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    assert(a == b)
+  }
+}
