@@ -135,6 +135,62 @@ object BpeTrain {
       .agg(count(lit(1)).as("n_words"), sum(col("ntok")).as("n_bpe_tokens"))
   }
 
+  /** Tokenizer fertility statistics per group (language, source):
+    * how EFFICIENTLY the trained vocabulary encodes each slice of the
+    * corpus — fertility (BPE tokens per whitespace word) and
+    * compression (characters per BPE token). The canonical tokenizer
+    * health check: a vocabulary trained lopsidedly makes some
+    * languages pay 2-3× the tokens per word, which silently
+    * re-weights the training mixture and burns context length.
+    *
+    * (group, n_docs, n_words, n_bpe_tokens, n_chars, fertility_milli,
+    * chars_per_token_milli): milli ratios floor-derived from exact
+    * integer sums — engine-portable. One extra doc-keyed join and a
+    * |groups| partial agg on top of [[encode]]'s shape.
+    */
+  def fertility(df: DataFrame, id: Column, text: Column,
+      group: Column, nMerges: Int): DataFrame = {
+    val enc = encode(df, id, text, nMerges)
+    val meta = df.select(id.cast("bigint").as("doc_id"), group.as("grp"),
+      length(text).cast("bigint").as("doc_chars"))
+    enc.join(meta, Seq("doc_id"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("n_words"),
+        sum(col("n_bpe_tokens")).as("n_bpe_tokens"),
+        sum(col("doc_chars")).as("n_chars"))
+      .select(col("grp").as("group"), col("n_docs"), col("n_words"),
+        col("n_bpe_tokens"), col("n_chars"),
+        when(col("n_words") > 0,
+          floor(lit(1000.0) * col("n_bpe_tokens") / col("n_words")).cast("bigint"))
+          .as("fertility_milli"),
+        when(col("n_bpe_tokens") > 0,
+          floor(lit(1000.0) * col("n_chars") / col("n_bpe_tokens")).cast("bigint"))
+          .as("chars_per_token_milli"))
+  }
+
+  /** DuckDB twin of [[fertility]] over `table(doc_id, text)` with
+    * group column `groupCol`; composes with [[encodeSql]]'s `bpenc`;
+    * final relation `bfert`.
+    */
+  def fertilitySql(table: String, groupCol: String, nMerges: Int): String =
+    s"""${encodeSql(table, nMerges)},
+       |bmeta AS (SELECT doc_id, $groupCol AS grp,
+       |            CAST(length(text) AS BIGINT) AS doc_chars
+       |          FROM $table),
+       |bfert AS (
+       |  SELECT m.grp AS "group", count(*) AS n_docs,
+       |    CAST(sum(e.n_words) AS BIGINT) AS n_words,
+       |    CAST(sum(e.n_bpe_tokens) AS BIGINT) AS n_bpe_tokens,
+       |    CAST(sum(m.doc_chars) AS BIGINT) AS n_chars,
+       |    CASE WHEN sum(e.n_words) > 0 THEN
+       |      CAST(floor(1000.0 * sum(e.n_bpe_tokens) / sum(e.n_words)) AS BIGINT)
+       |    END AS fertility_milli,
+       |    CASE WHEN sum(e.n_bpe_tokens) > 0 THEN
+       |      CAST(floor(1000.0 * sum(m.doc_chars) / sum(e.n_bpe_tokens)) AS BIGINT)
+       |    END AS chars_per_token_milli
+       |  FROM bpenc e JOIN bmeta m USING (doc_id)
+       |  GROUP BY m.grp)""".stripMargin
+
   /** DuckDB twin of [[learnMerges]] over `table(text)`, unrolled for
     * exactly `nMerges` rounds (the q_ann_ivf unrolled-CTE device).
     */

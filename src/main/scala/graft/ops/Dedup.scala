@@ -226,7 +226,21 @@ object Dedup {
       bands: Int,
       rows: Int,
       bandKeyOf: Column => Column,
-      threshold: Double): DataFrame = {
+      threshold: Double): DataFrame =
+    verifyJaccard(lshCandidatePairs(docs, sig, bands, rows, bandKeyOf), docs, threshold)
+
+  /** The banding candidate stage alone: distinct (id_a < id_b) pairs
+    * sharing at least one band bucket — BEFORE the exact-Jaccard
+    * verify. Exposed so dedup-quality evaluation (C91) can measure
+    * the banding's candidate recall/precision against a ground-truth
+    * pair set.
+    */
+  private def lshCandidatePairs(
+      docs: DataFrame,
+      sig: Column,
+      bands: Int,
+      rows: Int,
+      bandKeyOf: Column => Column): DataFrame = {
     val sigDf = docs.withColumn("sig", sig)
     val banded = sigDf.select(col("doc_id"), explode(array(
       (0 until bands).map { b =>
@@ -235,14 +249,29 @@ object Dedup {
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.band_key").as("band_key"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    val candidates = banded.alias("x")
+    banded.alias("x")
       .join(banded.alias("y"),
         col("x.band") === col("y.band") && col("x.band_key") === col("y.band_key") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
       .distinct()
+  }
 
-    verifyJaccard(candidates, docs, threshold)
+  /** OPH-MinHash banding candidates (the pre-verify pair set of
+    * [[ophMinHashLsh]]): (id_a, id_b).
+    */
+  def ophCandidates(
+      df: DataFrame,
+      id: Column,
+      text: Column,
+      shingleK: Int = 3,
+      numBins: Int = 16,
+      bands: Int = 4): DataFrame = {
+    require(numBins % bands == 0, "numBins must be divisible by bands")
+    lshCandidatePairs(shingled(df, id, text, shingleK),
+      graft.plans.OphMinHashExpr.signature(col("shingles"), numBins),
+      bands, numBins / bands,
+      slice => md5(concat_ws(",", transform(slice, _.cast("string")))))
   }
 
   /** First 60 bits of md5 as a non-negative bigint — the

@@ -169,6 +169,43 @@ object Round7cQueries {
       DupClusters.connectedComponentsStar(pairs).orderBy(col("doc_id"))
     })
 
+  /** OPH-MinHash banding candidate CTE chain (expects `sh(doc_id,
+    * shingles)` in scope): bh → ob → om → banded → `cand(id_a,
+    * id_b)` — shared by q_dedup_oph's verify and C91's metrics twin.
+    */
+  private[queries] lazy val ophCandCtes: String = ophCandCtesFor(OphBins, OphBands)
+
+  private[queries] def ophCandCtesFor(bins: Int, bands: Int): String = {
+    val p = graft.plans.OphMinHashOps.P
+    val rawBins = (0 until bins)
+      .map(i => s"list_min(list_filter(hs, h -> h % $bins = $i))")
+      .mkString("[", ",\n           ", "]")
+    val densified = (0 until bins).map { i =>
+      val rotation = (0 until bins)
+        .map(j => s"rawb[${(i + j) % bins + 1}]").mkString(", ")
+      s"coalesce($rotation, $p)"
+    }.mkString("[", ",\n           ", "]")
+    val rows = bins / bands
+    val bandSelects = (0 until bands).map { b =>
+      val elems = (1 to rows).map(j => s"sig[${b * rows + j}]").mkString(", ")
+      s"SELECT doc_id, $b AS band, md5(concat_ws(',', $elems)) AS band_key FROM om"
+    }.mkString("\n  UNION ALL ")
+    s"""bh AS (SELECT doc_id, shingles,
+       |         list_transform(shingles, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % $p) AS hs
+       |       FROM sh),
+       |ob AS (SELECT doc_id, shingles,
+       |         $rawBins AS rawb
+       |       FROM bh),
+       |om AS (SELECT doc_id, shingles,
+       |         $densified AS sig
+       |       FROM ob),
+       |banded AS (
+       |  $bandSelects),
+       |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+       |         FROM banded x JOIN banded y
+       |           ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
 
     "q_robust_outliers" ->
@@ -226,44 +263,16 @@ object Round7cQueries {
          |SELECT src_id, tgt_id, cos_micro, margin_milli
          |FROM bml ORDER BY src_id""".stripMargin,
 
-    "q_dedup_oph" -> {
-      val p = graft.plans.OphMinHashOps.P
-      val rawBins = (0 until OphBins)
-        .map(i => s"list_min(list_filter(hs, h -> h % $OphBins = $i))")
-        .mkString("[", ",\n           ", "]")
-      val densified = (0 until OphBins).map { i =>
-        val rotation = (0 until OphBins)
-          .map(j => s"rawb[${(i + j) % OphBins + 1}]").mkString(", ")
-        s"coalesce($rotation, $p)"
-      }.mkString("[", ",\n           ", "]")
-      val rows = OphBins / OphBands
-      val bandSelects = (0 until OphBands).map { b =>
-        val elems = (1 to rows).map(j => s"sig[${b * rows + j}]").mkString(", ")
-        s"SELECT doc_id, $b AS band, md5(concat_ws(',', $elems)) AS band_key FROM om"
-      }.mkString("\n  UNION ALL ")
+    "q_dedup_oph" ->
       s"""WITH ${TextQueries.allDocsCte},
          |${TextQueries.shinglesCte},
-         |bh AS (SELECT doc_id, shingles,
-         |         list_transform(shingles, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % $p) AS hs
-         |       FROM sh),
-         |ob AS (SELECT doc_id, shingles,
-         |         $rawBins AS rawb
-         |       FROM bh),
-         |om AS (SELECT doc_id, shingles,
-         |         $densified AS sig
-         |       FROM ob),
-         |banded AS (
-         |  $bandSelects),
-         |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-         |         FROM banded x JOIN banded y
-         |           ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
+         |$ophCandCtes,
          |j AS (SELECT c.id_a, c.id_b,
          |        CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
          |          / len(list_distinct(list_concat(a.shingles, b.shingles))) AS jac
          |      FROM cand c JOIN sh a ON c.id_a = a.doc_id JOIN sh b ON c.id_b = b.doc_id)
          |SELECT id_a, id_b, round(jac, 4) AS jaccard FROM j
-         |WHERE jac >= $OphThreshold ORDER BY id_a, id_b""".stripMargin
-    },
+         |WHERE jac >= $OphThreshold ORDER BY id_a, id_b""".stripMargin,
 
     "q_kn_score" ->
       s"""WITH ${NgramLm.kneserNeyScoreSql("documents", discount = 0.75)}

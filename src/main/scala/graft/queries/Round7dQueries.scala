@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Decontaminate, Dedup, PerplexityBuckets, QualityClassifier, Retention, ZipfFit}
+import graft.ops.{BpeTrain, Decontaminate, Dedup, DedupEval, DomainReweight, PerplexityBuckets, QualityClassifier, Retention, ZipfFit}
 
 /** Round-7 continuation (batch d): CCNet perplexity bucketing,
   * quality-aware cluster retention, span-level contamination
@@ -17,6 +17,38 @@ object Round7dQueries {
 
   /** Span width for contamination localization (q_dup_spans' k). */
   val ContamK = 5
+
+  /** Metrics corpus for C91: the q_dedup_* planted near-dups (jaccard
+    * ≈ 1, every banding catches them) PLUS half-prefix partial dups
+    * (jaccard ≈ 0.48 by containment — inside the truth threshold but
+    * far below the bands=2 S-curve midpoint ≈ 0.84), so candidate
+    * recall is genuinely partial instead of a trivial 1000.
+    */
+  private def docsWithMixedDups(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val near = d.filter(col("doc_id") % 20 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" graftdup")).as("text"))
+    val toks = split(trim(lower(col("text"))), "\\s+")
+    val partial = d.filter(col("doc_id") % 20 === 10)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        array_join(slice(toks, lit(1),
+          greatest(floor(size(toks) / 2).cast("int"), lit(5))), " ").as("text"))
+    d.union(near).union(partial)
+  }
+
+  private val mixedDocsCte: String =
+    """mx_docs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text || ' graftdup'
+      |  FROM documents WHERE doc_id % 20 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 2000000,
+      |    array_to_string(toks[1:greatest(len(toks) // 2, 5)], ' ')
+      |  FROM (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS toks
+      |        FROM documents)
+      |  WHERE doc_id % 20 = 10)""".stripMargin
   /** Eval split for span localization: every 20th doc plays eval. */
   val ContamEvalMod = 20L
 
@@ -63,6 +95,38 @@ object Round7dQueries {
     "q_zipf_fit" -> { (s, dir) =>
       ZipfFit.fit(t(s, dir, "documents"), col("source"), col("text"))
         .orderBy(col("source"))
+    },
+
+    // C91: dedup-quality metrics — the C85 banding's candidate
+    // recall/precision measured against the blocked exact-Jaccard
+    // ground truth (tune (bins, bands) on measured data, not the
+    // textbook S-curve).
+    // bands=2 (rows=8) against truth threshold 0.4: the S-curve
+    // crosses ~0.84, so the half-prefix true pairs (jaccard ≈ 0.48)
+    // genuinely MISS — recall is partial, not a trivial 1000
+    "q_lsh_recall" -> { (s, dir) =>
+      DedupEval.ophCandidateMetrics(docsWithMixedDups(s, dir),
+        col("doc_id"), col("text"),
+        blockBy = TextQueries.prefixBlock(col("text")),
+        shingleK = 3, numBins = 16, bands = 2, threshold = 0.4)
+    },
+
+    // C92: DoReMi-style domain reweighting — one exponentiated-
+    // gradient step over per-source cross-entropy, ppm weights from
+    // exact integer numerators.
+    "q_domain_reweight" -> { (s, dir) =>
+      DomainReweight.step(t(s, dir, "documents"),
+          col("source"), col("text"), etaMilli = 200L)
+        .orderBy(col("source"))
+    },
+
+    // C93: tokenizer fertility per language under the C75-trained
+    // BPE vocabulary — tokens per word and chars per token from
+    // exact integer sums.
+    "q_bpe_fertility" -> { (s, dir) =>
+      BpeTrain.fertility(t(s, dir, "documents"),
+          col("doc_id"), col("text"), col("lang"), nMerges = 6)
+        .orderBy(col("group"))
     })
 
   val oracles: Map[String, String] = Map(
@@ -104,5 +168,32 @@ object Round7dQueries {
     "q_zipf_fit" ->
       s"""WITH ${ZipfFit.fitSql("documents")}
          |SELECT source, n_terms, n_tokens, slope, corr
-         |FROM zipf ORDER BY source""".stripMargin)
+         |FROM zipf ORDER BY source""".stripMargin,
+
+    "q_lsh_recall" ->
+      s"""WITH $mixedDocsCte,
+         |all_docs AS (SELECT * FROM mx_docs),
+         |${TextQueries.shinglesCte},
+         |${Round7cQueries.ophCandCtesFor(16, 2)},
+         |blk AS (SELECT doc_id, ${TextQueries.prefixBlockSql("text")} AS block FROM all_docs),
+         |prs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |        FROM blk ba JOIN blk bb ON bb.block = ba.block AND ba.doc_id < bb.doc_id
+         |        JOIN sh a ON a.doc_id = ba.doc_id
+         |        JOIN sh b ON b.doc_id = bb.doc_id
+         |        WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+         |              / len(list_distinct(list_concat(a.shingles, b.shingles))) >= 0.4),
+         |${DedupEval.metricsSql}
+         |SELECT n_true, n_cand, n_cand_true, recall_milli, precision_milli
+         |FROM deval""".stripMargin,
+
+    "q_domain_reweight" ->
+      s"""WITH ${DomainReweight.stepSql("documents", etaMilli = 200L)}
+         |SELECT source, n_tokens, ce_micro, boost_micro, weight_ppm
+         |FROM drw ORDER BY source""".stripMargin,
+
+    "q_bpe_fertility" ->
+      s"""WITH ${BpeTrain.fertilitySql("documents", "lang", nMerges = 6)}
+         |SELECT "group", n_docs, n_words, n_bpe_tokens, n_chars,
+         |  fertility_milli, chars_per_token_milli
+         |FROM bfert ORDER BY "group"""".stripMargin)
 }

@@ -187,6 +187,94 @@ class Round7eOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(u.getLong(1) == 4L && u.isNullAt(3) && u.isNullAt(4))
   }
 
+  // ----------------------------------------------------- DedupEval
+
+  test("lsh metrics equal the composed truth/candidate counts") {
+    val docs = (1L to 30L).map { i =>
+      val base = (1 to 12).map(j => s"tok${(j * i) % 5}").mkString(" ")
+      val text = if (i % 3 == 0) docsFor(i - 1, 12) else base
+      (i, text)
+    }.toDF("doc_id", "text")
+    val block = md5(substring(col("text"), 1, 10))
+    val got = DedupEval.ophCandidateMetrics(docs, col("doc_id"), col("text"),
+      block, shingleK = 3, numBins = 16, bands = 2, threshold = 0.4).collect()(0)
+    val truth = Dedup.ngramJaccard(docs, col("doc_id"), col("text"), block, 3, 0.4)
+      .select(col("id_a"), col("id_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cand = Dedup.ophCandidates(docs, col("doc_id"), col("text"), 3, 16, 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.getLong(0) == truth.size && got.getLong(1) == cand.size)
+    assert(got.getLong(2) == (truth & cand).size)
+    assert(got.getLong(3) == math.floor(1000.0 * (truth & cand).size / truth.size).toLong)
+  }
+
+  private def docsFor(i: Long, n: Int): String =
+    (1 to n).map(j => s"tok${(j * i) % 5}").mkString(" ")
+
+  test("lsh metrics: empty truth and candidate sets yield null ratios") {
+    val docs = Seq((1L, "completely unique alpha beta gamma delta"),
+      (2L, "nothing shared here at all zz yy xx ww")).toDF("doc_id", "text")
+    val got = DedupEval.ophCandidateMetrics(docs, col("doc_id"), col("text"),
+      md5(col("text")), 3, 16, 4, 0.5).collect()(0)
+    assert(got.getLong(0) == 0L && got.getLong(1) == 0L)
+    assert(got.isNullAt(3) && got.isNullAt(4))
+  }
+
+  // ------------------------------------------------ DomainReweight
+
+  test("doremi step: equal distributions boost 1e6, weights track token share") {
+    val df = Seq(
+      ("a", "x y z x y z"), ("a", "x y z"),
+      ("b", "x y z x y z x y z")).toDF("source", "text")
+    val rows = DomainReweight.step(df, col("source"), col("text"), 200L)
+      .collect().map(r => r.getString(0) -> r).toMap
+    // identical unigram distributions -> equal ce -> excess 0 -> boost 1e6
+    assert(rows("a").getLong(3) == 1000000L && rows("b").getLong(3) == 1000000L)
+    // weights reduce to token shares: 9/18 each -> 500000 ppm
+    assert(rows("a").getLong(4) == 500000L && rows("b").getLong(4) == 500000L)
+  }
+
+  test("doremi step: the worse-predicted source gets the bigger boost") {
+    val df = Seq(
+      ("common", "x x x x x x x x y y"),
+      ("rare", "q r s t u v w q r s")).toDF("source", "text")
+    val rows = DomainReweight.step(df, col("source"), col("text"), 200L)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(rows("rare").getLong(2) > rows("common").getLong(2)) // higher ce
+    assert(rows("rare").getLong(3) > rows("common").getLong(3)) // bigger boost
+    assert(rows("common").getLong(3) == 1000000L) // the min source
+    val totalPpm = rows.values.map(_.getLong(4)).sum
+    assert(totalPpm <= 1000000L && totalPpm > 999000L) // floor rounding only
+  }
+
+  test("doremi step: a single source takes the whole mixture") {
+    val df = Seq(("only", "a b c a b c")).toDF("source", "text")
+    val r = DomainReweight.step(df, col("source"), col("text"), 100L).collect()(0)
+    assert(r.getLong(3) == 1000000L && r.getLong(4) == 1000000L)
+  }
+
+  // ------------------------------------------------ BpeTrain.fertility
+
+  test("fertility aggregates encode's counts exactly, hand-checked ratios") {
+    val df = Seq(
+      (1L, "en", "ab ab cd"),
+      (2L, "en", "ab cd"),
+      (3L, "de", "ab ab ab")).toDF("doc_id", "lang", "text")
+    val enc = BpeTrain.encode(df, col("doc_id"), col("text"), 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val got = BpeTrain.fertility(df, col("doc_id"), col("text"), col("lang"), 1)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val en = got("en")
+    val enWords = enc(1L)._1 + enc(2L)._1
+    val enToks = enc(1L)._2 + enc(2L)._2
+    assert(en.getLong(1) == 2L && en.getLong(2) == enWords && en.getLong(3) == enToks)
+    assert(en.getLong(4) == 8L + 5L) // chars of "ab ab cd" + "ab cd"
+    assert(en.getLong(5) == math.floor(1000.0 * enToks / enWords).toLong)
+    assert(en.getLong(6) == math.floor(1000.0 * 13 / enToks).toLong)
+    // "ab" is the only mergeable pair corpus-wide -> 1 token; "cd" unmerged -> 2
+    assert(got("de").getLong(3) == 3L)
+  }
+
   test("zipf fit is repartition-stable") {
     val docs = (1L to 60L).map { i =>
       (s"s${i % 3}", (1 to 12).map(j => s"w${(i * j) % 9}").mkString(" "))
