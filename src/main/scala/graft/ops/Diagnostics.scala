@@ -72,16 +72,18 @@ object Diagnostics {
       sum(col("n")).as("n_rows"),
       max(col("n")).as("max_n"))
 
-    def pct(q: Double, name: String): DataFrame =
-      cum.crossJoin(broadcast(totals.select(col("n_keys").as("__nk"))))
-        .filter(col("cum_keys") >= ceil(col("__nk") * lit(q)))
-        .agg(min(col("size")).cast("bigint").as(name))
+    // all three nearest-rank percentiles in ONE pass over the
+    // cumulative histogram (three separate filter+agg subtrees would
+    // re-evaluate the histogram window per percentile)
+    def pctCol(q: Double, name: String): Column =
+      min(when(col("cum_keys") >= ceil(col("__nk") * lit(q)), col("size")))
+        .cast("bigint").as(name)
+    val pcts = cum.crossJoin(broadcast(totals.select(col("n_keys").as("__nk"))))
+      .agg(pctCol(0.5, "p50_n"), pctCol(0.9, "p90_n"), pctCol(0.99, "p99_n"))
 
     val topShare = heavy.agg(sum(col("n")).as("top_rows"))
     val stats = totals
-      .crossJoin(pct(0.5, "p50_n"))
-      .crossJoin(pct(0.9, "p90_n"))
-      .crossJoin(pct(0.99, "p99_n"))
+      .crossJoin(broadcast(pcts))
       .crossJoin(topShare)
       .withColumn("top_share_milli",
         ((col("top_rows") * lit(1000L) - pmod(col("top_rows") * lit(1000L), col("n_rows")))

@@ -112,7 +112,12 @@ object NgramLm {
         element_at(col("toks"), col("pos") + 2).as("w2"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
+    // bi feeds FOUR consumers (ctx, cont, types, the contrib join);
+    // persisted, the |bigram types| relation materializes once —
+    // unpersisted, every consumer re-evaluates the tokenize+explode
+    // subtree
     val bi = stream.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // per context w1: total bigram mass + distinct continuations
     val ctx = bi.groupBy(col("w1"))
       .agg(sum(col("c2")).as("ctxw1"), count(lit(1)).as("n1fw"))
@@ -140,7 +145,11 @@ object NgramLm {
         when(col("n_bigrams").isNotNull,
           round(col("sum_micro").cast("double") / (col("n_bigrams") * 1e6), 4))
           .otherwise(lit(0.0)).as("avg_logprob"))
-    stream.unpersist()
+    // NOTE: no eager unpersist here — nothing has evaluated yet, so
+    // an unpersist at this point would silently discard the persist
+    // marks before the first action and every consumer would
+    // re-tokenize (measured: the whole stream subtree ran 5× per
+    // query). The blocks age out LRU under MEMORY_AND_DISK.
     out
   }
 

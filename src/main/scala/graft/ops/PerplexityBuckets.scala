@@ -76,8 +76,11 @@ object PerplexityBuckets {
   def bucketize(df: DataFrame, id: Column, text: Column, lang: Column,
       discount: Double = 0.75): DataFrame = {
     val scored = NgramLm.kneserNeyScore(df, id, text, discount)
+    // consumed twice (the tile derivation and the final join) —
+    // persisted so the whole KN scoring pipeline runs once
     val withLang = scored.join(
-      df.select(id.cast("bigint").as("doc_id"), lang.as("lang")), Seq("doc_id"))
+        df.select(id.cast("bigint").as("doc_id"), lang.as("lang")), Seq("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tiles = ntileByGroup(withLang, col("lang"), col("avg_logprob"),
       col("doc_id"), k = 3)
     withLang.join(

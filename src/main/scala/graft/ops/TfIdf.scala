@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Sparse idf-weighted all-pairs document similarity (C74): cosine
   * over the idf-weighted shingle-incidence vectors, computed by an
@@ -49,10 +50,15 @@ object TfIdf {
     require(maxDf >= 2, s"maxDf must admit at least one pair, got $maxDf")
 
     // distinct (doc, shingle-hash) postings; one pass over the text
+    // persisted: the df count, the weighted join, the norm agg and
+    // the pair join all read this stream — unpersisted, the
+    // tokenize+shingle+md5 subtree re-evaluates per consumer
+    // (measured 1.9 s → 1.0 s at sf0.1)
     val postings = docs
       .select(id.as("doc_id"),
         explode(TextAnalysis.wordShingles(text, shingleK)).as("sh"))
       .select(col("doc_id"), Dedup.md5Hash60(col("sh")).as("h"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val n = docs.agg(count(lit(1)).as("n_docs"))
 
     // integer milli-idf per surviving shingle: exact-integer ratio
