@@ -37,8 +37,12 @@ object Calibration {
     * @return (id, group, score, pct)
     */
   def rankNormalize(df: DataFrame, id: Column, group: Column, score: Column): DataFrame = {
+    // persisted: the min/max scalar, the per-range counts and the
+    // final ranked read all re-evaluate the upstream scoring kernels
+    // otherwise; three fixed-width columns cached
     val rows = df.select(id.cast("bigint").as("doc_id"), group.as("grp"),
       score.cast("bigint").as("score"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val mm = rows.agg(min(col("score")).as("lo"), max(col("score")).as("hi"))
     val ranged = rows.crossJoin(broadcast(mm))
       .withColumn("halfstep", expr(s"(hi DIV 2 - lo DIV 2) DIV $ScoreRanges + 1"))

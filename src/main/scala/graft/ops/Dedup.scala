@@ -278,6 +278,10 @@ object Dedup {
     * engine-portable base hash (DuckDB: ('0x'||substr(md5(x),1,15))::BIGINT).
     */
   def md5Hash60(c: Column): Column =
+    graft.plans.Md5Hash60Expr.hash60(c)
+
+  /** The composed form the kernel replaces — the parity baseline. */
+  def md5Hash60Composed(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("bigint")
 
   /** Exact word-k-gram Jaccard over candidate pairs (the verify stage

@@ -45,8 +45,13 @@ object Selection {
   def tokenBudget(df: DataFrame, id: Column, score: Column, tokens: Column,
       budget: Long): DataFrame = {
     require(budget >= 0)
+    // persisted: the min/max scalar, the range-offset agg and the
+    // final prefix all read these rows — unpersisted, the upstream
+    // scoring kernels re-evaluate three times; the cached relation is
+    // three fixed-width columns
     val rows = df.select(id.cast("bigint").as("doc_id"),
       score.cast("bigint").as("score"), tokens.cast("bigint").as("n_tokens"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val mm = rows.agg(min(col("score")).as("lo"), max(col("score")).as("hi"))
     // descending: the BEST scores get the LOWEST coarse key, so the
     // range prefix order equals the selection order

@@ -187,6 +187,22 @@ class Round7eOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(u.getLong(1) == 4L && u.isNullAt(3) && u.isNullAt(4))
   }
 
+  // --------------------------------------------------- Md5Hash60Expr
+
+  test("md5 hash60 kernel matches the composed conv/substring form") {
+    val df = (1L to 500L).map(i => s"payload $i é中 stuff" * (1 + (i % 4).toInt))
+      .toDF("s")
+      .union(Seq("", " ", "exact").toDF("s"))
+    val mismatches = df.select(
+        Dedup.md5Hash60(col("s")).as("k"),
+        Dedup.md5Hash60Composed(col("s")).as("c"))
+      .filter(col("k") =!= col("c")).count()
+    assert(mismatches == 0L)
+    val r = Seq(Option.empty[String]).toDF("s")
+      .select(Dedup.md5Hash60(col("s"))).collect()(0)
+    assert(r.isNullAt(0))
+  }
+
   // ----------------------------------------------------- DedupEval
 
   test("lsh metrics equal the composed truth/candidate counts") {
