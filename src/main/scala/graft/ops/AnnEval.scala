@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+
+/** ANN quality evaluation — recall@k of the IVF index against exact
+  * brute force, the number every vector-search deployment reports:
+  * nProbe trades latency against recall, and the right setting comes
+  * from MEASURING recall on your own corpus and query load, not from
+  * the index's theoretical pruning bound (a skewed cell layout —
+  * C95's diagnostic — silently tanks recall at fixed nProbe).
+  *
+  * Scale shape: the exact side is one corpus pass through the
+  * broadcast query (the C6 brute-force baseline); the IVF side is
+  * the C7b probed search; both collapse to top-k row sets whose
+  * intersection is a trivial join. At 100 TB this runs on a sampled
+  * query set — the metric, not the serving path.
+  */
+object AnnEval {
+
+  /** One row: (top_k, n_approx, n_hit, recall_milli) — the IVF
+    * probed top-k measured against the exact brute-force top-k under
+    * the identical (cosine DESC, vec_id) total order. `n_approx` can
+    * fall short of top_k when the probed cells hold fewer vectors.
+    */
+  def ivfRecallAtK(
+      corpus: DataFrame,
+      id: Column,
+      vec: Column,
+      query: DataFrame, // one row, column "qv"
+      k: Int,
+      iters: Int,
+      nProbe: Int,
+      topK: Int,
+      scale: Long = 1000L): DataFrame = {
+    val approx = IvfIndex
+      .integerIvfTopK(corpus, id, vec, query, k, iters, nProbe, topK, scale)
+      .select(col("vec_id"))
+    val truth = corpus
+      .select(id.cast("bigint").as("vec_id"), vec.as("v"))
+      .crossJoin(broadcast(query.select(col("qv"))))
+      .select(col("vec_id"),
+        VectorFunctions.cosineSimilarity(col("v"), col("qv")).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(topK)
+      .select(col("vec_id"))
+    val nApprox = approx.agg(count(lit(1)).as("n_approx"))
+    val nHit = approx.join(truth, Seq("vec_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hit"))
+    nApprox.crossJoin(broadcast(nHit))
+      .select(lit(topK.toLong).as("top_k"), col("n_approx"), col("n_hit"),
+        floor(lit(1000.0) * col("n_hit") / topK).cast("bigint").as("recall_milli"))
+  }
+
+  /** DuckDB twin fragment: composes on [[IvfIndex.integerIvfCtes]]'
+    * `ivq` / `ivq0` / `ivtop`; final relation `anrec`.
+    */
+  def ivfRecallSql(topK: Int): String =
+    s"""antruth AS (SELECT vid FROM (
+       |  SELECT q.vid, list_cosine_similarity(q.v, q0.v) AS cs
+       |  FROM ivq q CROSS JOIN ivq0 q0
+       |  ORDER BY cs DESC, vid LIMIT $topK)),
+       |anhit AS (SELECT t.vec_id FROM ivtop t
+       |          WHERE EXISTS (SELECT 1 FROM antruth a WHERE a.vid = t.vec_id)),
+       |anrec AS (SELECT CAST($topK AS BIGINT) AS top_k,
+       |            (SELECT count(*) FROM ivtop) AS n_approx,
+       |            (SELECT count(*) FROM anhit) AS n_hit,
+       |            CAST(floor(1000.0 * (SELECT count(*) FROM anhit) / $topK) AS BIGINT)
+       |              AS recall_milli)""".stripMargin
+}

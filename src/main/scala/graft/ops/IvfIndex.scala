@@ -266,6 +266,57 @@ object IvfIndex {
     * score candidates only. `query` is one row with column `qv` (the
     * raw float vector — scoring is the same double cosine as C6).
     */
+  /** IVF layout health diagnostics — cell-occupancy balance for the
+    * fitted coarse quantizer: a skewed layout (hot cells holding most
+    * of the corpus) destroys the nProbe pruning guarantee, so the
+    * balance factor is what you check BEFORE trusting IVF latency at
+    * scale. One row per cell (including empty ones):
+    * (cell, n_vectors, share_milli, imbalance_milli) where
+    * imbalance = max-cell share / mean share (k·max/total) — 1000
+    * means perfectly balanced, k·1000 means everything in one cell.
+    *
+    * Scale shape: the assignment is the fused zero-shuffle argmax
+    * narrow map; ONE |cells|-sized partial agg; scalars broadcast.
+    */
+  def cellStats(
+      corpus: DataFrame,
+      id: Column,
+      vec: Column,
+      k: Int,
+      iters: Int,
+      scale: Long = 1000L): DataFrame = {
+    val cents = fitIntegerPortable(corpus, id, vec, k, iters, scale)
+    val counts = corpus
+      .select(cellOfInt(quantized(vec, scale), cents).as("cell"))
+      .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+    val cells = corpus.sparkSession.range(0, k.toLong)
+      .select(col("id").cast("int").as("cell"))
+      .join(counts, Seq("cell"), "left")
+      .select(col("cell"), coalesce(col("n"), lit(0L)).as("n_vectors"))
+    val tot = cells.agg(sum(col("n_vectors")).as("__total"),
+      max(col("n_vectors")).as("__max"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("cell"), col("n_vectors"),
+        floor(lit(1000.0) * col("n_vectors") / col("__total")).cast("bigint")
+          .as("share_milli"),
+        floor(lit(1000.0) * col("__max") * k / col("__total")).cast("bigint")
+          .as("imbalance_milli"))
+  }
+
+  /** DuckDB twin of [[cellStats]]: composes on [[integerIvfCtes]]'
+    * `ivf(vid, v, cell)` assignments; final relation `ivbal`.
+    */
+  def cellStatsSql(k: Int): String =
+    s"""ivcellc AS (SELECT cell, count(*) AS n FROM ivf GROUP BY cell),
+       |ivallc AS (SELECT CAST(u.i AS INT) AS cell FROM unnest(range(0, $k)) AS u(i)),
+       |ivocc AS (SELECT a.cell, CAST(coalesce(c.n, 0) AS BIGINT) AS n_vectors
+       |          FROM ivallc a LEFT JOIN ivcellc c USING (cell)),
+       |ivtot AS (SELECT sum(n_vectors) AS total, max(n_vectors) AS maxn FROM ivocc),
+       |ivbal AS (SELECT cell, n_vectors,
+       |            CAST(floor(1000.0 * n_vectors / t.total) AS BIGINT) AS share_milli,
+       |            CAST(floor(1000.0 * t.maxn * $k / t.total) AS BIGINT) AS imbalance_milli
+       |          FROM ivocc CROSS JOIN ivtot t)""".stripMargin
+
   def integerIvfTopK(
       corpus: DataFrame,
       id: Column,
@@ -312,13 +363,29 @@ object IvfIndex {
       nProbe: Int,
       topK: Int,
       dim: Int = 64,
+      scale: Long = 1000L): String =
+    s"""WITH ${integerIvfCtes(k, iters, nProbe, topK, dim, scale)}
+       |SELECT vec_id, round(cos_sim, 4) AS cos_sim FROM ivtop
+       |ORDER BY cos_sim DESC, vec_id""".stripMargin
+
+  /** The CTE chain of [[integerIvfSql]] without the WITH prefix or
+    * final select — exposed so ANN-quality twins (C94/C95) can
+    * compose on `ivf(vid, v, cell)` (the final assignments), `ivq0`
+    * (the query) and `ivtop` (the probed top-k).
+    */
+  def integerIvfCtes(
+      k: Int,
+      iters: Int,
+      nProbe: Int,
+      topK: Int,
+      dim: Int = 64,
       scale: Long = 1000L): String = {
     def qz(v: String) = s"list_transform($v, x -> CAST(floor(x * $scale) AS BIGINT))"
     def dist(a: String, b: String) =
       s"list_aggregate(list_transform(range(1, ${dim + 1}), i -> ($a[i]-$b[i])*($a[i]-$b[i])), 'sum')"
     val sb = new StringBuilder
     sb.append(
-      s"""WITH ivq AS (SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS v,
+      s"""ivq AS (SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS v,
          |    ${qz("CAST(embedding AS DOUBLE[])")} AS qv
          |  FROM embeddings WHERE vec_id <> 0),
          |ivq0 AS (SELECT CAST(embedding AS DOUBLE[]) AS v,
@@ -355,9 +422,7 @@ object IvfIndex {
          |  WHERE rk <= $nProbe),
          |ivtop AS (SELECT f.vid AS vec_id, list_cosine_similarity(f.v, q.v) AS cos_sim
          |  FROM ivf f JOIN ivqc USING (cell) CROSS JOIN ivq0 q
-         |  ORDER BY cos_sim DESC, vec_id LIMIT $topK)
-         |SELECT vec_id, round(cos_sim, 4) AS cos_sim FROM ivtop
-         |ORDER BY cos_sim DESC, vec_id""".stripMargin)
+         |  ORDER BY cos_sim DESC, vec_id LIMIT $topK)""".stripMargin)
     sb.toString
   }
 

@@ -127,6 +127,26 @@ object Round7dQueries {
       BpeTrain.fertility(t(s, dir, "documents"),
           col("doc_id"), col("text"), col("lang"), nMerges = 6)
         .orderBy(col("group"))
+    },
+
+    // C94: ANN recall@k — the C7b IVF probed top-50 measured against
+    // exact brute force under the identical total order; q_ann_ivf's
+    // index parameters.
+    "q_ann_recall" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val corpus = e.filter(col("vec_id") =!= 0)
+      val query = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      graft.ops.AnnEval.ivfRecallAtK(corpus, col("vec_id"), col("embedding"),
+        query, k = 8, iters = 3, nProbe = 4, topK = 50)
+    },
+
+    // C95: IVF cell-balance diagnostics — per-cell occupancy and the
+    // max/mean imbalance factor for the fitted coarse quantizer.
+    "q_ivf_balance" -> { (s, dir) =>
+      val corpus = t(s, dir, "embeddings").filter(col("vec_id") =!= 0)
+      graft.ops.IvfIndex.cellStats(corpus, col("vec_id"), col("embedding"),
+          k = 8, iters = 3)
+        .orderBy(col("cell"))
     })
 
   val oracles: Map[String, String] = Map(
@@ -195,5 +215,16 @@ object Round7dQueries {
       s"""WITH ${BpeTrain.fertilitySql("documents", "lang", nMerges = 6)}
          |SELECT "group", n_docs, n_words, n_bpe_tokens, n_chars,
          |  fertility_milli, chars_per_token_milli
-         |FROM bfert ORDER BY "group"""".stripMargin)
+         |FROM bfert ORDER BY "group"""".stripMargin,
+
+    "q_ann_recall" ->
+      s"""WITH ${graft.ops.IvfIndex.integerIvfCtes(k = 8, iters = 3, nProbe = 4, topK = 50)},
+         |${graft.ops.AnnEval.ivfRecallSql(topK = 50)}
+         |SELECT top_k, n_approx, n_hit, recall_milli FROM anrec""".stripMargin,
+
+    "q_ivf_balance" ->
+      s"""WITH ${graft.ops.IvfIndex.integerIvfCtes(k = 8, iters = 3, nProbe = 4, topK = 50)},
+         |${graft.ops.IvfIndex.cellStatsSql(k = 8)}
+         |SELECT cell, n_vectors, share_milli, imbalance_milli
+         |FROM ivbal ORDER BY cell""".stripMargin)
 }

@@ -291,6 +291,49 @@ class Round7eOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got("de").getLong(3) == 3L)
   }
 
+  // ---------------------------------------------- AnnEval / cellStats
+
+  private def vecCorpus(n: Int, dim: Int = 8) =
+    (1L to n.toLong).map { i =>
+      (i, (1 to dim).map(j => (((i * j) % 7) - 3).toDouble).toArray)
+    }.toDF("vec_id", "embedding")
+
+  test("ivf recall@k: probing every cell recovers brute force exactly") {
+    val corpus = vecCorpus(60)
+    val query = vecCorpus(61).filter(col("vec_id") === 61L)
+      .select(col("embedding").as("qv"))
+    val full = AnnEval.ivfRecallAtK(corpus, col("vec_id"), col("embedding"),
+      query, k = 4, iters = 2, nProbe = 4, topK = 10).collect()(0)
+    assert(full.getLong(1) == 10L && full.getLong(2) == 10L && full.getLong(3) == 1000L)
+    val pruned = AnnEval.ivfRecallAtK(corpus, col("vec_id"), col("embedding"),
+      query, k = 4, iters = 2, nProbe = 1, topK = 10).collect()(0)
+    assert(pruned.getLong(1) <= 10L && pruned.getLong(2) <= pruned.getLong(1))
+    assert(pruned.getLong(3) == math.floor(100.0 * pruned.getLong(2)).toLong)
+  }
+
+  test("ivf cell stats: occupancy sums to the corpus, imbalance exact") {
+    val corpus = vecCorpus(80)
+    val stats = IvfIndex.cellStats(corpus, col("vec_id"), col("embedding"),
+      k = 4, iters = 2).collect()
+    assert(stats.length == 4)
+    val ns = stats.map(_.getLong(1))
+    assert(ns.sum == 80L)
+    val imb = math.floor(1000.0 * ns.max * 4 / 80).toLong
+    assert(stats.forall(_.getLong(3) == imb))
+    stats.foreach { r =>
+      assert(r.getLong(2) == math.floor(1000.0 * r.getLong(1) / 80).toLong)
+    }
+  }
+
+  test("ivf cell stats: a degenerate corpus collapses into one cell") {
+    val corpus = (1L to 12L).map(i => (i, Array.fill(8)(1.0))).toDF("vec_id", "embedding")
+    val stats = IvfIndex.cellStats(corpus, col("vec_id"), col("embedding"),
+      k = 4, iters = 2).collect()
+    val ns = stats.map(_.getLong(1)).sorted
+    assert(ns.sum == 12L && ns.last == 12L && ns.init.forall(_ == 0L))
+    assert(stats.forall(_.getLong(3) == 4000L))
+  }
+
   test("zipf fit is repartition-stable") {
     val docs = (1L to 60L).map { i =>
       (s"s${i % 3}", (1 to 12).map(j => s"w${(i * j) % 9}").mkString(" "))
