@@ -54,6 +54,67 @@ object AnnEval {
         floor(lit(1000.0) * col("n_hit") / topK).cast("bigint").as("recall_milli"))
   }
 
+  /** PQ recall@k — the quantization-loss twin of [[ivfRecallAtK]]:
+    * the ADC top-k (ranked by sub-codebook quantized L2, C78's
+    * serving path) measured against the EXACT top-k under the same
+    * metric in the same quantized domain (integer L2 on the
+    * floor(x·scale) vectors, no codebook). Holding the metric and
+    * domain fixed isolates what PQ actually loses — the sub-codebook
+    * approximation — which is the number that decides m and k before
+    * shipping an index.
+    */
+  def pqRecallAtK(
+      corpus: DataFrame,
+      id: Column,
+      vec: Column,
+      query: DataFrame, // one row, column "qv"
+      dim: Int,
+      m: Int,
+      k: Int,
+      iters: Int,
+      topK: Int): DataFrame = {
+    val cb = PqIndex.fitCodebooks(corpus, id, vec, dim, m, k, iters)
+    val codes = PqIndex.encode(corpus, id, vec, cb)
+    val qv = query.select(col("qv").cast("array<double>")).head().getSeq[Double](0).toArray
+    val approx = PqIndex.adcTopK(codes, qv, cb, topK).select(col("vec_id"))
+    val truth = corpus
+      .select(id.cast("bigint").as("vec_id"),
+        IvfIndex.quantized(vec, cb.scale).as("v"))
+      .crossJoin(broadcast(
+        query.select(IvfIndex.quantized(col("qv"), cb.scale).as("qq"))))
+      .select(col("vec_id"),
+        graft.plans.SqDistLongExpr.sqDist(col("v"), col("qq")).as("d2"))
+      .orderBy(col("d2"), col("vec_id"))
+      .limit(topK)
+      .select(col("vec_id"))
+    val nApprox = approx.agg(count(lit(1)).as("n_approx"))
+    val nHit = approx.join(truth, Seq("vec_id"), "left_semi")
+      .agg(count(lit(1)).as("n_hit"))
+    nApprox.crossJoin(broadcast(nHit))
+      .select(lit(topK.toLong).as("top_k"), col("n_approx"), col("n_hit"),
+        floor(lit(1000.0) * col("n_hit") / topK).cast("bigint").as("recall_milli"))
+  }
+
+  /** DuckDB twin fragment for [[pqRecallAtK]]: composes on
+    * [[PqIndex.pqCtes]]' `pqtop`; final relation `pqrec`. The truth
+    * side reads `embeddings` directly (corpus = vec_id <> 0, query =
+    * vec_id 0 — the q_pq_topk fixture).
+    */
+  def pqRecallSql(topK: Int, dim: Int): String =
+    s"""pqtruth AS (SELECT vid FROM (
+       |  SELECT p.vid,
+       |    list_aggregate(list_transform(range(1, ${dim + 1}),
+       |      i -> (p.qv[i] - q.qv[i]) * (p.qv[i] - q.qv[i])), 'sum') AS d2
+       |  FROM pq p CROSS JOIN pq0 q
+       |  ORDER BY d2, vid LIMIT $topK)),
+       |pqhit AS (SELECT t.vec_id FROM pqtop t
+       |          WHERE EXISTS (SELECT 1 FROM pqtruth a WHERE a.vid = t.vec_id)),
+       |pqrec AS (SELECT CAST($topK AS BIGINT) AS top_k,
+       |            (SELECT count(*) FROM pqtop) AS n_approx,
+       |            (SELECT count(*) FROM pqhit) AS n_hit,
+       |            CAST(floor(1000.0 * (SELECT count(*) FROM pqhit) / $topK) AS BIGINT)
+       |              AS recall_milli)""".stripMargin
+
   /** DuckDB twin fragment: composes on [[IvfIndex.integerIvfCtes]]'
     * `ivq` / `ivq0` / `ivtop`; final relation `anrec`.
     */

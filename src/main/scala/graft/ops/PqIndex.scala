@@ -198,13 +198,22 @@ object PqIndex {
     * against the per-sub LUT, summed per doc.
     */
   def pqSql(dim: Int, m: Int, k: Int, iters: Int, topK: Int,
+      scale: Long = 1000L): String =
+    s"""WITH ${pqCtes(dim, m, k, iters, topK, scale)}
+       |SELECT vec_id, adc_dist FROM pqtop
+       |ORDER BY adc_dist, vec_id""".stripMargin
+
+  /** The CTE chain of [[pqSql]] without the WITH prefix or final
+    * select — exposed so ANN-quality twins (C96) can compose on
+    * `pqtop(vec_id, adc_dist)` (the ADC top-k). */
+  def pqCtes(dim: Int, m: Int, k: Int, iters: Int, topK: Int,
       scale: Long = 1000L): String = {
     val subDim = dim / m
     def dist(a: String, b: String) =
       s"list_aggregate(list_transform(range(1, ${subDim + 1}), i -> ($a[i]-$b[i])*($a[i]-$b[i])), 'sum')"
     val sb = new StringBuilder
     sb.append(
-      s"""WITH pq AS (SELECT vec_id AS vid,
+      s"""pq AS (SELECT vec_id AS vid,
          |    list_transform(CAST(embedding AS DOUBLE[]), x -> CAST(floor(x * $scale) AS BIGINT)) AS qv
          |  FROM embeddings WHERE vec_id <> 0),
          |pq0 AS (SELECT
@@ -246,9 +255,9 @@ object PqIndex {
     val unioned = (0 until m).map(s => s"SELECT vid, d FROM sub$s").mkString(" UNION ALL ")
     sb.append(
       s"""tot AS (SELECT vid AS vec_id, CAST(SUM(d) AS BIGINT) AS adc_dist
-         |  FROM ($unioned) GROUP BY vid)
-         |SELECT vec_id, adc_dist FROM tot
-         |ORDER BY adc_dist, vec_id LIMIT $topK""".stripMargin)
+         |  FROM ($unioned) GROUP BY vid),
+         |pqtop AS (SELECT vec_id, adc_dist FROM tot
+         |  ORDER BY adc_dist, vec_id LIMIT $topK)""".stripMargin)
     sb.toString
   }
 }

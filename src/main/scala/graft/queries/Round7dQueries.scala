@@ -8,7 +8,9 @@ import graft.ops.{BpeTrain, Decontaminate, Dedup, DedupEval, DomainReweight, Per
 
 /** Round-7 continuation (batch d): CCNet perplexity bucketing,
   * quality-aware cluster retention, span-level contamination
-  * localization, Zipf rank-frequency diagnostics.
+  * localization, Zipf rank-frequency diagnostics, LSH candidate
+  * recall metrics, DoReMi reweighting, tokenizer fertility, and the
+  * ANN quality suite (IVF recall@k, cell balance, PQ recall@k).
   */
 object Round7dQueries {
 
@@ -51,6 +53,10 @@ object Round7dQueries {
       |  WHERE doc_id % 20 = 10)""".stripMargin
   /** Eval split for span localization: every 20th doc plays eval. */
   val ContamEvalMod = 20L
+  /** C96: centroids per subspace for the recall fixture (finer than
+    * q_pq_topk's k=4, which recalls ~0 — the point of measuring). */
+  val PqRecallK = 16
+  val PqRecallM = 8
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -147,6 +153,21 @@ object Round7dQueries {
       graft.ops.IvfIndex.cellStats(corpus, col("vec_id"), col("embedding"),
           k = 8, iters = 3)
         .orderBy(col("cell"))
+    },
+
+    // C96: PQ recall@k — ADC's sub-codebook top-20 measured against
+    // the exact same-metric top-20; k=16 centroids per subspace (vs
+    // q_pq_topk's deliberately coarse k=4, whose recall rounds to
+    // zero — the metric is precisely how you'd catch that before
+    // shipping).
+    "q_pq_recall" -> { (s, dir) =>
+      val e = t(s, dir, "embeddings")
+      val corpus = e.filter(col("vec_id") =!= 0L)
+      val query = e.filter(col("vec_id") === 0L).select(col("embedding").as("qv"))
+      graft.ops.AnnEval.pqRecallAtK(corpus, col("vec_id"), col("embedding"),
+        query, dim = Round7bQueries.EmbDim2, m = PqRecallM,
+        k = PqRecallK, iters = Round7bQueries.PqIters,
+        topK = Round7bQueries.PqTopK)
     })
 
   val oracles: Map[String, String] = Map(
@@ -226,5 +247,11 @@ object Round7dQueries {
       s"""WITH ${graft.ops.IvfIndex.integerIvfCtes(k = 8, iters = 3, nProbe = 4, topK = 50)},
          |${graft.ops.IvfIndex.cellStatsSql(k = 8)}
          |SELECT cell, n_vectors, share_milli, imbalance_milli
-         |FROM ivbal ORDER BY cell""".stripMargin)
+         |FROM ivbal ORDER BY cell""".stripMargin,
+
+    "q_pq_recall" ->
+      s"""WITH ${graft.ops.PqIndex.pqCtes(Round7bQueries.EmbDim2, PqRecallM,
+             PqRecallK, Round7bQueries.PqIters, Round7bQueries.PqTopK)},
+         |${graft.ops.AnnEval.pqRecallSql(Round7bQueries.PqTopK, Round7bQueries.EmbDim2)}
+         |SELECT top_k, n_approx, n_hit, recall_milli FROM pqrec""".stripMargin)
 }

@@ -311,6 +311,24 @@ class Round7eOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(pruned.getLong(3) == math.floor(100.0 * pruned.getLong(2)).toLong)
   }
 
+  test("pq recall@k: a one-vector-per-cell codebook reproduces exact search") {
+    // 16 vectors, k=16 centroids per subspace, deterministic seeding:
+    // every vector is its own centroid in every subspace, so ADC
+    // distance IS the exact quantized distance -> recall 1000
+    val corpus = vecCorpus(16)
+    val query = vecCorpus(17).filter(col("vec_id") === 17L)
+      .select(col("embedding").as("qv"))
+    val exact = AnnEval.pqRecallAtK(corpus, col("vec_id"), col("embedding"),
+      query, dim = 8, m = 2, k = 16, iters = 2, topK = 5).collect()(0)
+    assert(exact.getLong(1) == 5L && exact.getLong(2) == 5L && exact.getLong(3) == 1000L)
+    // a coarser codebook can only do worse or equal
+    val coarse = AnnEval.pqRecallAtK(vecCorpus(64), col("vec_id"), col("embedding"),
+      query, dim = 8, m = 2, k = 2, iters = 2, topK = 5).collect()(0)
+    val finer = AnnEval.pqRecallAtK(vecCorpus(64), col("vec_id"), col("embedding"),
+      query, dim = 8, m = 2, k = 16, iters = 2, topK = 5).collect()(0)
+    assert(coarse.getLong(3) <= finer.getLong(3))
+  }
+
   test("ivf cell stats: occupancy sums to the corpus, imbalance exact") {
     val corpus = vecCorpus(80)
     val stats = IvfIndex.cellStats(corpus, col("vec_id"), col("embedding"),
