@@ -48,6 +48,94 @@ object CorpusPipeline {
     *         columns: doc_id, source, text, lang, n_tokens,
     *         start_offset, chunk_id
     */
+  /** Pipeline funnel report — the data-card accounting every curation
+    * run prints: how many documents (and tokens) each gate removes,
+    * with every document attributed to the FIRST stage that drops it
+    * (sequential-filter semantics, matching [[prepare]]'s order:
+    * lang → quality → repetition → exact-dup → prefix-dup →
+    * near-dup → kept). One row per stage including zero rows, so the
+    * funnel shape is stable across runs and diffable.
+    *
+    * Scale shape: ONE wide pass computes every narrow gate signal
+    * (langid, quality flags, repetition, fingerprint, token count)
+    * per document; the dedup keep decisions are the same
+    * fixed-width-key partial aggs as the pipeline itself; the exit
+    * label is a chain of left joins on doc_id against the (small)
+    * drop sets; the report is a |stages| aggregate. The corpus is
+    * read once — the naive per-stage `count()` formulation reads it
+    * once PER STAGE.
+    *
+    * `nearDupPairs`: optional near-dup pair set computed over the
+    * docs that survive the earlier stages (the caller owns the LSH
+    * parameters); omitted = the near_dup stage reports zero.
+    */
+  def funnel(docs: DataFrame, cfg: Config = Config(),
+      nearDupPairs: Option[DataFrame] = None): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (lenOk, tokOk, punctOk) = TextAnalysis.qualityFlags(col("text"))
+    val repFrac = TextAnalysis.repetitionMetrics(col("text"))
+      .toMap.apply("top_bigram_frac")
+    val base = docs.select(col("doc_id").cast("bigint").as("doc_id"),
+        col("text"),
+        TextAnalysis.langId(col("text")).as("lang"),
+        (lenOk + tokOk + punctOk).as("q"),
+        repFrac.as("rep"),
+        md5(col("text")).as("fp"),
+        TextAnalysis.tokenCount(col("text")).as("n_toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val langOk = col("lang").isin(cfg.langs.toSeq: _*)
+    val qOk = col("q") >= cfg.minQuality
+    val repOk = if (cfg.maxTopBigramFrac >= 1.0) lit(true)
+      else col("rep") <= cfg.maxTopBigramFrac
+
+    val s3 = base.filter(langOk && qOk && repOk)
+    val withKeep = s3.join(
+      s3.groupBy(col("fp")).agg(min(col("doc_id")).as("keep_id")), Seq("fp"))
+    val exactDrops = withKeep.filter(col("doc_id") =!= col("keep_id"))
+      .select(col("doc_id"))
+    val s4 = withKeep.filter(col("doc_id") === col("keep_id")).drop("keep_id")
+
+    val prefixDrops = cfg.prefixDedupK match {
+      case None => s4.select(col("doc_id")).limit(0)
+      case Some(k) =>
+        val groups = Dedup.prefixGroups(s4, col("doc_id"), col("text"), k)
+        s4.select(col("doc_id"),
+            md5(array_join(slice(split(trim(lower(col("text"))), "\\s+"), 1, k), " "))
+              .as("prefix_md5"))
+          .join(groups, Seq("prefix_md5"))
+          .filter(col("doc_id") =!= col("kept_doc"))
+          .select(col("doc_id"))
+    }
+    val nearDrops = nearDupPairs match {
+      case None => s4.select(col("doc_id")).limit(0)
+      case Some(pairs) => DupClusters.survivors(pairs)
+        .filter(!col("keep")).select(col("doc_id"))
+    }
+
+    def flag(ids: DataFrame, name: String): DataFrame =
+      ids.select(col("doc_id"), lit(true).as(name))
+    val labeled = base
+      .join(flag(exactDrops, "__e"), Seq("doc_id"), "left")
+      .join(flag(prefixDrops, "__p"), Seq("doc_id"), "left")
+      .join(flag(nearDrops, "__n"), Seq("doc_id"), "left")
+      .select(
+        when(!langOk, "lang").when(!qOk, "quality").when(!repOk, "repetition")
+          .when(col("__e"), "exact_dup").when(col("__p"), "prefix_dup")
+          .when(col("__n"), "near_dup").otherwise("kept").as("stage"),
+        col("n_toks"))
+    val stages = Seq("lang" -> 1L, "quality" -> 2L, "repetition" -> 3L,
+      "exact_dup" -> 4L, "prefix_dup" -> 5L, "near_dup" -> 6L, "kept" -> 7L)
+      .toDF("stage", "stage_rank")
+    stages.join(
+        labeled.groupBy(col("stage"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens")),
+        Seq("stage"), "left")
+      .select(col("stage_rank"), col("stage"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"))
+  }
+
   def prepare(docs: DataFrame, cfg: Config = Config(),
       evalSet: Option[DataFrame] = None,
       contaminationFrac: Double = 0.5,

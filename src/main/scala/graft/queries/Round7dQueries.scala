@@ -57,6 +57,9 @@ object Round7dQueries {
     * q_pq_topk's k=4, which recalls ~0 — the point of measuring). */
   val PqRecallK = 16
   val PqRecallM = 8
+  /** C97: language allowlist for the funnel fixture (a strict subset
+    * of the corpus's five langs, so the language gate drops rows). */
+  val FunnelLangs: Set[String] = Set("en", "de", "fr")
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -155,6 +158,19 @@ object Round7dQueries {
         .orderBy(col("cell"))
     },
 
+    // C97: pipeline funnel report — per-stage doc/token attrition
+    // with first-failing-stage attribution, over the planted-dup
+    // corpus; langs restricted so the language gate bites, prefix
+    // dedup catches the planted near-dups.
+    "q_funnel" -> { (s, dir) =>
+      graft.ops.CorpusPipeline.funnel(
+          TextQueries.docsWithPlantedDups(s, dir),
+          graft.ops.CorpusPipeline.Config(
+            langs = FunnelLangs, minQuality = 2, maxTopBigramFrac = 0.5,
+            prefixDedupK = Some(5)))
+        .orderBy(col("stage_rank"))
+    },
+
     // C96: PQ recall@k — ADC's sub-codebook top-20 measured against
     // the exact same-metric top-20; k=16 centroids per subspace (vs
     // q_pq_topk's deliberately coarse k=4, whose recall rounds to
@@ -248,6 +264,66 @@ object Round7dQueries {
          |${graft.ops.IvfIndex.cellStatsSql(k = 8)}
          |SELECT cell, n_vectors, share_milli, imbalance_milli
          |FROM ivbal ORDER BY cell""".stripMargin,
+
+    "q_funnel" -> {
+      import graft.ops.TextAnalysis.{langIdSql, punctCountSql, tokenCountSql}
+      val qSum =
+        s"""(CASE WHEN length(text) BETWEEN 100 AND 20000 THEN 1 ELSE 0 END
+           | + CASE WHEN ${tokenCountSql("text")} >= 20 THEN 1 ELSE 0 END
+           | + CASE WHEN (${punctCountSql("text")}) * 10 <= length(text) THEN 1 ELSE 0 END)""".stripMargin
+      val langList = FunnelLangs.toSeq.sorted.map(l => s"'$l'").mkString(", ")
+      s"""WITH ${TextQueries.allDocsCte},
+         |fnt AS (SELECT doc_id, text,
+         |          string_split_regex(trim(lower(text)), '\\s+') AS toks
+         |        FROM all_docs),
+         |fnb AS (SELECT doc_id, text, toks,
+         |          CASE WHEN len(toks) >= 2
+         |            THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1])
+         |            ELSE [] END AS bigrams
+         |        FROM fnt),
+         |fnr AS (SELECT doc_id, text, toks,
+         |          CAST(len(bigrams) AS BIGINT) AS n_bigrams,
+         |          CAST(coalesce(list_max(list_transform(list_distinct(bigrams),
+         |            x -> len(list_filter(bigrams, y -> y = x)))), 0) AS BIGINT) AS mbc
+         |        FROM fnb),
+         |fnl AS (SELECT doc_id, text,
+         |          ${langIdSql("text")} IN ($langList) AS lang_ok,
+         |          $qSum >= 2 AS q_ok,
+         |          (CASE WHEN n_bigrams > 0
+         |             THEN round(CAST(mbc AS DOUBLE) / n_bigrams, 4) ELSE 0.0 END) <= 0.5 AS rep_ok,
+         |          md5(text) AS fp,
+         |          CAST(${tokenCountSql("text")} AS BIGINT) AS n_toks
+         |        FROM fnr),
+         |fs3 AS (SELECT * FROM fnl WHERE lang_ok AND q_ok AND rep_ok),
+         |fk4 AS (SELECT fp, min(doc_id) AS keep_id FROM fs3 GROUP BY fp),
+         |fed AS (SELECT fs3.doc_id FROM fs3 JOIN fk4 USING (fp) WHERE doc_id <> keep_id),
+         |fs4 AS (SELECT fs3.* FROM fs3 JOIN fk4 USING (fp) WHERE doc_id = keep_id),
+         |fpp AS (SELECT doc_id,
+         |          md5(array_to_string((string_split_regex(trim(lower(text)), '\\s+'))[1:5], ' ')) AS prefix_md5
+         |        FROM fs4),
+         |fpg AS (SELECT prefix_md5, min(doc_id) AS kept_doc FROM fpp
+         |        GROUP BY prefix_md5 HAVING count(*) > 1),
+         |fpd AS (SELECT fpp.doc_id FROM fpp JOIN fpg USING (prefix_md5)
+         |        WHERE doc_id <> kept_doc),
+         |flab AS (SELECT CASE
+         |            WHEN NOT lang_ok THEN 'lang'
+         |            WHEN NOT q_ok THEN 'quality'
+         |            WHEN NOT rep_ok THEN 'repetition'
+         |            WHEN doc_id IN (SELECT doc_id FROM fed) THEN 'exact_dup'
+         |            WHEN doc_id IN (SELECT doc_id FROM fpd) THEN 'prefix_dup'
+         |            ELSE 'kept' END AS stage, n_toks
+         |          FROM fnl),
+         |fst(stage, stage_rank) AS (VALUES ('lang', 1), ('quality', 2),
+         |  ('repetition', 3), ('exact_dup', 4), ('prefix_dup', 5),
+         |  ('near_dup', 6), ('kept', 7)),
+         |fagg AS (SELECT stage, count(*) AS n_docs, sum(n_toks) AS n_tokens
+         |         FROM flab GROUP BY stage)
+         |SELECT CAST(fst.stage_rank AS BIGINT) AS stage_rank, fst.stage,
+         |  CAST(coalesce(fagg.n_docs, 0) AS BIGINT) AS n_docs,
+         |  CAST(coalesce(fagg.n_tokens, 0) AS BIGINT) AS n_tokens
+         |FROM fst LEFT JOIN fagg USING (stage)
+         |ORDER BY stage_rank""".stripMargin
+    },
 
     "q_pq_recall" ->
       s"""WITH ${graft.ops.PqIndex.pqCtes(Round7bQueries.EmbDim2, PqRecallM,

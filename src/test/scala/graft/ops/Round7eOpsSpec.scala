@@ -352,6 +352,46 @@ class Round7eOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(stats.forall(_.getLong(3) == 4000L))
   }
 
+  // ------------------------------------------- CorpusPipeline.funnel
+
+  test("funnel attributes each doc to its FIRST failing stage") {
+    val good = ("the quick brown fox jumps over the lazy dog and then " * 5).trim
+    val docs = Seq(
+      (1L, good), // kept
+      (2L, good), // exact dup of 1 -> exact_dup
+      (3L, "der die das und nicht mit sich auf ist im " * 12), // lang (de not allowed)
+      (4L, "the of and short"), // quality (too short)
+      (5L, good + " unique tail five five five"), // near-dup of 1 via pairs
+      (6L, "the " + ("aa bb " * 60).trim)) // repetition? bigram aa bb dominates
+      .toDF("doc_id", "text")
+    val cfg = graft.ops.CorpusPipeline.Config(
+      langs = Set("en"), minQuality = 2, maxTopBigramFrac = 0.4,
+      prefixDedupK = None)
+    val pairs = Seq((1L, 5L)).toDF("id_a", "id_b")
+    val got = graft.ops.CorpusPipeline.funnel(docs, cfg, Some(pairs))
+      .collect().map(r => r.getString(1) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got("lang")._1 == 1L)
+    assert(got("quality")._1 == 1L)
+    assert(got("repetition")._1 == 1L)
+    assert(got("exact_dup")._1 == 1L)
+    assert(got("prefix_dup")._1 == 0L)
+    assert(got("near_dup")._1 == 1L)
+    assert(got("kept")._1 == 1L)
+    // conservation: every doc lands in exactly one stage
+    assert(got.values.map(_._1).sum == 6L)
+  }
+
+  test("funnel: zero rows keep the stage table complete and ranked") {
+    val docs = Seq((1L, ("english words common the and of to in is " * 12).trim))
+      .toDF("doc_id", "text")
+    val rows = graft.ops.CorpusPipeline.funnel(docs,
+        graft.ops.CorpusPipeline.Config(langs = Set("en"), minQuality = 0))
+      .orderBy(col("stage_rank")).collect()
+    assert(rows.map(_.getString(1)).toSeq == Seq("lang", "quality", "repetition",
+      "exact_dup", "prefix_dup", "near_dup", "kept"))
+    assert(rows.map(_.getLong(2)).sum == 1L)
+  }
+
   test("zipf fit is repartition-stable") {
     val docs = (1L to 60L).map { i =>
       (s"s${i % 3}", (1 to 12).map(j => s"w${(i * j) % 9}").mkString(" "))
