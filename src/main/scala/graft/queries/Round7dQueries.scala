@@ -171,6 +171,18 @@ object Round7dQueries {
         .orderBy(col("stage_rank"))
     },
 
+    // C98: script-composition gate — single-pass codepoint-range
+    // histogram (Latin/CJK/Cyrillic/Arabic/Devanagari/Hangul/digit/
+    // space/other), zero shuffle; the mixed-script spam + mojibake
+    // detector the stopword langid cannot be.
+    "q_script_mix" -> { (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), graft.plans.ScriptMixExprOps.mix(col("text")).as("st"))
+        .select(Seq(col("doc_id")) ++
+          graft.plans.ScriptMixOps.fields.map(f => col(s"st.$f").as(f)): _*)
+        .orderBy(col("doc_id"))
+    },
+
     // C96: PQ recall@k — ADC's sub-codebook top-20 measured against
     // the exact same-metric top-20; k=16 centroids per subspace (vs
     // q_pq_topk's deliberately coarse k=4, whose recall rounds to
@@ -323,6 +335,32 @@ object Round7dQueries {
          |  CAST(coalesce(fagg.n_tokens, 0) AS BIGINT) AS n_tokens
          |FROM fst LEFT JOIN fagg USING (stage)
          |ORDER BY stage_rank""".stripMargin
+    },
+
+    "q_script_mix" -> {
+      val cls = graft.plans.ScriptMixOps.scriptCaseSql("u.ch")
+      val sums = Seq(1 -> "n_latin", 2 -> "n_cjk", 3 -> "n_cyrillic",
+        4 -> "n_arabic", 5 -> "n_devanagari", 6 -> "n_hangul",
+        7 -> "n_digit", 8 -> "n_space", 9 -> "n_other")
+        .map { case (i, name) =>
+          s"CAST(coalesce(sum(CASE WHEN cls = $i THEN 1 END), 0) AS BIGINT) AS $name"
+        }.mkString(",\n  ")
+      s"""WITH smc AS (
+         |  SELECT d.doc_id, ($cls) AS cls
+         |  FROM (SELECT doc_id, string_split(text, '') AS cs FROM documents) d,
+         |    unnest(cs) AS u(ch)),
+         |sma AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_total,
+         |  $sums
+         |  FROM smc GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(a.n_total, 0) AS BIGINT) AS n_total,
+         |  coalesce(a.n_latin, 0) AS n_latin, coalesce(a.n_cjk, 0) AS n_cjk,
+         |  coalesce(a.n_cyrillic, 0) AS n_cyrillic, coalesce(a.n_arabic, 0) AS n_arabic,
+         |  coalesce(a.n_devanagari, 0) AS n_devanagari, coalesce(a.n_hangul, 0) AS n_hangul,
+         |  coalesce(a.n_digit, 0) AS n_digit, coalesce(a.n_space, 0) AS n_space,
+         |  coalesce(a.n_other, 0) AS n_other
+         |FROM documents d LEFT JOIN sma a USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin
     },
 
     "q_pq_recall" ->

@@ -352,6 +352,59 @@ class Round7eOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(stats.forall(_.getLong(3) == 4000L))
   }
 
+  // ---------------------------------------------------- ScriptMixExpr
+
+  test("script mix kernel: hand-counted multiscript text, all classes") {
+    val text = "Hi 42 你好 Привет مرحبا नमस्ते 안녕 é©" // latin, digit, cjk, cyr, ar, dev, hangul, ext-latin+other
+    val r = Seq((1L, text)).toDF("doc_id", "text")
+      .select(graft.plans.ScriptMixExprOps.mix(col("text")).as("st"))
+      .select(col("st.*")).collect()(0)
+    val get = graft.plans.ScriptMixOps.fields.zipWithIndex.map {
+      case (f, i) => f -> r.getLong(i)
+    }.toMap
+    assert(get("n_latin") == 3L) // H i é (Latin-1 supplement counts as latin)
+    assert(get("n_digit") == 2L)
+    assert(get("n_cjk") == 2L)
+    assert(get("n_cyrillic") == 6L)
+    assert(get("n_arabic") == 5L)
+    assert(get("n_devanagari") == 6L)
+    assert(get("n_hangul") == 2L)
+    assert(get("n_space") == 7L)
+    assert(get("n_other") == 1L) // ©
+    assert(get("n_total") == get("n_latin") + get("n_digit") + get("n_cjk") +
+      get("n_cyrillic") + get("n_arabic") + get("n_devanagari") +
+      get("n_hangul") + get("n_space") + get("n_other"))
+  }
+
+  test("script mix kernel matches the composed per-char classification") {
+    val docs = Seq((1L, "mixed Текст with 漢字 and latin123"),
+      (2L, ""), (3L, "plain ascii words here")).toDF("doc_id", "text")
+    val kernel = docs
+      .select(col("doc_id"), graft.plans.ScriptMixExprOps.mix(col("text")).as("st"))
+      .select(col("doc_id"), col("st.n_total"), col("st.n_latin"), col("st.n_cyrillic"),
+        col("st.n_cjk"), col("st.n_digit"))
+      .collect().map(r => r.getLong(0) -> (1 to 5).map(r.getLong)).toMap
+    val composed = docs.select(col("doc_id"),
+        posexplode(split(col("text"), "")))
+      .filter(col("col") =!= "")
+      .select(col("doc_id"), expr("ascii(col)").as("cp0"), col("col"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rows) =>
+        val cps = rows.map(_.getString(2).codePointAt(0))
+        id -> IndexedSeq(cps.length.toLong,
+          cps.count(c => graft.plans.ScriptMixOps.classify(c) == 1).toLong,
+          cps.count(c => graft.plans.ScriptMixOps.classify(c) == 3).toLong,
+          cps.count(c => graft.plans.ScriptMixOps.classify(c) == 2).toLong,
+          cps.count(c => graft.plans.ScriptMixOps.classify(c) == 7).toLong)
+      }
+    composed.foreach { case (id, want) => assert(kernel(id) == want, s"doc $id") }
+    assert(kernel(2L) == IndexedSeq(0L, 0L, 0L, 0L, 0L))
+    val nullRow = Seq(Option.empty[String]).toDF("text")
+      .select(graft.plans.ScriptMixExprOps.mix(col("text"))).collect()(0)
+    assert(nullRow.isNullAt(0))
+  }
+
   // ------------------------------------------- CorpusPipeline.funnel
 
   test("funnel attributes each doc to its FIRST failing stage") {
