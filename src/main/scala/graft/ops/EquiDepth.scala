@@ -103,13 +103,15 @@ object EquiDepth {
         col("offset") + coalesce(sum(col("c")).over(wIn), lit(0L)))
   }
 
-  /** Measured crossover between the strategies (docs/EQUIDEPTH.md):
-    * below ~4M distinct values the single unpartitioned window wins
-    * (the partitioned variant's 3 extra tiny shuffles dominate);
-    * above it the one-partition sort becomes the straggler and the
-    * partitioned prefix-sum takes over.
+  /** Measured crossover between the strategies (docs/EQUIDEPTH.md,
+    * `graft.EquiDepthBench` on sf10's 60M-row lineitem): the single
+    * unpartitioned window wins up through ≥3.75M distinct values
+    * (9.2 vs 12.8 s — the partitioned variant's 3 extra tiny shuffles
+    * dominate), the partitioned prefix-sum wins from ≤14.7M distinct
+    * (13.3 vs 19.1 s, widening to 2.4× at 45.7M as the one-partition
+    * sort becomes the straggler). 8M is the bracket's log-midpoint.
     */
-  final val AutoDistinctCutoff = 4000000L
+  final val AutoDistinctCutoff = 8000000L
 
   /** One public entry point that picks the window strategy from the
     * MEASURED distinct-value count: the (v, c) aggregate is persisted
