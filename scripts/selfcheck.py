@@ -105,6 +105,20 @@ def main():
             n_fail += 1
             continue
         gt, et = type_classes(got_arrow), type_classes(exp_arrow)
+        # SURVEY §4 determinism rule: no OUTPUT column may be DECIMAL
+        # (or a HUGEINT producer). Both sides may agree here — Python
+        # Decimal str()s identically from pyarrow — while the DRIVER's
+        # hasher renders Spark Decimal and DuckDB DECIMAL differently
+        # (the r7 q_corr_regress miss). Enforce the rule itself, not
+        # this replica's rendering.
+        dec_cols = sorted(c for side in (gt, et) for c, cls in side.items()
+                          if cls == "decimal")
+        if dec_cols:
+            print(f"FAIL  {name}: DECIMAL output column(s) {dec_cols} "
+                  "violate the §4 rule — driver hash WILL diverge; "
+                  "cast to VARCHAR/DOUBLE/BIGINT on both sides")
+            n_fail += 1
+            continue
         if gt != et:
             diff = {c: (gt.get(c), et.get(c)) for c in set(gt) | set(et)
                     if gt.get(c) != et.get(c)}

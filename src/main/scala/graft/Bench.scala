@@ -71,7 +71,16 @@ object Bench {
       val w = new java.io.PrintWriter(new java.io.File(outFile), "UTF-8")
       try w.println(json) finally w.close()
     } catch { case _: Throwable => () } // file copy is best-effort; stdout line is the contract
-    println(json)
+    // Print the JSON LAST — after spark.stop(), with logging muted.
+    // The r7 driver capture kept only a tail of the merged output and
+    // the shutdown INFO flood after println pushed the result line out
+    // of the window (BENCH_r07 "parsed": null). Ordering stop() first
+    // and muting its logs makes the JSON the final line the process
+    // emits (sbt's one [success] trailer aside).
+    spark.sparkContext.setLogLevel("OFF")
     spark.stop()
+    System.out.flush()
+    println(json)
+    System.out.flush()
   }
 }

@@ -287,24 +287,64 @@ object GtfsRtProto {
     w.result
   }
 
+  /** Default cap for the in-RAM FeedMessage artifact: 256 MB of wire
+    * bytes. A FeedMessage is inherently one in-memory response object
+    * (the reference assembles the same message in RAM before serving
+    * it), but an unbounded assemble is how a pathological
+    * million-entity feed OOMs the driver — past the cap the assemble
+    * fails with a clear error pointing at [[exportPbf]], which streams
+    * and never materializes the whole feed.
+    */
+  final val DefaultMaxFeedBytes: Long = 256L << 20
+
   /** Complete FeedMessage wire bytes (header=1, entity=2 repeated),
     * entity order preserved from the input's sort. The pbf twin of
     * [[FeedAssembler.feedMessageJson]]; `timestamp` caller-supplied
-    * for deterministic plans, as there.
+    * for deterministic plans, as there. Entities are pulled one
+    * partition at a time (`toLocalIterator`), so driver RAM holds the
+    * assembled message plus at most one partition of entity bytes,
+    * and the size guard trips BEFORE the allocation that would OOM.
     */
-  def feedMessagePbf(entities: DataFrame, entityCol: String, timestamp: Long): Array[Byte] = {
+  def feedMessagePbf(entities: DataFrame, entityCol: String, timestamp: Long,
+      maxBytes: Long = DefaultMaxFeedBytes): Array[Byte] = {
     import entities.sparkSession.implicits._
-    val entityBytes = entityPbf(entities, entityCol).select("pbf").as[Array[Byte]].collect()
     val w = new ProtoWire.Writer
     w.message(1, feedHeader(timestamp))
-    entityBytes.foreach(w.message(2, _))
+    var total = 0L
+    val it = entityPbf(entities, entityCol).select("pbf").as[Array[Byte]].toLocalIterator()
+    while (it.hasNext) {
+      val b = it.next()
+      total += b.length
+      if (total > maxBytes)
+        throw new IllegalStateException(
+          s"FeedMessage exceeds $maxBytes bytes of entity wire data; " +
+            "a feed this size cannot be served as one in-RAM message — " +
+            "use exportPbf (streams to a file) or raise maxBytes explicitly")
+      w.message(2, b)
+    }
     w.result
   }
 
-  /** Serve-ready export: write the FeedMessage bytes to a file
+  /** Serve-ready export: stream the FeedMessage bytes to a file
     * (what the reference returns as `application/octet-stream`).
+    * Unbounded-size safe: the header frame then each entity frame is
+    * appended to the file as it arrives from the cluster — at no
+    * point does the driver hold more than one partition of entities.
     */
-  def exportPbf(entities: DataFrame, entityCol: String, timestamp: Long, path: String): Unit =
-    java.nio.file.Files.write(java.nio.file.Paths.get(path),
-      feedMessagePbf(entities, entityCol, timestamp))
+  def exportPbf(entities: DataFrame, entityCol: String, timestamp: Long, path: String): Unit = {
+    import entities.sparkSession.implicits._
+    val out = new java.io.BufferedOutputStream(
+      java.nio.file.Files.newOutputStream(java.nio.file.Paths.get(path)))
+    try {
+      val hw = new ProtoWire.Writer
+      hw.message(1, feedHeader(timestamp))
+      out.write(hw.result)
+      val it = entityPbf(entities, entityCol).select("pbf").as[Array[Byte]].toLocalIterator()
+      while (it.hasNext) {
+        val ew = new ProtoWire.Writer
+        ew.message(2, it.next())
+        out.write(ew.result)
+      }
+    } finally out.close()
+  }
 }

@@ -46,13 +46,19 @@ object AnnEval {
       .orderBy(col("cos_sim").desc, col("vec_id"))
       .limit(topK)
       .select(col("vec_id"))
-    val nApprox = approx.agg(count(lit(1)).as("n_approx"))
-    val nHit = approx.join(truth, Seq("vec_id"), "left_semi")
-      .agg(count(lit(1)).as("n_hit"))
-    nApprox.crossJoin(broadcast(nHit))
+    recallRow(approx, truth, topK)
+  }
+
+  /** One aggregation over approx ⟕ truth (both ≤ topK rows): counting
+    * rows and hits in the same pass evaluates the approx side — a
+    * full index probe / corpus encode — ONCE, where the previous
+    * two-singleton-agg + crossJoin shape re-ran it per aggregate.
+    */
+  private def recallRow(approx: DataFrame, truth: DataFrame, topK: Int): DataFrame =
+    approx.join(broadcast(truth.withColumn("hit", lit(1))), Seq("vec_id"), "left")
+      .agg(count(lit(1)).as("n_approx"), count(col("hit")).as("n_hit"))
       .select(lit(topK.toLong).as("top_k"), col("n_approx"), col("n_hit"),
         floor(lit(1000.0) * col("n_hit") / topK).cast("bigint").as("recall_milli"))
-  }
 
   /** PQ recall@k — the quantization-loss twin of [[ivfRecallAtK]]:
     * the ADC top-k (ranked by sub-codebook quantized L2, C78's
@@ -87,12 +93,7 @@ object AnnEval {
       .orderBy(col("d2"), col("vec_id"))
       .limit(topK)
       .select(col("vec_id"))
-    val nApprox = approx.agg(count(lit(1)).as("n_approx"))
-    val nHit = approx.join(truth, Seq("vec_id"), "left_semi")
-      .agg(count(lit(1)).as("n_hit"))
-    nApprox.crossJoin(broadcast(nHit))
-      .select(lit(topK.toLong).as("top_k"), col("n_approx"), col("n_hit"),
-        floor(lit(1000.0) * col("n_hit") / topK).cast("bigint").as("recall_milli"))
+    recallRow(approx, truth, topK)
   }
 
   /** DuckDB twin fragment for [[pqRecallAtK]]: composes on

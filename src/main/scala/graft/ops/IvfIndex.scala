@@ -246,14 +246,48 @@ object IvfIndex {
     var cents: Array[Array[Long]] = q.orderBy(col("vid")).limit(k)
       .select(col("qv")).as[Seq[Long]].collect().map(_.toArray)
     for (_ <- 0 until iters if cents.nonEmpty) {
-      val sums = q
-        .select(cellOfInt(col("qv"), cents).as("cell"),
-          posexplode(col("qv")).as(Seq("dim", "val")))
-        .groupBy(col("cell"), col("dim"))
-        .agg(sum(col("val")).as("s"), count(lit(1)).as("n"))
-        .as[(Int, Int, Long, Long)].collect()
-      val next = cents.map(_.clone())
-      sums.foreach { case (cell, dim, s, n) => next(cell)(dim) = s / n }
+      // one job per iteration, shaped like MLlib's KMeans round: a
+      // per-partition imperative combiner holds the k·dim sum/count
+      // state and emits one fixed-size partial per partition — no
+      // per-dimension rows, no expression-tree array allocs in the
+      // argmin hot loop. Exact integer sums are addition-order
+      // independent: bit-identical to the declarative form and to
+      // the unrolled-CTE twin.
+      val cur = cents
+      val dim = cur(0).length
+      val kk = cur.length
+      val partials = q.select(col("qv")).as[Array[Long]].mapPartitions { rows =>
+        val sums = Array.ofDim[Long](kk * dim)
+        val counts = Array.ofDim[Long](kk)
+        rows.foreach { arr =>
+          var best = 0
+          var bestD = Long.MaxValue
+          var c = 0
+          while (c < kk) {
+            val cent = cur(c)
+            var acc = 0L
+            var d = 0
+            while (d < dim) { val diff = arr(d) - cent(d); acc += diff * diff; d += 1 }
+            if (acc < bestD) { bestD = acc; best = c } // first min = smallest cell
+            c += 1
+          }
+          counts(best) += 1
+          var d = 0
+          while (d < dim) { sums(best * dim + d) += arr(d); d += 1 }
+        }
+        Iterator.single((sums, counts))
+      }.collect()
+      val sums = Array.ofDim[Long](kk * dim)
+      val counts = Array.ofDim[Long](kk)
+      partials.foreach { case (ps, pc) =>
+        var i = 0
+        while (i < ps.length) { sums(i) += ps(i); i += 1 }
+        i = 0
+        while (i < pc.length) { counts(i) += pc(i); i += 1 }
+      }
+      val next = cur.map(_.clone())
+      for (c <- 0 until kk if counts(c) > 0; d <- 0 until dim)
+        next(c)(d) = sums(c * dim + d) / counts(c)
       cents = next
     }
     q.unpersist()

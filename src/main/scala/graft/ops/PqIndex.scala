@@ -67,22 +67,56 @@ object PqIndex {
     val books: Array[Array[Array[Long]]] = Array.tabulate(m) { s =>
       seedRows.map(_.slice(s * subDim, (s + 1) * subDim).toArray)
     }
-    def subSlice(s: Int): Column = slice(col("qv"), s * subDim + 1, subDim)
     for (_ <- 0 until iters) {
-      // one job: per-vector argmin in EVERY subspace, exploded to
-      // (s, cell, dim, val) and partial-agged to k·dim rows total
-      val perSub = (0 until m).map { s =>
-        struct(lit(s).as("s"),
-          IvfIndex.cellOfInt(subSlice(s), books(s)).as("cell"),
-          subSlice(s).as("sv"))
+      // one job per iteration, shaped like MLlib's KMeans round: a
+      // per-partition imperative combiner holds the full m·k·subDim
+      // sum/count state (1–2 KB) and emits ONE fixed-size partial per
+      // partition — no explode, no per-subvector rows, no expression-
+      // tree array allocs in the argmin hot loop. Exact integer sums
+      // are addition-order independent, so results stay bit-identical
+      // to the declarative form (and to the per-sub twin fits).
+      val curBooks = books.map(_.map(_.clone()))
+      val partials = q.select(col("qv")).as[Array[Long]].mapPartitions { rows =>
+        val sums = Array.ofDim[Long](m * k * subDim)
+        val counts = Array.ofDim[Long](m * k)
+        rows.foreach { arr =>
+          var s = 0
+          while (s < m) {
+            val bs = curBooks(s)
+            var best = 0
+            var bestD = Long.MaxValue
+            var c = 0
+            while (c < k) {
+              val cent = bs(c)
+              var acc = 0L
+              var d = 0
+              while (d < subDim) {
+                val diff = arr(s * subDim + d) - cent(d)
+                acc += diff * diff
+                d += 1
+              }
+              if (acc < bestD) { bestD = acc; best = c } // first min = smallest cell
+              c += 1
+            }
+            counts(s * k + best) += 1
+            val off = (s * k + best) * subDim
+            var d = 0
+            while (d < subDim) { sums(off + d) += arr(s * subDim + d); d += 1 }
+            s += 1
+          }
+        }
+        Iterator.single((sums, counts))
+      }.collect()
+      val sums = Array.ofDim[Long](m * k * subDim)
+      val counts = Array.ofDim[Long](m * k)
+      partials.foreach { case (ps, pc) =>
+        var i = 0
+        while (i < ps.length) { sums(i) += ps(i); i += 1 }
+        i = 0
+        while (i < pc.length) { counts(i) += pc(i); i += 1 }
       }
-      val sums = q
-        .select(explode(array(perSub: _*)).as("e"))
-        .select(col("e.s"), col("e.cell"), posexplode(col("e.sv")).as(Seq("dim", "val")))
-        .groupBy(col("s"), col("cell"), col("dim"))
-        .agg(sum(col("val")).as("sum"), count(lit(1)).as("n"))
-        .as[(Int, Int, Int, Long, Long)].collect()
-      sums.foreach { case (s, cell, d, sm, n) => books(s)(cell)(d) = sm / n }
+      for (s <- 0 until m; c <- 0 until k if counts(s * k + c) > 0; d <- 0 until subDim)
+        books(s)(c)(d) = sums((s * k + c) * subDim + d) / counts(s * k + c)
     }
     q.unpersist()
     Codebooks(m, subDim, scale, books)

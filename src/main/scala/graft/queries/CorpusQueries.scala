@@ -236,8 +236,11 @@ object CorpusQueries {
     // (hit at the derived sf10), so the whole moment path runs in
     // DECIMAL(38,0): exact to 1e38 (room for ~1e12-row groups at
     // 100 TB), the same promotion DuckDB's HUGEINT sum() gives its
-    // twin, and the numerator OUTPUT columns stay decimal — a bigint
-    // output column here would be an intrinsic scale cap.
+    // twin. The numerator OUTPUT columns are emitted as STRING:
+    // decimal internally (a bigint would be an intrinsic scale cap),
+    // but a decimal OUTPUT column hashes differently across engines
+    // (Spark Decimal vs DuckDB DECIMAL rendering), while the decimal
+    // digits of a scale-0 value are one canonical string everywhere.
     "q_corr_regress" -> { (s, dir) =>
       val li = t(s, dir, "lineitem").select(col("l_returnflag").as("grp"),
         floor(col("l_quantity")).cast("bigint").as("x"),
@@ -259,7 +262,10 @@ object CorpusQueries {
           prodDiff(col("n"), col("sxx"), col("sx"), col("sx")).as("var_x_num"),
           prodDiff(col("n"), col("syy"), col("sy"), col("sy")).as("var_y_num"),
           col("sx"), col("sy"))
-        .select(col("grp"), col("n"), col("cov_num"), col("var_x_num"), col("var_y_num"),
+        .select(col("grp"), col("n"),
+          col("cov_num").cast("string").as("cov_num"),
+          col("var_x_num").cast("string").as("var_x_num"),
+          col("var_y_num").cast("string").as("var_y_num"),
           round(col("cov_num").cast("double") /
             sqrt(col("var_x_num").cast("double") * col("var_y_num").cast("double")), 4)
             .as("corr"),
@@ -475,9 +481,9 @@ object CorpusQueries {
         |        FROM lineitem)
         |  GROUP BY 1)
         |SELECT grp, CAST(n AS BIGINT) AS n,
-        |  CAST(n * sxy - sx * sy AS DECIMAL(38,0)) AS cov_num,
-        |  CAST(n * sxx - sx * sx AS DECIMAL(38,0)) AS var_x_num,
-        |  CAST(n * syy - sy * sy AS DECIMAL(38,0)) AS var_y_num,
+        |  CAST(CAST(n * sxy - sx * sy AS DECIMAL(38,0)) AS VARCHAR) AS cov_num,
+        |  CAST(CAST(n * sxx - sx * sx AS DECIMAL(38,0)) AS VARCHAR) AS var_x_num,
+        |  CAST(CAST(n * syy - sy * sy AS DECIMAL(38,0)) AS VARCHAR) AS var_y_num,
         |  round(CAST(n * sxy - sx * sy AS DOUBLE)
         |    / sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)), 4) AS corr,
         |  round(CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE), 4) AS slope,
