@@ -75,6 +75,15 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
+    # large-SF sweeps: cap DuckDB so a huge oracle (q_paragraph_dedup
+    # at sf10) fails as a per-query error row instead of OOM-killing
+    # the whole sweep
+    mem = os.environ.get("SELFCHECK_DUCKDB_MEMORY")
+    if mem:
+        con.sql(f"SET memory_limit='{mem}'")
+    threads = os.environ.get("SELFCHECK_DUCKDB_THREADS")
+    if threads:
+        con.sql(f"SET threads={int(threads)}")
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     with open(os.path.join(out_dir, "oracle_sql.json")) as f:

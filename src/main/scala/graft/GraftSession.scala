@@ -22,6 +22,16 @@ object GraftSession {
       // column indexes (on by default in the writer) make point/range
       // predicates skip pages within row groups
       .config("spark.sql.parquet.compression.codec", "zstd")
+      // RocksDB is the DEFAULT streaming state store: the HDFS-backed
+      // provider keeps every live key on-heap per executor, which caps
+      // realtime state (latest-entity maps, session windows, dedup
+      // sets) at executor heap; RocksDB spills to local disk with
+      // changelog checkpointing, the production setting for unbounded
+      // key spaces. Tests may still opt out per-session via
+      // RealtimeStateStream.useDefaultStateStore.
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
       .config("spark.ui.enabled", "false")
 
   def getOrCreate(master: String = "local[32]", shufflePartitions: Int = 32): SparkSession = {

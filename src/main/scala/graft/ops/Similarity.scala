@@ -51,7 +51,17 @@ object Similarity {
       k: Int): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val scored = corpus.select(id.cast("bigint").as("vec_id"), vec.as("v"))
+    // The scoring work is |corpus| × |queries| — far larger than the
+    // corpus scan that feeds it. A small corpus parquet arrives in a
+    // handful of input splits, which would leave most cores idle for
+    // the quadratic part; spread it first when under-partitioned. At
+    // real scale the corpus already has >> cores partitions and this
+    // is a no-op (no shuffle added).
+    val cores = spark.sparkContext.defaultParallelism
+    val base = corpus.select(id.cast("bigint").as("vec_id"), vec.as("v"))
+    val spread =
+      if (base.rdd.getNumPartitions < cores) base.repartition(cores) else base
+    val scored = spread
       .crossJoin(broadcast(queries.select(col("query_id").cast("bigint"), col("qv"))))
       .select(col("query_id"), col("vec_id"),
         VectorFunctions.cosineSimilarity(col("v"), col("qv")).as("cos_sim"))
@@ -64,14 +74,30 @@ object Similarity {
     // candidates than bruteForceTopK, which keeps both.
     val partial = scored.mapPartitions { rows =>
       // max under this ordering = WORST candidate (lowest cos_sim,
-      // then largest vec_id) — exactly what the bound evicts
+      // then largest vec_id) — exactly what the bound evicts. Field
+      // comparisons, NOT Ordering.by(tuple): the by-form allocates a
+      // key tuple on EVERY comparison, and this loop runs
+      // |corpus|×|queries| times at the margin-mining call sites.
       val ord: Ordering[(Long, Long, Double)] =
-        Ordering.by { case (_, vecId, sim) => (-sim, vecId) }
-      val heaps = scala.collection.mutable.Map.empty[Long, scala.collection.mutable.PriorityQueue[(Long, Long, Double)]]
+        new Ordering[(Long, Long, Double)] {
+          def compare(a: (Long, Long, Double), b: (Long, Long, Double)): Int = {
+            val bySim = java.lang.Double.compare(b._3, a._3) // lower sim = greater
+            if (bySim != 0) bySim else java.lang.Long.compare(a._2, b._2)
+          }
+        }
+      // LongMap: unboxed keys — this lookup runs once per SCORED row
+      // (|corpus|×|queries| times), where a boxed HashMap's per-row
+      // Long allocation dominates the whole batch at the margin-
+      // mining call sites (every corpus row is also a query)
+      val heaps = scala.collection.mutable.LongMap.empty[scala.collection.mutable.PriorityQueue[(Long, Long, Double)]]
       rows.foreach { r =>
         val h = heaps.getOrElseUpdate(r._1, scala.collection.mutable.PriorityQueue.empty(ord))
-        h += r
-        if (h.size > k) h.dequeue()
+        if (h.size < k) h += r
+        else if (ord.lt(r, h.head)) { // beats the worst kept candidate
+          h.dequeue()
+          h += r
+        }
+        // else: one compare, no heap churn — the steady-state path
       }
       heaps.valuesIterator.flatMap(_.iterator)
     }.toDF("query_id", "vec_id", "cos_sim")

@@ -53,8 +53,11 @@ case class AnchorArgmaxExpr(child: Expression, anchors: Seq[Seq[Double]])
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val matRef = ctx.addReferenceObj("anchorMatrix", matrix,
-      classOf[Array[Array[Double]]].getName)
+    // NOT classOf[...].getName — that is the JVM binary name "[[D",
+    // which lands in the generated cast as `([[D) references[i]`,
+    // fails Janino's parser ("Unexpected token [ in primary"), and
+    // silently drops the WHOLE projection to interpreter mode
+    val matRef = ctx.addReferenceObj("anchorMatrix", matrix, "double[][]")
     val method = if (isFloat) "computeFloat" else "computeDouble"
     defineCodeGen(ctx, ev, c => s"graft.plans.AnchorArgmaxOps.$method($c, $matRef)")
   }

@@ -74,6 +74,35 @@ object GtfsRtPipeline {
       }
   }
 
+  /** Apply one micro-batch: match, merge into latest state, publish
+    * the next store version. `tag`, when present, makes the apply
+    * EXACTLY-ONCE under foreachBatch crash-replay: the tag commits
+    * atomically with the state version (inside the renamed dir), so a
+    * writer that crashed after publishing and is re-run with the same
+    * batch skips the merge instead of double-applying it.
+    */
+  def applyBatch(
+      batch: DataFrame,
+      trips: DataFrame,
+      stopTimes: DataFrame,
+      store: ParquetStateStore,
+      ttlSeconds: Long,
+      tag: Option[String] = None): Unit = {
+    if (tag.isDefined && store.lastAppliedTag == tag) return // replayed batch: already published
+    if (!batch.isEmpty) {
+      val spark = batch.sparkSession
+      val matched = TripMatcher.matchTrips(batch, trips, stopTimes)
+      val incoming = matched.withColumn("last_updated_ts", col("event_ts"))
+      val merged = store.read(spark) match {
+        case Some(prev) => prev.unionByName(incoming, allowMissingColumns = true)
+        case None => incoming
+      }
+      val latest = LatestState.latest(
+        merged, Seq("trip_update_id"), col("last_updated_ts"), col("matched_trip_id"))
+      store.write(LatestState.withTtlNumeric(latest, col("last_updated_ts"), ttlSeconds), tag)
+    }
+  }
+
   /** Start the pipeline over a stream of raw trip updates.
     *
     * @param updates streaming frame: trip_update_id, trip_id,
@@ -81,29 +110,31 @@ object GtfsRtPipeline {
     * @param trips/stopTimes static nominal feed tables
     * @param ttlSeconds review window — state rows older than
     *                   max(event_ts) - ttl are dropped each batch
+    * @param checkpointDir offset/commit checkpoint: a restarted query
+    *                   resumes from the last committed offsets and
+    *                   RE-RUNS the uncommitted batch — the applied-tag
+    *                   guard (scoped to this checkpoint, since batch
+    *                   ids restart with a fresh one) keeps that replay
+    *                   from double-merging. Without it, each start is
+    *                   a fresh query over the same durable store.
     */
   def start(
       updates: DataFrame,
       trips: DataFrame,
       stopTimes: DataFrame,
       store: ParquetStateStore,
-      ttlSeconds: Long = 7200L): StreamingQuery =
-    updates.writeStream
+      ttlSeconds: Long = 7200L,
+      checkpointDir: Option[String] = None): StreamingQuery = {
+    val tagPrefix = checkpointDir.map(d =>
+      java.lang.Integer.toHexString(d.hashCode) + "-")
+    val writer = updates.writeStream
       .outputMode("append")
       .trigger(Trigger.ProcessingTime(0))
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
-          val spark = batch.sparkSession
-          val matched = TripMatcher.matchTrips(batch, trips, stopTimes)
-          val incoming = matched.withColumn("last_updated_ts", col("event_ts"))
-          val merged = store.read(spark) match {
-            case Some(prev) => prev.unionByName(incoming, allowMissingColumns = true)
-            case None => incoming
-          }
-          val latest = LatestState.latest(
-            merged, Seq("trip_update_id"), col("last_updated_ts"), col("matched_trip_id"))
-          store.write(LatestState.withTtlNumeric(latest, col("last_updated_ts"), ttlSeconds))
-        }
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatch(batch, trips, stopTimes, store, ttlSeconds,
+          tagPrefix.map(_ + batchId))
       }
-      .start()
+    checkpointDir.foreach(d => writer.option("checkpointLocation", d))
+    writer.start()
+  }
 }

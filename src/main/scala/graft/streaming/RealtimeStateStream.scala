@@ -20,10 +20,11 @@ object RealtimeStateStream {
 
   /** Switch the session's streaming state store to RocksDB
     * (changelog-checkpointed, spillable) — the production provider
-    * for 100 TB-scale state: the default HDFSBackedStateStoreProvider
+    * for 100 TB-scale state: Spark's HDFSBackedStateStoreProvider
     * keeps every live key on-heap per executor, RocksDB keeps state
-    * off-heap/on-disk with incremental checkpoints. Call before
-    * starting queries; applies to new queries in this session.
+    * off-heap/on-disk with incremental checkpoints. This is already
+    * [[graft.GraftSession]]'s DEFAULT; call this only to opt a
+    * foreign session in. Applies to new queries in the session.
     */
   def useRocksDbStateStore(spark: SparkSession): Unit = {
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
@@ -31,9 +32,14 @@ object RealtimeStateStream {
     spark.conf.set("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
   }
 
-  /** Restore the default on-heap provider (tests). */
+  /** Opt out to Spark's on-heap HDFS-backed provider (small fixed key
+    * spaces / tests). An explicit SET, not an unset — the session
+    * default is RocksDB (GraftSession), so unsetting would not leave
+    * the on-heap provider.
+    */
   def useDefaultStateStore(spark: SparkSession): Unit = {
-    spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
     spark.conf.unset("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled")
   }
 

@@ -117,4 +117,67 @@ class GtfsRtPipelineSpec extends AnyFunSuite with SparkTestBase {
       assert(ids.toSet == Set("tu1", "tu2"))
     } finally q.stop()
   }
+
+  test("applyBatch with a tag is exactly-once under foreachBatch crash-replay") {
+    val stateDir = java.nio.file.Files.createTempDirectory("rt_replay").toString
+    val store = new GtfsRtPipeline.ParquetStateStore(stateDir)
+    val trips = feed.table("trips")
+    val stus = feed.table("stop_times")
+    val b1 = toDf(Seq(Upd("tu1", "t1", "r1", "08:00:00", Seq(1 -> "s1"), 100L)))
+
+    GtfsRtPipeline.applyBatch(b1, trips, stus, store, 7200L, tag = Some("ck-0"))
+    val v1 = store.latestVersion.get
+    val s1 = store.read(spark).get.collect().map(_.getAs[String]("trip_update_id")).toSeq
+
+    // crash-replay: the SAME batch re-applied with the same tag must
+    // not publish a second version (the tag committed with v1)
+    GtfsRtPipeline.applyBatch(b1, trips, stus, store, 7200L, tag = Some("ck-0"))
+    assert(store.latestVersion.get == v1, "replayed batch published nothing")
+
+    // the NEXT batch (new tag) applies normally
+    val b2 = toDf(Seq(Upd("tu1", "t1", "r1", "08:00:00", Seq(1 -> "s1"), 200L)))
+    GtfsRtPipeline.applyBatch(b2, trips, stus, store, 7200L, tag = Some("ck-1"))
+    assert(store.latestVersion.get == v1 + 1)
+    assert(store.read(spark).get.collect().map(_.getAs[Long]("last_updated_ts")).toSeq == Seq(200L))
+    assert(s1 == Seq("tu1"))
+  }
+
+  test("checkpointed restart resumes from committed offsets over the durable store") {
+    import spark.implicits._
+    val inDir = java.nio.file.Files.createTempDirectory("rt_ckpt_in").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("rt_ckpt").toString
+    val stateDir = java.nio.file.Files.createTempDirectory("rt_ckpt_state").toString
+    val store = new GtfsRtPipeline.ParquetStateStore(stateDir)
+
+    def startQuery() = {
+      val lines = spark.readStream.schema("value STRING").format("text").load(inDir)
+      GtfsRtPipeline.start(UpdateWire.parseUpdates(lines),
+        feed.table("trips"), feed.table("stop_times"), store,
+        ttlSeconds = 7200L, checkpointDir = Some(ckpt))
+    }
+    def payload(id: String, ts: Long): String =
+      s"""{"trip_update_id":"$id","trip_id":"t1","route_id":"r1","start_time":"08:00:00",""" +
+        s""""stop_time_updates":[{"stop_sequence":1,"stop_id":"s1"}],"event_ts":$ts}"""
+
+    Seq(payload("tu1", 100L)).toDF("value").coalesce(1)
+      .write.mode("append").text(inDir)
+    var q = startQuery()
+    try {
+      q.processAllAvailable()
+      assert(store.read(spark).get.collect().map(_.getAs[Long]("last_updated_ts")).toSeq
+        == Seq(100L))
+      val v1 = store.latestVersion.get
+      q.stop() // kill between micro-batches
+
+      Seq(payload("tu1", 200L)).toDF("value").coalesce(1)
+        .write.mode("append").text(inDir)
+      q = startQuery() // resume from the SAME checkpoint
+      q.processAllAvailable()
+      val rows = store.read(spark).get.collect()
+      assert(rows.map(_.getAs[Long]("last_updated_ts")).toSeq == Seq(200L),
+        "resumed query processed only the new file and merged onto durable state")
+      assert(store.latestVersion.get == v1 + 1,
+        "exactly one new version for the one new batch (no replay double-merge)")
+    } finally q.stop()
+  }
 }

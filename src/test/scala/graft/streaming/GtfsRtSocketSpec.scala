@@ -38,29 +38,35 @@ class GtfsRtSocketSpec extends AnyFunSuite with SparkTestBase {
     snap
   }
 
-  test("socket transport: payloads -> wire parse -> match -> latest state + TTL -> feed") {
+  test("socket transport with a kill between micro-batches: parse -> match -> latest state + TTL -> feed") {
     val server = new ServerSocket(0) // the "broker": ephemeral port
     val port = server.getLocalPort
     val stateDir = java.nio.file.Files.createTempDirectory("rt_sock_state").toString
     val store = new GtfsRtPipeline.ParquetStateStore(stateDir)
 
-    // the socket source connects as a client; accept on a feeder
-    // thread and keep the write half open across both batches
+    // the socket source connects as a client; the feeder loop accepts
+    // every (re)connection — a KILLED query's restart connects anew
     @volatile var out: PrintWriter = null
     val feeder = new Thread(() => {
-      val sock = server.accept()
-      out = new PrintWriter(sock.getOutputStream, true)
+      while (!server.isClosed) {
+        try {
+          val sock = server.accept()
+          out = new PrintWriter(sock.getOutputStream, true)
+        } catch { case _: java.io.IOException => () } // server closed
+      }
     })
     feeder.setDaemon(true)
     feeder.start()
 
-    val lines = spark.readStream
-      .format("socket")
-      .option("host", "localhost").option("port", port)
-      .load()
-    val updates = UpdateWire.parseUpdates(lines)
-    val q = GtfsRtPipeline.start(updates, feed.table("trips"), feed.table("stop_times"),
-      store, ttlSeconds = 7200L)
+    def startQuery() = {
+      val lines = spark.readStream
+        .format("socket")
+        .option("host", "localhost").option("port", port)
+        .load()
+      GtfsRtPipeline.start(UpdateWire.parseUpdates(lines),
+        feed.table("trips"), feed.table("stop_times"), store, ttlSeconds = 7200L)
+    }
+    var q = startQuery()
     try {
       // ---- batch 1: direct match, candidate match, unmatchable, junk
       val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
@@ -79,8 +85,21 @@ class GtfsRtSocketSpec extends AnyFunSuite with SparkTestBase {
       assert(m1("tu2") == "t1", "vehicle-keyed update candidate-matched to t1")
       val v1 = store.latestVersion.get
 
-      // ---- batch 2 (a later micro-batch: state version must advance):
-      // newer tu1 moves event time past the TTL window — tu2 ages out
+      // ---- CRASH between micro-batches: kill the query, resume with
+      // a fresh one over the SAME durable store. The versioned state
+      // survives the process boundary — the resumed loop must build on
+      // it exactly as an uninterrupted run would.
+      q.stop()
+      out = null
+      q = startQuery()
+      val reconnect = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (out == null && System.nanoTime() < reconnect) Thread.sleep(50)
+      assert(out != null, "restarted socket source never reconnected")
+      assert(store.latestVersion.get == v1, "state untouched across the kill")
+
+      // ---- batch 2 (the resumed query's micro-batch: state version
+      // must advance): newer tu1 moves event time past the TTL
+      // window — tu2 ages out
       out.println(payload("tu1", "t1", 7301L))
       val s2 = awaitState(store)(s => s.get("tu1").contains(7301L) && !s.contains("tu2"))
       assert(s2 == Map("tu1" -> 7301L),
