@@ -58,6 +58,7 @@ object Main {
               case "export" => cmdExport(spark, db, opts, emit)
               case "sql"    => cmdSql(spark, db, opts, emit)
               case "show"   => cmdShow(spark, db, opts, emit)
+              case "realtime" => cmdRealtime(spark, db, opts, emit)
               case other    => emit(s"unknown command: $other"); emit(usage); 2
             }
         }
@@ -72,7 +73,8 @@ object Main {
       |  drop   DATABASE [-i|--inputs SUBSET_DB]... [-s|--strategy match_stop_id]
       |  export DATABASE -o|--output <dir-or-zip>
       |  sql    DATABASE [-f|--files SQLFILE]...
-      |  show   DATABASE -d|--date YYYYMMDD [-n|--num-results N] [-f|--full-trips BOOL] [-o|--output CSV]""".stripMargin
+      |  show   DATABASE -d|--date YYYYMMDD [-n|--num-results N] [-f|--full-trips BOOL] [-o|--output CSV]
+      |  realtime DATABASE [-c|--config CONFIG_YAML] -o|--output DIR""".stripMargin
 
   /** click-style options: every option may repeat; values collect in
     * order. Short and long forms normalize to the long name.
@@ -86,7 +88,8 @@ object Main {
     "-o" -> "output", "--output" -> "output",
     "-f" -> "files", "--files" -> "files", "--full-trips" -> "files",
     "-d" -> "date", "--date" -> "date",
-    "-n" -> "num-results", "--num-results" -> "num-results")
+    "-n" -> "num-results", "--num-results" -> "num-results",
+    "-c" -> "config", "--config" -> "config")
 
   private def parseOpts(args: Seq[String]): Map[String, Seq[String]] =
     args.grouped(2).foldLeft(Map.empty[String, Seq[String]]) {
@@ -231,6 +234,60 @@ object Main {
             val rows = trips.limit(numResults).collect()
             emit(s"found ${rows.length} ($numResults shown) results")
             rows.foreach(r => emit(r.mkString(",")))
+        }
+        0
+    }
+
+  /** Open the database's REALTIME tables (absent → empty, like
+    * openDb). Kept separate from GtfsFeed, which models the static
+    * dataset.
+    */
+  def openRealtimeTables(spark: SparkSession, db: String): Map[String, org.apache.spark.sql.DataFrame] =
+    GtfsSchemas.realtimeTables.map { case (name, schema) =>
+      val p = Paths.get(db, s"$name.parquet")
+      val df =
+        if (Files.exists(p))
+          GtfsLake.alignToSchema(spark.read.parquet(p.toString), schema)
+        else
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      name -> df
+    }
+
+  /** One-shot realtime serve (__main__.py's `realtime` subcommand
+    * loads the YAML config and mounts the server; the transport shell
+    * is out of scope, so this renders every configured route once
+    * into --output and prints the routing table). Config-wired:
+    * routing endpoints, RSS gating, response caching all honor the
+    * YAML (graft.util.GraftConfig).
+    */
+  private def cmdRealtime(spark: SparkSession, db: String,
+      opts: Map[String, Seq[String]], emit: String => Unit): Int =
+    opts.get("output").flatMap(_.headOption) match {
+      case None => emit("realtime: missing --output"); 2
+      case Some(out) =>
+        val config = opts.get("config").flatMap(_.headOption) match {
+          case Some(f) => graft.util.GraftConfig.fromFile(f)
+          case None => graft.util.GraftConfig.defaults
+        }
+        val rt = openRealtimeTables(spark, db)
+        val app = new graft.gtfs.RealtimeApp(
+          config,
+          () => graft.gtfs.FeedAssembler.alertEntities(
+            rt("realtime_service_alerts"),
+            rt("realtime_alert_active_periods"),
+            rt("realtime_alert_informed_entities")),
+          () => graft.gtfs.FeedAssembler.tripUpdateEntities(
+            rt("realtime_trip_updates"),
+            rt("realtime_trip_stop_time_updates")),
+          () => graft.gtfs.FeedAssembler.vehiclePositionEntities(
+            rt("realtime_vehicle_positions")))
+        Files.createDirectories(Paths.get(out))
+        app.routes.toSeq.sortBy(_._1).foreach { case (endpoint, render) =>
+          val bytes = render()
+          val file = Paths.get(out, endpoint.split('/').filter(_.nonEmpty).mkString("_"))
+          Files.write(file, bytes)
+          emit(s"$endpoint -> $file (${bytes.length} bytes)")
         }
         0
     }

@@ -29,6 +29,39 @@ class MainSpec extends AnyFunSuite with SparkTestBase {
     assert(runCli("load", "/tmp/nope_db")._1 == 2) // missing --input
   }
 
+  test("realtime subcommand renders configured routes from the db's realtime tables") {
+    import spark.implicits._
+    val db = Files.createTempDirectory("graft_rt_db").toString
+    // one alert with an active period in the realtime tables; other
+    // realtime tables stay absent (empty-schema fallback)
+    Seq(("a1", "CONSTRUCTION", "DETOUR", "http://x", "Header A", "Desc A",
+      null.asInstanceOf[String], null.asInstanceOf[String], "WARNING"))
+      .toDF("service_alert_id", "cause", "effect", "url", "header_text",
+        "description_text", "tts_header_text", "tts_description_text", "severity_level")
+      .write.parquet(s"$db/realtime_service_alerts.parquet")
+    Seq(("a1", 100L, 200L))
+      .toDF("service_alert_id", "start_timestamp", "end_timestamp")
+      .write.parquet(s"$db/realtime_alert_active_periods.parquet")
+
+    val cfgFile = Files.createTempFile("graft_rt", ".yaml")
+    Files.writeString(cfgFile,
+      "app:\n  rss_enabled: true\n  routing:\n    service_alerts_endpoint: /rt/sa.pbf\nrss:\n  title: CLI Alerts\n")
+    val out = Files.createTempDirectory("graft_rt_out").toString
+
+    val (code, lines) = runCli("realtime", db, "-c", cfgFile.toString, "-o", out)
+    assert(code == 0)
+    // configured alert endpoint + default trip/vehicle endpoints + rss
+    assert(lines.exists(_.startsWith("/rt/sa.pbf ->")))
+    assert(lines.exists(_.startsWith("/gtfs/realtime/trip-updates.pbf ->")))
+    assert(lines.exists(_.startsWith("/gtfs/realtime/rss.xml ->")))
+    val sa = Files.readAllBytes(Paths.get(out, "rt_sa.pbf"))
+    assert(sa.nonEmpty && sa(0) == 0x0a) // FeedMessage header frame
+    val rss = new String(Files.readAllBytes(Paths.get(out, "gtfs_realtime_rss.xml")))
+    assert(rss.contains("<title>CLI Alerts</title>") && rss.contains("Header A"))
+    // missing --output exits 2
+    assert(runCli("realtime", db)._1 == 2)
+  }
+
   test("load → remove → export → sql → show workflow from argv") {
     val fixture = GtfsFixture.writeTo().toString
     val db = Files.createTempDirectory("graft_cli_db").toString
