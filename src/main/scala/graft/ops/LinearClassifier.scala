@@ -1,0 +1,146 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed linear-classifier TRAINING on hashed bag-of-words
+  * features — the missing half of the quality-classifier story (C41
+  * scores documents under a FIXED model; production pipelines also
+  * have to FIT that model on labeled seed sets: "wikipedia-like vs
+  * random crawl" quality filters, language gates, domain routers).
+  *
+  * The trainer is the batch perceptron: per epoch, every currently
+  * misclassified document contributes `y·x` to the weight update —
+  * `w ← w + Σ_mis y·cnt_b`, `b ← b + Σ_mis y`. All-integer
+  * arithmetic (counts are integers, labels ±1), so training is
+  * bit-exact on any engine and any partitioning — no learning rate,
+  * no float accumulation order, no RNG. Model quality is the usual
+  * linear-classifier story; what matters here is the distributed
+  * shape and the exactness.
+  *
+  * Scale shape (the MLlib-KMeans/BpeTrain pattern): the model is
+  * driver-bounded state (`dim` longs — 8 MB at dim=1M), shipped into
+  * each epoch as an array literal (broadcast-sized, codegen'd
+  * element_at lookups, never a join). Per epoch exactly two
+  * data-sized exchanges, both fixed-width and partial-aggregated:
+  * (1) margins — one (doc,label)-keyed sum of `w[bucket]·cnt`;
+  * (2) gradient — a semi-join of the sparse features against the
+  * misclassified-doc set (AQE broadcasts it as the model converges
+  * — the set SHRINKS every epoch on separable data), then a
+  * `bucket`-keyed partial agg collapsing to ≤ dim rows. Features
+  * tokenize/hash ONCE and persist; epochs never touch text.
+  * Documents with no tokens have no feature rows and are excluded
+  * from the fit on both engines (margin would be bias-only noise).
+  */
+object LinearClassifier {
+
+  /** Fitted model + per-epoch misclassification counts (the training
+    * curve; mistakes(t) is the update size applied at epoch t).
+    */
+  final case class PerceptronModel(weights: Array[Long], bias: Long, mistakes: Seq[Long]) {
+    def weightRows: Seq[(Int, Long)] =
+      weights.toSeq.zipWithIndex.collect { case (w, b) if w != 0L => (b, w) }
+  }
+
+  /** Fit on sparse hashed features joined with labels.
+    *
+    * @param features (doc_id: bigint, bucket: bigint, cnt: bigint) —
+    *                 [[Features.hashedBow]] output
+    * @param labels   (doc_id: bigint, y: int ∈ {-1, +1})
+    * @param dim      feature dimension (buckets in [0, dim))
+    * @param epochs   fixed epoch count (determinism over early-stop)
+    */
+  def fitPerceptron(features: DataFrame, labels: DataFrame, dim: Int, epochs: Int): PerceptronModel = {
+    require(dim > 0 && epochs > 0, "dim and epochs must be positive")
+    val feats = features
+      .join(labels, Seq("doc_id"))
+      .select(col("doc_id"), col("bucket"), col("cnt").cast("long").as("cnt"),
+        col("y").cast("long").as("y"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val w = Array.fill(dim)(0L)
+    var bias = 0L
+    val mistakes = Seq.newBuilder[Long]
+    try {
+      for (_ <- 1 to epochs) {
+        val wLit = lit(w)
+        // (1) integer margin per doc under the current model
+        val margins = feats
+          .groupBy(col("doc_id"), col("y"))
+          .agg(sum(element_at(wLit, (col("bucket") + 1).cast("int")) * col("cnt")).as("dot"))
+          .select(col("doc_id"), col("y"), (col("dot") + bias).as("margin"))
+        val mis = margins.filter(col("y") * col("margin") <= 0)
+          .select(col("doc_id"), col("y"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        try {
+          // (2) gradient: Σ y·cnt per bucket over misclassified docs,
+          // plus the bias/mistake-count row, in one pass
+          val upd = feats
+            .join(mis.select(col("doc_id")), Seq("doc_id"), "left_semi")
+            .groupBy(col("bucket"))
+            .agg(sum(col("y") * col("cnt")).as("gw"))
+            .collect()
+          val Array(biasUpd, nMis) = mis.agg(
+            coalesce(sum(col("y")), lit(0L)), count(lit(1))).collect()(0) match {
+            case r => Array(r.getLong(0), r.getLong(1))
+          }
+          upd.foreach(r => w(r.getLong(0).toInt) += r.getLong(1))
+          bias += biasUpd
+          mistakes += nMis
+        } finally mis.unpersist()
+      }
+    } finally feats.unpersist()
+    PerceptronModel(w, bias, mistakes.result())
+  }
+
+  /** Per-doc integer margin + sign prediction under a fitted model
+    * (the serving path): one bucket-lookup sum per doc, no joins, no
+    * driver state beyond the broadcast weights. Docs with no feature
+    * rows are absent, as in training.
+    */
+  def score(features: DataFrame, model: PerceptronModel): DataFrame = {
+    val wLit = lit(model.weights)
+    features
+      .groupBy(col("doc_id"))
+      .agg(sum(element_at(wLit, (col("bucket") + 1).cast("int")) * col("cnt")).as("dot"))
+      .select(col("doc_id"), (col("dot") + model.bias).as("margin"))
+      .withColumn("pred", when(col("margin") > 0, 1).otherwise(-1))
+  }
+
+  /** DuckDB twin of the full fit, unrolled per epoch (the C7b
+    * integer-Lloyd's oracle pattern): identical integer updates from
+    * the same feats/labels CTEs. Emits per-epoch weight CTEs
+    * `w0..w<epochs>` (bucket, w) and bias CTEs `bias0..`; callers
+    * append their own final SELECT over `w<epochs>`/`bias<epochs>`.
+    * Requires CTEs `feats(doc_id, bucket, cnt)` and
+    * `lab(doc_id, y)` already defined in the WITH chain.
+    */
+  def fitSqlCtes(epochs: Int): String = {
+    val sb = new StringBuilder
+    sb.append("w0(bucket, w) AS (SELECT CAST(NULL AS BIGINT), CAST(NULL AS BIGINT) WHERE 1=0),\n")
+    sb.append("bias0(b) AS (SELECT CAST(0 AS BIGINT)),\n")
+    for (t <- 1 to epochs) {
+      val p = t - 1
+      // every SUM is CAST back to BIGINT — DuckDB sums integers into
+      // HUGEINT, which the §4 decimal rule bans from escaping
+      sb.append(
+        s"""m$t AS (SELECT f.doc_id, l.y,
+           |  CAST(COALESCE(SUM(w.w * f.cnt), 0) + (SELECT b FROM bias$p) AS BIGINT) AS margin
+           |  FROM feats f JOIN lab l USING (doc_id)
+           |  LEFT JOIN w$p w USING (bucket)
+           |  GROUP BY f.doc_id, l.y),
+           |mis$t AS (SELECT doc_id, y FROM m$t WHERE y * margin <= 0),
+           |g$t AS (SELECT f.bucket, CAST(SUM(l.y * f.cnt) AS BIGINT) AS gw
+           |  FROM feats f JOIN mis$t l USING (doc_id) GROUP BY f.bucket),
+           |w$t(bucket, w) AS (
+           |  SELECT COALESCE(w.bucket, g.bucket),
+           |         COALESCE(w.w, 0) + COALESCE(g.gw, 0)
+           |  FROM w$p w FULL OUTER JOIN g$t g ON w.bucket = g.bucket),
+           |bias$t(b) AS (SELECT CAST((SELECT b FROM bias$p) +
+           |  COALESCE((SELECT CAST(SUM(y) AS BIGINT) FROM mis$t), 0) AS BIGINT)),
+           |""".stripMargin)
+    }
+    sb.result().stripSuffix(",\n")
+  }
+}

@@ -1,0 +1,95 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.{Features, LinearClassifier}
+
+/** Round-8 additions: distributed linear-classifier training (batch
+  * perceptron on hashed bag-of-words, exact integer weights) and its
+  * serving-path scorer.
+  */
+object Round8Queries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.read(s, dir, name)
+
+  /** Feature dim + epochs for the classifier queries — small dim
+    * keeps the unrolled oracle readable; exactness is dim-blind.
+    */
+  val ClsDim = 64
+  val ClsEpochs = 3
+
+  /** The training task: an English-vs-rest language gate — labels
+    * derivable identically on both engines from the lang column.
+    */
+  private def labels(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id").cast("bigint").as("doc_id"),
+      when(col("lang") === "en", 1).otherwise(-1).as("y"))
+
+  private def fit(s: SparkSession, dir: String): LinearClassifier.PerceptronModel = {
+    val docs = t(s, dir, "documents")
+    LinearClassifier.fitPerceptron(
+      Features.hashedBow(docs, col("doc_id"), col("text"), ClsDim),
+      labels(docs), ClsDim, ClsEpochs)
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // C99: batch-perceptron fit — final nonzero integer weights.
+    "q_perceptron_train" -> { (s, dir) =>
+      val model = fit(s, dir)
+      import s.implicits._
+      model.weightRows.toDF("bucket", "weight")
+        .select(col("bucket").cast("bigint").as("bucket"), col("weight"))
+        .orderBy(col("bucket"))
+    },
+
+    // C99 serving path: integer margins + sign predictions of the
+    // fitted model over the corpus, with gold labels for inspection.
+    "q_perceptron_score" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val model = fit(s, dir)
+      LinearClassifier.score(
+        Features.hashedBow(docs, col("doc_id"), col("text"), ClsDim), model)
+        .join(labels(docs), Seq("doc_id"))
+        .select(col("doc_id"), col("margin"), col("pred"), col("y"))
+        .orderBy(col("doc_id"))
+    }
+  )
+
+  /** Shared WITH prelude: tokenization/bucketing identical to
+    * q_hashed_bow's oracle, labels from lang.
+    */
+  private def prelude: String =
+    s"""WITH tok AS (SELECT doc_id,
+       |               unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
+       |             FROM documents),
+       |feats AS (SELECT doc_id, bucket, count(*) AS cnt
+       |          FROM (SELECT doc_id, ${Features.bucketSql("tok", ClsDim)} AS bucket
+       |                FROM tok WHERE tok <> '') GROUP BY doc_id, bucket),
+       |lab AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y
+       |        FROM documents),
+       |${LinearClassifier.fitSqlCtes(ClsEpochs)}""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+
+    "q_perceptron_train" ->
+      s"""$prelude
+         |SELECT bucket, w AS weight FROM w$ClsEpochs
+         |WHERE w <> 0 ORDER BY bucket""".stripMargin,
+
+    "q_perceptron_score" ->
+      s"""$prelude
+         |SELECT f.doc_id,
+         |  CAST(COALESCE(SUM(w.w * f.cnt), 0) + (SELECT b FROM bias$ClsEpochs) AS BIGINT) AS margin,
+         |  CASE WHEN COALESCE(SUM(w.w * f.cnt), 0) + (SELECT b FROM bias$ClsEpochs) > 0
+         |       THEN 1 ELSE -1 END AS pred,
+         |  l.y
+         |FROM feats f JOIN lab l USING (doc_id)
+         |LEFT JOIN w$ClsEpochs w USING (bucket)
+         |GROUP BY f.doc_id, l.y
+         |ORDER BY f.doc_id""".stripMargin
+  )
+}

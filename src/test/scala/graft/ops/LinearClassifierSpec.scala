@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+class LinearClassifierSpec extends AnyFunSuite with SparkTestBase {
+
+  import spark.implicits._
+
+  private val Dim = 16
+
+  // linearly separable by construction: positive docs speak "aye",
+  // negatives speak "nay"; shared stopword "the" in both
+  private def docs = Seq(
+    (1L, "aye aye the captain", 1),
+    (2L, "the aye votes aye aye", 1),
+    (3L, "aye the", 1),
+    (4L, "nay nay the motion", -1),
+    (5L, "the nay nay nay", -1),
+    (6L, "nay the nay", -1),
+    (7L, "   ", -1)) // no tokens: excluded from fit and score
+    .toDF("doc_id", "text", "y")
+
+  private def feats = Features.hashedBow(docs, col("doc_id"), col("text"), Dim)
+  private def labels = docs.select(col("doc_id"), col("y"))
+
+  test("separable fixture: mistakes hit zero and predictions match labels") {
+    val model = LinearClassifier.fitPerceptron(feats, labels, Dim, epochs = 6)
+    assert(model.mistakes.last == 0L, s"training curve: ${model.mistakes}")
+    val scored = LinearClassifier.score(feats, model)
+      .join(labels, Seq("doc_id")).collect()
+    assert(scored.length == 6) // doc 7 has no feature rows
+    scored.foreach(r => assert(r.getAs[Int]("pred") == r.getAs[Int]("y"),
+      s"doc ${r.getAs[Long]("doc_id")} predicted wrong"))
+  }
+
+  test("first-epoch update equals the hand-computed all-docs gradient") {
+    // epoch 1 starts from w=0, b=0: every doc has margin 0, y*0 <= 0,
+    // so ALL docs are misclassified and the update is Σ y·cnt per
+    // bucket and Σ y for bias
+    val model = LinearClassifier.fitPerceptron(feats, labels, Dim, epochs = 1)
+    val expected = feats.join(labels, Seq("doc_id"))
+      .groupBy(col("bucket")).agg(sum(col("y") * col("cnt")).as("g"))
+      .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    (0 until Dim).foreach { b =>
+      assert(model.weights(b) == expected.getOrElse(b, 0L), s"bucket $b")
+    }
+    assert(model.bias == 3L - 3L) // 3 positives, 3 labeled negatives with tokens
+    assert(model.mistakes == Seq(6L))
+  }
+
+  test("fit is partitioning-independent (exact integer arithmetic)") {
+    val m1 = LinearClassifier.fitPerceptron(feats.repartition(1), labels, Dim, 3)
+    val m13 = LinearClassifier.fitPerceptron(feats.repartition(13), labels.repartition(5), Dim, 3)
+    assert(m1.weights.toSeq == m13.weights.toSeq)
+    assert(m1.bias == m13.bias && m1.mistakes == m13.mistakes)
+  }
+
+  test("score margins are the exact dot products under the returned model") {
+    val model = LinearClassifier.fitPerceptron(feats, labels, Dim, 2)
+    val margins = LinearClassifier.score(feats, model)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sparse = feats.collect().map(r => (r.getLong(0), r.getLong(1).toInt, r.getLong(2)))
+    val byDoc = sparse.groupBy(_._1).map { case (d, rows) =>
+      d -> (rows.map { case (_, b, c) => model.weights(b) * c }.sum + model.bias)
+    }
+    assert(margins == byDoc)
+  }
+}
