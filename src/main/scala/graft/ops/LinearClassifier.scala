@@ -108,6 +108,53 @@ object LinearClassifier {
       .withColumn("pred", when(col("margin") > 0, 1).otherwise(-1))
   }
 
+  /** Classifier evaluation from (pred, y) pairs: one partial-agg
+    * pass to the four confusion counts, then milli-precision/recall/
+    * F1 in exact integer floor arithmetic (floor-milli everywhere,
+    * F1 from the milli values themselves so both engines divide the
+    * same integers). Zero-denominator cases report -1 (undefined),
+    * never a float NaN.
+    */
+  def evaluate(scored: DataFrame): DataFrame = {
+    val c = scored.agg(
+      sum(when(col("pred") === 1 && col("y") === 1, 1L).otherwise(0L)).as("tp"),
+      sum(when(col("pred") === 1 && col("y") === -1, 1L).otherwise(0L)).as("fp"),
+      sum(when(col("pred") === -1 && col("y") === 1, 1L).otherwise(0L)).as("fn"),
+      sum(when(col("pred") === -1 && col("y") === -1, 1L).otherwise(0L)).as("tn"))
+    def milli(num: Column, den: Column): Column =
+      when(den === 0L, lit(-1L)).otherwise(floor(num * 1000L / den).cast("long"))
+    c.select(
+      col("tp"), col("fp"), col("fn"), col("tn"),
+      milli(col("tp") + col("tn"), col("tp") + col("fp") + col("fn") + col("tn")).as("accuracy_milli"),
+      milli(col("tp"), col("tp") + col("fp")).as("precision_milli"),
+      milli(col("tp"), col("tp") + col("fn")).as("recall_milli"))
+      .withColumn("f1_milli",
+        when(col("precision_milli") < 0 || col("recall_milli") < 0 ||
+          col("precision_milli") + col("recall_milli") === 0L, lit(-1L))
+          .otherwise(floor(lit(2L) * col("precision_milli") * col("recall_milli") /
+            (col("precision_milli") + col("recall_milli"))).cast("long")))
+  }
+
+  /** DuckDB twin of [[evaluate]] over a relation exposing pred and y
+    * columns (same floor-milli integer arithmetic).
+    */
+  def evaluateSql(from: String): String =
+    s"""SELECT tp, fp, fn, tn,
+       |  CASE WHEN tp+fp+fn+tn = 0 THEN -1 ELSE (tp+tn) * 1000 // (tp+fp+fn+tn) END AS accuracy_milli,
+       |  CASE WHEN tp+fp = 0 THEN -1 ELSE tp * 1000 // (tp+fp) END AS precision_milli,
+       |  CASE WHEN tp+fn = 0 THEN -1 ELSE tp * 1000 // (tp+fn) END AS recall_milli,
+       |  CASE WHEN tp+fp = 0 OR tp+fn = 0
+       |         OR (CASE WHEN tp+fp = 0 THEN -1 ELSE tp * 1000 // (tp+fp) END)
+       |          + (CASE WHEN tp+fn = 0 THEN -1 ELSE tp * 1000 // (tp+fn) END) = 0 THEN -1
+       |       ELSE 2 * (tp * 1000 // (tp+fp)) * (tp * 1000 // (tp+fn))
+       |            // ((tp * 1000 // (tp+fp)) + (tp * 1000 // (tp+fn))) END AS f1_milli
+       |FROM (SELECT
+       |  CAST(SUM(CASE WHEN pred = 1 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       |  CAST(SUM(CASE WHEN pred = 1 AND y = -1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       |  CAST(SUM(CASE WHEN pred = -1 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+       |  CAST(SUM(CASE WHEN pred = -1 AND y = -1 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+       |FROM $from)""".stripMargin
+
   /** DuckDB twin of the full fit, unrolled per epoch (the C7b
     * integer-Lloyd's oracle pattern): identical integer updates from
     * the same feats/labels CTEs. Emits per-epoch weight CTEs

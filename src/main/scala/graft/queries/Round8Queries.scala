@@ -56,6 +56,17 @@ object Round8Queries {
         .join(labels(docs), Seq("doc_id"))
         .select(col("doc_id"), col("margin"), col("pred"), col("y"))
         .orderBy(col("doc_id"))
+    },
+
+    // C100: classifier evaluation — exact confusion counts + integer
+    // floor-milli accuracy/precision/recall/F1 of the fitted gate.
+    "q_classifier_eval" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val model = fit(s, dir)
+      LinearClassifier.evaluate(
+        LinearClassifier.score(
+          Features.hashedBow(docs, col("doc_id"), col("text"), ClsDim), model)
+          .join(labels(docs), Seq("doc_id")))
     }
   )
 
@@ -90,6 +101,20 @@ object Round8Queries {
          |FROM feats f JOIN lab l USING (doc_id)
          |LEFT JOIN w$ClsEpochs w USING (bucket)
          |GROUP BY f.doc_id, l.y
-         |ORDER BY f.doc_id""".stripMargin
+         |ORDER BY f.doc_id""".stripMargin,
+
+    "q_classifier_eval" -> {
+      val scoredCte =
+        s"""scored AS (SELECT f.doc_id,
+           |  CASE WHEN COALESCE(SUM(w.w * f.cnt), 0) + (SELECT b FROM bias$ClsEpochs) > 0
+           |       THEN 1 ELSE -1 END AS pred,
+           |  l.y
+           |FROM feats f JOIN lab l USING (doc_id)
+           |LEFT JOIN w$ClsEpochs w USING (bucket)
+           |GROUP BY f.doc_id, l.y)""".stripMargin
+      s"""$prelude,
+         |$scoredCte
+         |${LinearClassifier.evaluateSql("scored")}""".stripMargin
+    }
   )
 }

@@ -58,6 +58,35 @@ class LinearClassifierSpec extends AnyFunSuite with SparkTestBase {
     assert(m1.bias == m13.bias && m1.mistakes == m13.mistakes)
   }
 
+  test("evaluate: hand-checked confusion counts and floor-milli metrics") {
+    val scored = Seq((1, 1), (1, 1), (1, -1), (-1, 1), (-1, -1), (-1, -1), (-1, -1))
+      .toDF("pred", "y") // tp=2 fp=1 fn=1 tn=3
+    val r = LinearClassifier.evaluate(scored).collect()(0)
+    assert((r.getAs[Long]("tp"), r.getAs[Long]("fp"), r.getAs[Long]("fn"), r.getAs[Long]("tn"))
+      == ((2L, 1L, 1L, 3L)))
+    assert(r.getAs[Long]("accuracy_milli") == 714L) // floor(5000/7)
+    assert(r.getAs[Long]("precision_milli") == 666L)
+    assert(r.getAs[Long]("recall_milli") == 666L)
+    assert(r.getAs[Long]("f1_milli") == 666L)
+  }
+
+  test("evaluate: zero denominators report -1, never NaN") {
+    // no positive predictions and no positive labels: precision,
+    // recall, f1 all undefined
+    val allNeg = Seq((-1, -1), (-1, -1)).toDF("pred", "y")
+    val r = LinearClassifier.evaluate(allNeg).collect()(0)
+    assert(r.getAs[Long]("precision_milli") == -1L)
+    assert(r.getAs[Long]("recall_milli") == -1L)
+    assert(r.getAs[Long]("f1_milli") == -1L)
+    assert(r.getAs[Long]("accuracy_milli") == 1000L)
+    // defined precision/recall both zero: f1 undefined (0/0)
+    val allWrong = Seq((1, -1), (-1, 1)).toDF("pred", "y")
+    val r2 = LinearClassifier.evaluate(allWrong).collect()(0)
+    assert(r2.getAs[Long]("precision_milli") == 0L)
+    assert(r2.getAs[Long]("recall_milli") == 0L)
+    assert(r2.getAs[Long]("f1_milli") == -1L)
+  }
+
   test("score margins are the exact dot products under the returned model") {
     val model = LinearClassifier.fitPerceptron(feats, labels, Dim, 2)
     val margins = LinearClassifier.score(feats, model)
