@@ -108,6 +108,60 @@ object LinearClassifier {
       .withColumn("pred", when(col("margin") > 0, 1).otherwise(-1))
   }
 
+  /** Zero-shuffle scoring straight from text — the serving fast
+    * path and the streaming-gate body: each token OCCURRENCE adds
+    * `w[bucket(tok)]`, so the margin is a single `aggregate` over
+    * the token array — Σ_tokens w[bucket] ≡ Σ_buckets w[b]·cnt[b] —
+    * one narrow codegen'd projection, no explode, no groupBy, no
+    * exchange. Bit-equal to [[score]] over [[Features.hashedBow]]
+    * (spec-proved). Docs with no tokens score bias-only here (the
+    * row exists — a projection cannot drop it); `has_tokens` lets
+    * callers reproduce the fit-time exclusion.
+    */
+  def scoreText(df: DataFrame, id: Column, text: Column, dim: Int,
+      model: PerceptronModel): DataFrame =
+    df.select(id.cast("bigint").as("doc_id"),
+      marginExpr(text, dim, model).as("margin"),
+      (size(tokensExpr(text)) > 0).as("has_tokens"))
+      .withColumn("pred", when(col("margin") > 0, 1).otherwise(-1))
+
+  private def tokensExpr(text: Column): Column =
+    filter(split(trim(lower(text)), "\\s+"), t => length(t) > 0)
+
+  /** The margin as a bare column expression — attachable to any
+    * relation (the streaming gate filters on it with no join).
+    */
+  def marginExpr(text: Column, dim: Int, model: PerceptronModel): Column = {
+    val wLit = lit(model.weights)
+    aggregate(tokensExpr(text), lit(model.bias),
+      (acc, t) => acc + element_at(wLit, ((Dedup.md5Hash60(t) % dim) + 1).cast("int")))
+  }
+
+  /** Persist a fitted model as a tiny parquet layout (sparse
+    * (bucket, weight) rows + a bias row under bucket -1) — the C78
+    * persisted-index pattern: fit once on the cluster, serve from
+    * any session.
+    */
+  def saveModel(spark: org.apache.spark.sql.SparkSession, model: PerceptronModel,
+      path: String): Unit = {
+    import spark.implicits._
+    (model.weightRows.map { case (b, w) => (b.toLong, w) } :+ (-1L, model.bias))
+      .toDF("bucket", "weight")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadModel(spark: org.apache.spark.sql.SparkSession, path: String,
+      dim: Int): PerceptronModel = {
+    val rows = spark.read.parquet(path).collect()
+    val w = Array.fill(dim)(0L)
+    var bias = 0L
+    rows.foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      if (b < 0) bias = r.getAs[Long]("weight") else w(b.toInt) = r.getAs[Long]("weight")
+    }
+    PerceptronModel(w, bias, Seq.empty)
+  }
+
   /** Classifier evaluation from (pred, y) pairs: one partial-agg
     * pass to the four confusion counts, then milli-precision/recall/
     * F1 in exact integer floor arithmetic (floor-milli everywhere,
