@@ -162,6 +162,25 @@ object LinearClassifier {
     PerceptronModel(w, bias, Seq.empty)
   }
 
+  /** Active-learning selection: the k LEAST-CONFIDENT docs per group
+    * (smallest |margin| — the docs nearest the decision boundary are
+    * the ones worth a labeling budget; margin-based uncertainty
+    * sampling). Reuses the C66 bounded heap with score = -|margin|,
+    * so the shuffle carries ≤ k ids per (task, group) — never a
+    * whole-group row_number funnel.
+    *
+    * @param scored (doc_id, margin, group) rows
+    * @return (group, rank, doc_id, abs_margin), rank 1 = least
+    *         confident, ties broken by smallest doc_id
+    */
+  def selectUncertain(scored: DataFrame, group: Column, k: Int): DataFrame =
+    scored
+      .groupBy(group.as("grp"))
+      .agg(graft.plans.TopKAgg.topK(-abs(col("margin")), col("doc_id"), k).as("top"))
+      .select(col("grp"), posexplode(col("top")))
+      .select(col("grp"), (col("pos") + 1).cast("bigint").as("rank"),
+        col("col.id").as("doc_id"), (-col("col.score")).as("abs_margin"))
+
   /** Classifier evaluation from (pred, y) pairs: one partial-agg
     * pass to the four confusion counts, then milli-precision/recall/
     * F1 in exact integer floor arithmetic (floor-milli everywhere,

@@ -20,6 +20,7 @@ object Round8Queries {
     */
   val ClsDim = 64
   val ClsEpochs = 3
+  val ActiveK = 5
 
   /** The training task: an English-vs-rest language gate — labels
     * derivable identically on both engines from the lang column.
@@ -56,6 +57,20 @@ object Round8Queries {
         .join(labels(docs), Seq("doc_id"))
         .select(col("doc_id"), col("margin"), col("pred"), col("y"))
         .orderBy(col("doc_id"))
+    },
+
+    // C101: margin-based active learning — the k least-confident
+    // docs per source under the fitted gate (C66 bounded heap on
+    // -|margin|: ≤ k ids per (task, group) through the shuffle).
+    "q_active_select" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val model = fit(s, dir)
+      val scored = LinearClassifier.score(
+        Features.hashedBow(docs, col("doc_id"), col("text"), ClsDim), model)
+        .join(docs.select(col("doc_id").cast("bigint").as("doc_id"), col("source")), Seq("doc_id"))
+      LinearClassifier.selectUncertain(scored, col("source"), ActiveK)
+        .withColumnRenamed("grp", "source")
+        .orderBy(col("source"), col("rank"))
     },
 
     // C100: classifier evaluation — exact confusion counts + integer
@@ -102,6 +117,19 @@ object Round8Queries {
          |LEFT JOIN w$ClsEpochs w USING (bucket)
          |GROUP BY f.doc_id, l.y
          |ORDER BY f.doc_id""".stripMargin,
+
+    "q_active_select" ->
+      s"""$prelude,
+         |sc AS (SELECT f.doc_id, d.source,
+         |  abs(CAST(COALESCE(SUM(w.w * f.cnt), 0) + (SELECT b FROM bias$ClsEpochs) AS BIGINT)) AS am
+         |FROM feats f JOIN documents d USING (doc_id)
+         |LEFT JOIN w$ClsEpochs w USING (bucket)
+         |GROUP BY f.doc_id, d.source)
+         |SELECT source, rank, doc_id, am AS abs_margin FROM (
+         |  SELECT source, doc_id, am,
+         |    row_number() OVER (PARTITION BY source ORDER BY am, doc_id) AS rank
+         |  FROM sc) t
+         |WHERE rank <= $ActiveK ORDER BY source, rank""".stripMargin,
 
     "q_classifier_eval" -> {
       val scoredCte =

@@ -87,6 +87,19 @@ class LinearClassifierSpec extends AnyFunSuite with SparkTestBase {
     assert(r2.getAs[Long]("f1_milli") == -1L)
   }
 
+  test("selectUncertain: least-|margin| k per group, heap == window composition") {
+    val scored = Seq(
+      (1L, 10L, "a"), (2L, -3L, "a"), (3L, 0L, "a"), (4L, -12L, "a"),
+      (5L, 5L, "b"), (6L, -5L, "b"), (7L, 2L, "b"))
+      .toDF("doc_id", "margin", "grp0")
+    val got = LinearClassifier.selectUncertain(scored, col("grp0"), k = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // group a: |0| then |-3|; group b: |2| then |5| (tie |5|,|−5| →
+    // smaller doc_id 5 first)
+    assert(got == Seq(("a", 1L, 3L, 0L), ("a", 2L, 2L, 3L),
+      ("b", 1L, 7L, 2L), ("b", 2L, 5L, 5L)))
+  }
+
   test("score margins are the exact dot products under the returned model") {
     val model = LinearClassifier.fitPerceptron(feats, labels, Dim, 2)
     val margins = LinearClassifier.score(feats, model)
