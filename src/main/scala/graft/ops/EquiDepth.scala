@@ -52,7 +52,7 @@ object EquiDepth {
       .filter(col("v").isNotNull)
       .groupBy(col("v")).agg(count(lit(1)).as("c"))
 
-  private def cumSingle(counts: DataFrame): DataFrame = {
+  private[ops] def cumSingle(counts: DataFrame): DataFrame = {
     val w = Window.orderBy(col("v")).rowsBetween(Window.unboundedPreceding, -1)
     counts.withColumn("cum_before", coalesce(sum(col("c")).over(w), lit(0L)))
   }
@@ -83,7 +83,7 @@ object EquiDepth {
     bucketize(cumPartitioned(counts), counts.agg(sum(col("c")).as("n")), buckets)
   }
 
-  private def cumPartitioned(counts: DataFrame): DataFrame = {
+  private[ops] def cumPartitioned(counts: DataFrame): DataFrame = {
     val mm = counts.agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
     val ranged = counts.crossJoin(broadcast(mm))
       .withColumn("halfstep", expr(s"(hi DIV 2 - lo DIV 2) DIV $PrefixRanges + 1"))

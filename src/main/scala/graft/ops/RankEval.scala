@@ -1,0 +1,125 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Exact distributed AUC — the threshold-free counterpart of C100's
+  * fixed-threshold confusion metrics (a filter's operating threshold
+  * is chosen AFTER training, from precisely this ranking quality;
+  * comparing two candidate quality models at threshold 0 tells you
+  * which crosses zero better, not which ranks better).
+  *
+  * AUC is computed as the Mann-Whitney U statistic with midrank tie
+  * handling (ties get 0.5 credit — the textbook estimator), in EXACT
+  * integer arithmetic: margins are integers (C99), so ranks are
+  * integers once scaled by 2 (`mr2 = 2·cum_before + c + 1` is the
+  * doubled midrank of a tie-group of size c), `2U = Σ_pos mr2 −
+  * 2·Σranks(1..P)` stays integral, and `auc_milli = ⌊1000·2U /
+  * (2PN)⌋` divides identical integers on every engine. No float
+  * enters until never.
+  *
+  * Scale shape (the A40 equi-depth argument): the global order runs
+  * over the DISTINCT-MARGIN histogram, not rows — one partial-agg
+  * shuffle collapses the corpus to (margin, c, p) rows first. The
+  * prefix sum over that histogram is a single small window by
+  * default, or A40's two-pass coarse-range partitioned prefix sum
+  * (`partitionedPrefix = true`) when the distinct-margin domain is
+  * itself huge — same crossover analysis as docs/EQUIDEPTH.md.
+  * The grouped variant partitions every window by group, so nothing
+  * is ever single-partition there.
+  */
+object RankEval {
+
+  /** Global AUC of `margin` against binary `label` (+1 positive,
+    * -1 negative). One row: (p, n, u2, auc_milli); u2 = 2·U exactly.
+    * Degenerate cases (no positives or no negatives) → auc_milli -1.
+    */
+  def aucMilli(scored: DataFrame, margin: Column, label: Column,
+      partitionedPrefix: Boolean = false): DataFrame = {
+    val counts = scored
+      .select(margin.cast("bigint").as("v"),
+        when(label === 1, 1L).otherwise(0L).as("ispos"))
+      .filter(col("v").isNotNull)
+      .groupBy(col("v"))
+      .agg(count(lit(1)).as("c"), sum(col("ispos")).as("p"))
+    val withP = counts.select(col("v"), col("p"))
+    val cum =
+      (if (partitionedPrefix) EquiDepth.cumPartitioned(counts.select(col("v"), col("c")))
+       else EquiDepth.cumSingle(counts.select(col("v"), col("c"))))
+        .join(withP, Seq("v"))
+    finish(cum)
+  }
+
+  /** Per-group AUC: (grp, p, n, u2, auc_milli) — windows partitioned
+    * by group, never global.
+    */
+  def aucMilliByGroup(scored: DataFrame, group: Column, margin: Column,
+      label: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = scored
+      .select(group.as("grp"), margin.cast("bigint").as("v"),
+        when(label === 1, 1L).otherwise(0L).as("ispos"))
+      .filter(col("v").isNotNull)
+      .groupBy(col("grp"), col("v"))
+      .agg(count(lit(1)).as("c"), sum(col("ispos")).as("p"))
+    val w = Window.partitionBy(col("grp")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = counts.withColumn("cum_before", coalesce(sum(col("c")).over(w), lit(0L)))
+    finish(cum, Seq(col("grp")))
+  }
+
+  private def finish(cum: DataFrame, keys: Seq[Column] = Seq.empty): DataFrame = {
+    // doubled midrank of the tie group, weighted by its positives
+    val agg = cum
+      .withColumn("mr2", lit(2L) * col("cum_before") + col("c") + 1L)
+      .groupBy(keys: _*)
+      .agg(
+        sum(col("p")).as("p"),
+        (sum(col("c")) - sum(col("p"))).as("n"),
+        sum(col("p") * col("mr2")).as("sum_pos_mr2"))
+    // u2 ≥ 0 and the divisor > 0, so `div` (integer division, exact
+    // on longs — never the double `/`) equals floor and matches
+    // DuckDB's `//` bit-for-bit. Long-exact while u2·1000 < 2^63,
+    // i.e. P·N < 4.6e15 (~68M positives × 68M negatives); past that,
+    // AUC runs on a sampled eval set — the C94 argument: this is the
+    // metric, not the serving path.
+    agg
+      .withColumn("u2", col("sum_pos_mr2") - col("p") * (col("p") + 1L))
+      .withColumn("auc_milli",
+        when(col("p") === 0L || col("n") === 0L, lit(-1L))
+          .otherwise(expr("(u2 * 1000L) div (2L * p * n)")))
+      .drop("sum_pos_mr2")
+  }
+
+  /** DuckDB twin of [[aucMilli]] / [[aucMilliByGroup]] over a
+    * relation exposing (margin, y) — identical integer arithmetic;
+    * pass group columns for the per-group variant.
+    */
+  def aucSql(from: String, groupCols: Seq[String] = Seq.empty): String = {
+    val g = groupCols.mkString(", ")
+    val gSel = if (groupCols.isEmpty) "" else s"$g, "
+    val gBy = if (groupCols.isEmpty) "" else s"GROUP BY $g"
+    val gPart = if (groupCols.isEmpty) "" else s"PARTITION BY $g"
+    val gOrd = if (groupCols.isEmpty) "" else s"$g,"
+    s"""SELECT ${gSel}p, n, u2,
+       |  CASE WHEN p = 0 OR n = 0 THEN -1
+       |       ELSE (u2 * 1000) // (2 * p * n) END AS auc_milli
+       |FROM (
+       |  SELECT ${gSel}p, n, sum_pos_mr2 - p * (p + 1) AS u2 FROM (
+       |    SELECT ${gSel}
+       |      CAST(SUM(p) AS BIGINT) AS p,
+       |      CAST(SUM(c) - SUM(p) AS BIGINT) AS n,
+       |      CAST(SUM(p * (2 * cum_before + c + 1)) AS BIGINT) AS sum_pos_mr2
+       |    FROM (
+       |      SELECT ${gSel}v, c, p,
+       |        CAST(COALESCE(SUM(c) OVER ($gPart ORDER BY v
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+       |      FROM (
+       |        SELECT ${gSel}margin AS v,
+       |          CAST(count(*) AS BIGINT) AS c,
+       |          CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS p
+       |        FROM $from GROUP BY ${gOrd} margin))
+       |    $gBy))
+       |ORDER BY ${if (groupCols.isEmpty) "p" else g}""".stripMargin
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{Features, LinearClassifier}
+import graft.ops.{Features, LinearClassifier, RankEval}
 
 /** Round-8 additions: distributed linear-classifier training (batch
   * perceptron on hashed bag-of-words, exact integer weights) and its
@@ -59,6 +59,31 @@ object Round8Queries {
         .orderBy(col("doc_id"))
     },
 
+    // C102: exact distributed AUC (Mann-Whitney, midrank ties) of
+    // the fitted gate — global, over the distinct-margin histogram.
+    "q_auc_global" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val model = fit(s, dir)
+      val scored = LinearClassifier.score(
+        Features.hashedBow(docs, col("doc_id"), col("text"), ClsDim), model)
+        .join(labels(docs), Seq("doc_id"))
+      RankEval.aucMilli(scored, col("margin"), col("y"))
+    },
+
+    // C102 grouped: per-source ranking quality (group-partitioned
+    // windows — nothing single-partition).
+    "q_auc_by_source" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val model = fit(s, dir)
+      val scored = LinearClassifier.score(
+        Features.hashedBow(docs, col("doc_id"), col("text"), ClsDim), model)
+        .join(labels(docs), Seq("doc_id"))
+        .join(docs.select(col("doc_id").cast("bigint").as("doc_id"), col("source")), Seq("doc_id"))
+      RankEval.aucMilliByGroup(scored, col("source"), col("margin"), col("y"))
+        .withColumnRenamed("grp", "source")
+        .orderBy(col("source"))
+    },
+
     // C101: margin-based active learning — the k least-confident
     // docs per source under the fitted gate (C66 bounded heap on
     // -|margin|: ≤ k ids per (task, group) through the shuffle).
@@ -99,6 +124,17 @@ object Round8Queries {
        |        FROM documents),
        |${LinearClassifier.fitSqlCtes(ClsEpochs)}""".stripMargin
 
+  /** Margins under the FINAL weights (w<epochs>), joined with labels
+    * — the oracle-side twin of score(...) ∘ hashedBow.
+    */
+  private def finalScoredCte: String =
+    s"""fsc AS (SELECT f.doc_id,
+       |  CAST(COALESCE(SUM(w.w * f.cnt), 0) + (SELECT b FROM bias$ClsEpochs) AS BIGINT) AS margin,
+       |  l.y
+       |FROM feats f JOIN lab l USING (doc_id)
+       |LEFT JOIN w$ClsEpochs w USING (bucket)
+       |GROUP BY f.doc_id, l.y)""".stripMargin
+
   val oracles: Map[String, String] = Map(
 
     "q_perceptron_train" ->
@@ -117,6 +153,18 @@ object Round8Queries {
          |LEFT JOIN w$ClsEpochs w USING (bucket)
          |GROUP BY f.doc_id, l.y
          |ORDER BY f.doc_id""".stripMargin,
+
+    "q_auc_global" ->
+      s"""$prelude,
+         |$finalScoredCte
+         |${RankEval.aucSql("fsc")}""".stripMargin,
+
+    "q_auc_by_source" ->
+      s"""$prelude,
+         |$finalScoredCte,
+         |msrc AS (SELECT m.margin, m.y, d.source
+         |         FROM fsc m JOIN documents d USING (doc_id))
+         |${RankEval.aucSql("msrc", Seq("source"))}""".stripMargin,
 
     "q_active_select" ->
       s"""$prelude,
