@@ -74,20 +74,25 @@ object LinearClassifier {
           .select(col("doc_id"), col("y"))
           .persist(StorageLevel.MEMORY_AND_DISK)
         try {
-          // (2) gradient: Σ y·cnt per bucket over misclassified docs,
-          // plus the bias/mistake-count row, in one pass
+          // (2) gradient: Σ y·cnt per bucket over misclassified docs;
+          // the bias update rides along as pseudo-bucket -1 and the
+          // mistake count as -2, so the whole epoch is ONE driver
+          // action of ≤ dim+2 rows
           val upd = feats
             .join(mis.select(col("doc_id")), Seq("doc_id"), "left_semi")
             .groupBy(col("bucket"))
             .agg(sum(col("y") * col("cnt")).as("gw"))
+            .unionByName(mis.agg(
+              coalesce(sum(col("y")), lit(0L)).as("gw")).select(lit(-1L).as("bucket"), col("gw")))
+            .unionByName(mis.agg(count(lit(1)).as("gw")).select(lit(-2L).as("bucket"), col("gw")))
             .collect()
-          val Array(biasUpd, nMis) = mis.agg(
-            coalesce(sum(col("y")), lit(0L)), count(lit(1))).collect()(0) match {
-            case r => Array(r.getLong(0), r.getLong(1))
+          upd.foreach { r =>
+            r.getLong(0) match {
+              case -1L => bias += r.getLong(1)
+              case -2L => mistakes += r.getLong(1)
+              case b => w(b.toInt) += r.getLong(1)
+            }
           }
-          upd.foreach(r => w(r.getLong(0).toInt) += r.getLong(1))
-          bias += biasUpd
-          mistakes += nMis
         } finally mis.unpersist()
       }
     } finally feats.unpersist()
