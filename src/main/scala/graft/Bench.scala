@@ -77,8 +77,12 @@ object Bench {
     // of the window (BENCH_r07 "parsed": null). Ordering stop() first
     // and muting its logs makes the JSON the final line the process
     // emits (sbt's one [success] trailer aside).
-    spark.sparkContext.setLogLevel("OFF")
-    spark.stop()
+    // stop() is best-effort: a teardown exception must not eat the
+    // result line the driver parses
+    try {
+      spark.sparkContext.setLogLevel("OFF")
+      spark.stop()
+    } catch { case _: Throwable => () }
     System.out.flush()
     println(json)
     System.out.flush()

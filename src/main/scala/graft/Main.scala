@@ -50,7 +50,12 @@ object Main {
         args.tail.headOption match {
           case None => emit(s"$cmd: missing DATABASE argument"); emit(usage); 2
           case Some(db) =>
-            val opts = parseOpts(args.drop(2))
+            val opts =
+              try parseOpts(args.drop(2))
+              catch {
+                case e: IllegalArgumentException =>
+                  emit(s"$cmd: ${e.getMessage}"); emit(usage); return 2
+              }
             cmd match {
               case "load"   => cmdLoad(spark, db, opts, emit)
               case "remove" => cmdRemove(spark, db, opts, emit)
@@ -91,11 +96,20 @@ object Main {
     "-n" -> "num-results", "--num-results" -> "num-results",
     "-c" -> "config", "--config" -> "config")
 
+  /** Strict parse: every token must be a KNOWN flag followed by a
+    * value. A stray positional, a dangling flag, or a typo'd option
+    * raises instead of being silently dropped — `remove db -a pat
+    * extra` must NOT run a partial destructive removal and report
+    * success.
+    */
   private def parseOpts(args: Seq[String]): Map[String, Seq[String]] =
     args.grouped(2).foldLeft(Map.empty[String, Seq[String]]) {
       case (acc, Seq(flag, value)) =>
-        val key = OptNames.getOrElse(flag, flag.dropWhile(_ == '-'))
+        val key = OptNames.getOrElse(flag,
+          throw new IllegalArgumentException(s"unknown option: $flag"))
         acc.updated(key, acc.getOrElse(key, Seq.empty) :+ value)
+      case (_, Seq(dangling)) =>
+        throw new IllegalArgumentException(s"option without value (or stray argument): $dangling")
       case (acc, _) => acc
     }
 

@@ -130,8 +130,11 @@ object LinearClassifier {
       (size(tokensExpr(text)) > 0).as("has_tokens"))
       .withColumn("pred", when(col("margin") > 0, 1).otherwise(-1))
 
+  // null text behaves exactly like empty text (bias-only margin) —
+  // split/aggregate over a null array would otherwise yield a NULL
+  // margin that filters differently from 0 in the streaming gate
   private def tokensExpr(text: Column): Column =
-    filter(split(trim(lower(text)), "\\s+"), t => length(t) > 0)
+    filter(split(trim(lower(coalesce(text, lit("")))), "\\s+"), t => length(t) > 0)
 
   /** The margin as a bare column expression — attachable to any
     * relation (the streaming gate filters on it with no join).
@@ -199,18 +202,20 @@ object LinearClassifier {
       sum(when(col("pred") === 1 && col("y") === -1, 1L).otherwise(0L)).as("fp"),
       sum(when(col("pred") === -1 && col("y") === 1, 1L).otherwise(0L)).as("fn"),
       sum(when(col("pred") === -1 && col("y") === -1, 1L).otherwise(0L)).as("tn"))
-    def milli(num: Column, den: Column): Column =
-      when(den === 0L, lit(-1L)).otherwise(floor(num * 1000L / den).cast("long"))
-    c.select(
-      col("tp"), col("fp"), col("fn"), col("tn"),
-      milli(col("tp") + col("tn"), col("tp") + col("fp") + col("fn") + col("tn")).as("accuracy_milli"),
-      milli(col("tp"), col("tp") + col("fp")).as("precision_milli"),
-      milli(col("tp"), col("tp") + col("fn")).as("recall_milli"))
+    // `div`, never the double `/`: exact integer division on longs,
+    // == DuckDB `//` bit-for-bit at any count magnitude (the RankEval
+    // argument — floor(double) diverges past 2^53)
+    c.select(col("tp"), col("fp"), col("fn"), col("tn"))
+      .withColumn("accuracy_milli",
+        expr("CASE WHEN tp+fp+fn+tn = 0L THEN -1L ELSE ((tp+tn) * 1000L) div (tp+fp+fn+tn) END"))
+      .withColumn("precision_milli",
+        expr("CASE WHEN tp+fp = 0L THEN -1L ELSE (tp * 1000L) div (tp+fp) END"))
+      .withColumn("recall_milli",
+        expr("CASE WHEN tp+fn = 0L THEN -1L ELSE (tp * 1000L) div (tp+fn) END"))
       .withColumn("f1_milli",
         when(col("precision_milli") < 0 || col("recall_milli") < 0 ||
           col("precision_milli") + col("recall_milli") === 0L, lit(-1L))
-          .otherwise(floor(lit(2L) * col("precision_milli") * col("recall_milli") /
-            (col("precision_milli") + col("recall_milli"))).cast("long")))
+          .otherwise(expr("(2L * precision_milli * recall_milli) div (precision_milli + recall_milli)")))
   }
 
   /** DuckDB twin of [[evaluate]] over a relation exposing pred and y

@@ -8,11 +8,16 @@ package graft.util
   *
   * Merge semantics mirror config.py:55-60 exactly, including the
   * Python-truthiness quirk: a leaf whose user value is FALSY (false,
-  * 0, "", null, empty map/list) falls back to the default. Callers
-  * who need to switch a default-true flag off must therefore rely on
-  * defaults that ship false (as the reference's own defaults do for
-  * every boolean a user would want to disable). `strictMerged`
-  * offers the missing-keys-only merge for new code.
+  * 0, "", null, empty map/list) falls back to the default. That
+  * makes the DEFAULT-TRUE switches (match_against_first_stop_id,
+  * remove_invalid_stop_ids, monitor/mqtt/cors enables) impossible to
+  * turn off from YAML — in the reference too: its server inherits
+  * the identical merge, so `remove_invalid_stop_ids: false` never
+  * reaches its matcher either. We mirror the bug for fidelity
+  * (`fromYaml`/`fromFile`); `strictFromYaml` is the escape hatch
+  * where the user's explicit false wins — use it (or construct
+  * MatchConfig directly) when a disabled default-true switch is
+  * actually wanted.
   */
 final class GraftConfig(val root: Map[String, Any]) extends Serializable {
 

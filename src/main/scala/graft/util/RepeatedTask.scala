@@ -35,11 +35,16 @@ final class RepeatedTask(intervalMillis: Long, name: String = "graft-repeated-ta
     }
 
   /** Arm the timer: first tick after one interval (repeatedtimer.py
-    * `start`). Idempotent while running.
+    * `start`). Idempotent while running. Fixed RATE, not fixed
+    * delay: the reference re-arms its Timer BEFORE invoking the
+    * function, so a slow tick delays but never stretches the
+    * cadence; scheduleAtFixedRate matches that (the single scheduler
+    * thread still serializes ticks — an overrunning tick is followed
+    * immediately, never concurrently).
     */
   def start(): Unit = synchronized {
     if (!running) {
-      handle = Some(scheduler.scheduleWithFixedDelay(tick, intervalMillis, intervalMillis, TimeUnit.MILLISECONDS))
+      handle = Some(scheduler.scheduleAtFixedRate(tick, intervalMillis, intervalMillis, TimeUnit.MILLISECONDS))
       running = true
     }
   }
@@ -49,7 +54,7 @@ final class RepeatedTask(intervalMillis: Long, name: String = "graft-repeated-ta
     */
   def startImmediately(): Unit = synchronized {
     if (!running) {
-      handle = Some(scheduler.scheduleWithFixedDelay(tick, 0L, intervalMillis, TimeUnit.MILLISECONDS))
+      handle = Some(scheduler.scheduleAtFixedRate(tick, 0L, intervalMillis, TimeUnit.MILLISECONDS))
       running = true
     }
   }

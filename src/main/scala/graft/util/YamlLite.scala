@@ -79,9 +79,17 @@ object YamlLite {
       if (after.nonEmpty) {
         out(key) = scalar(after)
       } else {
-        // nested block: everything more-indented than this key
+        // nested block: everything more-indented than this key — OR a
+        // block sequence at the SAME indent as the key, which the
+        // YAML spec allows ("key:\n- item") and yaml.safe_load (the
+        // reference's loader) accepts
         if (rest.nonEmpty && rest.head.indent > indent) {
           val (child, r2) = parseBlock(rest, rest.head.indent)
+          out(key) = child
+          rest = r2
+        } else if (rest.nonEmpty && rest.head.indent == indent &&
+          (rest.head.text.startsWith("- ") || rest.head.text == "-")) {
+          val (child, r2) = parseList(rest, indent)
           out(key) = child
           rest = r2
         } else out(key) = null

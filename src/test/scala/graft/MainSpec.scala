@@ -29,6 +29,17 @@ class MainSpec extends AnyFunSuite with SparkTestBase {
     assert(runCli("load", "/tmp/nope_db")._1 == 2) // missing --input
   }
 
+  test("strict options: stray positionals and unknown flags exit 2, nothing runs") {
+    val db = Files.createTempDirectory("graft_strict_db").toString
+    // stray trailing pattern after a paired flag — must NOT silently
+    // run a partial destructive removal
+    val (c1, out1) = runCli("remove", db, "-a", "ag2", "extraPattern")
+    assert(c1 == 2 && out1.exists(_.contains("stray argument")))
+    val (c2, out2) = runCli("remove", db, "--agences", "x")
+    assert(c2 == 2 && out2.exists(_.contains("unknown option")))
+    assert(!Files.exists(Paths.get(db, "routes.parquet"))) // nothing was written
+  }
+
   test("realtime subcommand renders configured routes from the db's realtime tables") {
     import spark.implicits._
     val db = Files.createTempDirectory("graft_rt_db").toString

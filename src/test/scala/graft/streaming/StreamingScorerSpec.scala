@@ -46,6 +46,20 @@ class StreamingScorerSpec extends AnyFunSuite with SparkTestBase {
     assert(viaText(23L) == ((model.bias, false)))
   }
 
+  test("null text scores exactly like empty text (bias-only, never NULL margin)") {
+    val docs = Seq((31L, null.asInstanceOf[String]), (32L, ""), (33L, "aye"))
+      .toDF("doc_id", "text")
+    val scored = LinearClassifier.scoreText(docs, col("doc_id"), col("text"), Dim, model)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(scored(31L) == ((model.bias, false)))
+    assert(scored(31L) == scored(32L))
+    // and the gate treats both representations identically
+    val g = StreamingScorer.gate(model, Dim)
+    val kept = g.accept(docs, col("text")).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept.contains(31L) == kept.contains(32L))
+  }
+
   test("model save/load round-trips and scores identically") {
     val path = java.nio.file.Files.createTempDirectory("pmodel").toString + "/m"
     LinearClassifier.saveModel(spark, model, path)

@@ -67,6 +67,17 @@ class ConfigSpec extends AnyFunSuite {
     assert(rss("media_url") == null)
   }
 
+  test("YamlLite: block sequence at the key's own indent (yaml.safe_load style)") {
+    val root = YamlLite.parse(
+      "feeds:\n- topic: a\n  kind: x\n- topic: b\nplain:\n- 1\n- 2\nafter: ok\n")
+      .asInstanceOf[Map[String, Any]]
+    val feeds = root("feeds").asInstanceOf[List[Any]]
+    assert(feeds.size == 2)
+    assert(feeds.head.asInstanceOf[Map[String, Any]] == Map("topic" -> "a", "kind" -> "x"))
+    assert(root("plain") == List(1L, 2L))
+    assert(root("after") == "ok")
+  }
+
   test("YamlLite scalar typing and flow edge cases") {
     val root = YamlLite.parse(
       "a: 1.5\nb: -7\nc: ~\nd: \"x: y\"\ne: []\nf: [1, 2.0, true, 'z']\n")
