@@ -170,6 +170,43 @@ object LinearClassifier {
     PerceptronModel(w, bias, Seq.empty)
   }
 
+  /** One-vs-all multiclass: L independent binary fits (class vs
+    * rest), each the exact integer perceptron — the trained
+    * counterpart of C8's heuristic language ID. The driver loop is
+    * over CLASSES (bounded, like centroids), not data; features are
+    * fit-ready once and shared across all L fits via the caller's
+    * persist.
+    */
+  def fitOneVsAll(features: DataFrame, classLabels: DataFrame, classes: Seq[String],
+      dim: Int, epochs: Int): Seq[(String, PerceptronModel)] =
+    classes.map { cls =>
+      val binary = classLabels.select(col("doc_id"),
+        when(col("cls") === cls, 1).otherwise(-1).as("y"))
+      cls -> fitPerceptron(features, binary, dim, epochs)
+    }
+
+  /** Argmax prediction under one-vs-all models: per-class margins
+    * come from ONE aggregation pass (L lookup-sums over the same
+    * sparse rows — a single doc-keyed shuffle, not L), the winner is
+    * the (margin DESC, class ASC) minimum of a struct — deterministic
+    * ties, partial-aggregable, no window.
+    */
+  def predictOneVsAll(features: DataFrame, models: Seq[(String, PerceptronModel)]): DataFrame = {
+    val marginCols = models.map { case (cls, m) =>
+      val wLit = lit(m.weights)
+      (sum(element_at(wLit, (col("bucket") + 1).cast("int")) * col("cnt")) + m.bias)
+        .as(s"m_$cls")
+    }
+    val perDoc = features.groupBy(col("doc_id")).agg(marginCols.head, marginCols.tail: _*)
+    val candidates = array(models.map { case (cls, _) =>
+      struct((-col(s"m_$cls")).as("neg"), lit(cls).as("cls"))
+    }: _*)
+    perDoc
+      .withColumn("best", array_min(candidates))
+      .select(col("doc_id"), col("best.cls").as("pred_cls"),
+        (-col("best.neg")).as("margin"))
+  }
+
   /** Active-learning selection: the k LEAST-CONFIDENT docs per group
     * (smallest |margin| — the docs nearest the decision boundary are
     * the ones worth a labeling budget; margin-based uncertainty
@@ -246,29 +283,29 @@ object LinearClassifier {
     * Requires CTEs `feats(doc_id, bucket, cnt)` and
     * `lab(doc_id, y)` already defined in the WITH chain.
     */
-  def fitSqlCtes(epochs: Int): String = {
+  def fitSqlCtes(epochs: Int, prefix: String = "", labCte: String = "lab"): String = {
     val sb = new StringBuilder
-    sb.append("w0(bucket, w) AS (SELECT CAST(NULL AS BIGINT), CAST(NULL AS BIGINT) WHERE 1=0),\n")
-    sb.append("bias0(b) AS (SELECT CAST(0 AS BIGINT)),\n")
+    sb.append(s"${prefix}w0(bucket, w) AS (SELECT CAST(NULL AS BIGINT), CAST(NULL AS BIGINT) WHERE 1=0),\n")
+    sb.append(s"${prefix}bias0(b) AS (SELECT CAST(0 AS BIGINT)),\n")
     for (t <- 1 to epochs) {
       val p = t - 1
       // every SUM is CAST back to BIGINT — DuckDB sums integers into
       // HUGEINT, which the §4 decimal rule bans from escaping
       sb.append(
-        s"""m$t AS (SELECT f.doc_id, l.y,
-           |  CAST(COALESCE(SUM(w.w * f.cnt), 0) + (SELECT b FROM bias$p) AS BIGINT) AS margin
-           |  FROM feats f JOIN lab l USING (doc_id)
-           |  LEFT JOIN w$p w USING (bucket)
+        s"""${prefix}m$t AS (SELECT f.doc_id, l.y,
+           |  CAST(COALESCE(SUM(w.w * f.cnt), 0) + (SELECT b FROM ${prefix}bias$p) AS BIGINT) AS margin
+           |  FROM feats f JOIN $labCte l USING (doc_id)
+           |  LEFT JOIN ${prefix}w$p w USING (bucket)
            |  GROUP BY f.doc_id, l.y),
-           |mis$t AS (SELECT doc_id, y FROM m$t WHERE y * margin <= 0),
-           |g$t AS (SELECT f.bucket, CAST(SUM(l.y * f.cnt) AS BIGINT) AS gw
-           |  FROM feats f JOIN mis$t l USING (doc_id) GROUP BY f.bucket),
-           |w$t(bucket, w) AS (
+           |${prefix}mis$t AS (SELECT doc_id, y FROM ${prefix}m$t WHERE y * margin <= 0),
+           |${prefix}g$t AS (SELECT f.bucket, CAST(SUM(l.y * f.cnt) AS BIGINT) AS gw
+           |  FROM feats f JOIN ${prefix}mis$t l USING (doc_id) GROUP BY f.bucket),
+           |${prefix}w$t(bucket, w) AS (
            |  SELECT COALESCE(w.bucket, g.bucket),
            |         COALESCE(w.w, 0) + COALESCE(g.gw, 0)
-           |  FROM w$p w FULL OUTER JOIN g$t g ON w.bucket = g.bucket),
-           |bias$t(b) AS (SELECT CAST((SELECT b FROM bias$p) +
-           |  COALESCE((SELECT CAST(SUM(y) AS BIGINT) FROM mis$t), 0) AS BIGINT)),
+           |  FROM ${prefix}w$p w FULL OUTER JOIN ${prefix}g$t g ON w.bucket = g.bucket),
+           |${prefix}bias$t(b) AS (SELECT CAST((SELECT b FROM ${prefix}bias$p) +
+           |  COALESCE((SELECT CAST(SUM(y) AS BIGINT) FROM ${prefix}mis$t), 0) AS BIGINT)),
            |""".stripMargin)
     }
     sb.result().stripSuffix(",\n")

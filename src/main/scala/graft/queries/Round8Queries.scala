@@ -22,6 +22,13 @@ object Round8Queries {
   val ClsEpochs = 3
   val ActiveK = 5
 
+  /** One-vs-all language classes (sorted; fixed on both sides) and
+    * its epoch count — 2 keeps the 5-class unrolled oracle at 10
+    * epoch blocks.
+    */
+  val OvaClasses = Seq("de", "en", "es", "fr", "zh")
+  val OvaEpochs = 2
+
   /** The training task: an English-vs-rest language gate — labels
     * derivable identically on both engines from the lang column.
     */
@@ -57,6 +64,26 @@ object Round8Queries {
         .join(labels(docs), Seq("doc_id"))
         .select(col("doc_id"), col("margin"), col("pred"), col("y"))
         .orderBy(col("doc_id"))
+    },
+
+    // C103: one-vs-all multiclass — a TRAINED language classifier
+    // (5 binary integer-perceptron fits, argmax serving in one
+    // doc-keyed aggregation pass with deterministic ties).
+    "q_ova_lang" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val feats = Features.hashedBow(docs, col("doc_id"), col("text"), ClsDim)
+        .persist()
+      try {
+        val classLabels = docs.select(col("doc_id").cast("bigint").as("doc_id"),
+          col("lang").as("cls"))
+        val models = LinearClassifier.fitOneVsAll(
+          feats, classLabels, OvaClasses, ClsDim, OvaEpochs)
+        LinearClassifier.predictOneVsAll(feats, models)
+          .join(classLabels, Seq("doc_id"))
+          .select(col("doc_id"), col("pred_cls"), col("margin"),
+            col("cls").as("actual"), (col("pred_cls") === col("cls")).as("correct"))
+          .orderBy(col("doc_id"))
+      } finally feats.unpersist()
     },
 
     // C102: exact distributed AUC (Mann-Whitney, midrank ties) of
@@ -153,6 +180,31 @@ object Round8Queries {
          |LEFT JOIN w$ClsEpochs w USING (bucket)
          |GROUP BY f.doc_id, l.y
          |ORDER BY f.doc_id""".stripMargin,
+
+    "q_ova_lang" -> {
+      val classCtes = OvaClasses.map { c =>
+        s"""lab_$c AS (SELECT doc_id, CASE WHEN cls = '$c' THEN 1 ELSE -1 END AS y FROM clsmap),
+           |${LinearClassifier.fitSqlCtes(OvaEpochs, s"${c}_", s"lab_$c")},
+           |sc_$c AS (SELECT f.doc_id,
+           |  CAST(COALESCE(SUM(w.w * f.cnt), 0) + (SELECT b FROM ${c}_bias$OvaEpochs) AS BIGINT) AS margin
+           |  FROM feats f LEFT JOIN ${c}_w$OvaEpochs w USING (bucket)
+           |  GROUP BY f.doc_id)""".stripMargin
+      }.mkString(",\n")
+      val unionAll = OvaClasses
+        .map(c => s"SELECT doc_id, '$c' AS cls, margin FROM sc_$c")
+        .mkString("\nUNION ALL\n")
+      s"""$prelude,
+         |clsmap AS (SELECT doc_id, lang AS cls FROM documents),
+         |$classCtes,
+         |all_m AS ($unionAll),
+         |ranked AS (SELECT doc_id, cls, margin,
+         |  row_number() OVER (PARTITION BY doc_id ORDER BY margin DESC, cls) AS rn
+         |  FROM all_m)
+         |SELECT r.doc_id, r.cls AS pred_cls, r.margin, c.cls AS actual,
+         |  (r.cls = c.cls) AS correct
+         |FROM ranked r JOIN clsmap c USING (doc_id)
+         |WHERE rn = 1 ORDER BY r.doc_id""".stripMargin
+    },
 
     "q_auc_global" ->
       s"""$prelude,

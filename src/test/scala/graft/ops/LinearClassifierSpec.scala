@@ -100,6 +100,28 @@ class LinearClassifierSpec extends AnyFunSuite with SparkTestBase {
       ("b", 1L, 7L, 2L), ("b", 2L, 5L, 5L)))
   }
 
+  test("one-vs-all: separable 3-class fixture predicts every class; ties break alphabetically") {
+    val tri = Seq(
+      (1L, "rouge rouge vin", "fr"), (2L, "vin rouge", "fr"),
+      (3L, "rot rot wein", "de"), (4L, "wein rot", "de"),
+      (5L, "red red wine", "en"), (6L, "wine red", "en"))
+      .toDF("doc_id", "text", "cls")
+    val feats = Features.hashedBow(tri, col("doc_id"), col("text"), Dim)
+    val labels = tri.select(col("doc_id"), col("cls"))
+    val models = LinearClassifier.fitOneVsAll(feats, labels, Seq("de", "en", "fr"), Dim, 6)
+    val preds = LinearClassifier.predictOneVsAll(feats, models)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val want = tri.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(preds == want)
+    // all-zero models (0 epochs of data → fit on empty features):
+    // every margin equal → alphabetically first class wins
+    val zeroModels = Seq("de", "en", "fr").map(_ -> LinearClassifier.PerceptronModel(
+      Array.fill(Dim)(0L), 0L, Seq.empty))
+    val tied = LinearClassifier.predictOneVsAll(feats, zeroModels)
+      .collect().map(_.getString(1)).toSet
+    assert(tied == Set("de"))
+  }
+
   test("score margins are the exact dot products under the returned model") {
     val model = LinearClassifier.fitPerceptron(feats, labels, Dim, 2)
     val margins = LinearClassifier.score(feats, model)
