@@ -170,20 +170,80 @@ object LinearClassifier {
     PerceptronModel(w, bias, Seq.empty)
   }
 
-  /** One-vs-all multiclass: L independent binary fits (class vs
-    * rest), each the exact integer perceptron — the trained
-    * counterpart of C8's heuristic language ID. The driver loop is
-    * over CLASSES (bounded, like centroids), not data; features are
-    * fit-ready once and shared across all L fits via the caller's
-    * persist.
+  /** One-vs-all multiclass: L binary fits (class vs rest), each the
+    * exact integer perceptron — the trained counterpart of C8's
+    * heuristic language ID. FUSED: all L classes update from ONE
+    * margin pass and ONE gradient collect per epoch (L conditional
+    * sums over the same sparse rows), not L separate fit loops — at
+    * corpus scale you never scan the features L times, and at bench
+    * scale the per-epoch job floor is paid once instead of L times.
+    * The per-class arithmetic is independent, so results are
+    * bit-identical to L separate [[fitPerceptron]] runs
+    * (spec-proved).
     */
   def fitOneVsAll(features: DataFrame, classLabels: DataFrame, classes: Seq[String],
-      dim: Int, epochs: Int): Seq[(String, PerceptronModel)] =
-    classes.map { cls =>
-      val binary = classLabels.select(col("doc_id"),
-        when(col("cls") === cls, 1).otherwise(-1).as("y"))
-      cls -> fitPerceptron(features, binary, dim, epochs)
-    }
+      dim: Int, epochs: Int): Seq[(String, PerceptronModel)] = {
+    require(classes.nonEmpty && dim > 0 && epochs > 0)
+    val cached = features
+      .join(classLabels, Seq("doc_id"))
+      .select(col("doc_id"), col("bucket"), col("cnt").cast("long").as("cnt"), col("cls"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val w = classes.map(c => c -> Array.fill(dim)(0L)).toMap
+    val bias = scala.collection.mutable.Map(classes.map(_ -> 0L): _*)
+    val mistakes = scala.collection.mutable.Map(classes.map(_ -> Seq.newBuilder[Long]): _*)
+    def yOf(c: String): Column = when(col("cls") === c, 1L).otherwise(-1L)
+    try {
+      for (_ <- 1 to epochs) {
+        // one margin pass: L lookup-sums over the same rows, then the
+        // per-class misclassification flags
+        val dots = classes.map { c =>
+          sum(element_at(lit(w(c)), (col("bucket") + 1).cast("int")) * col("cnt")).as(s"dot_$c")
+        }
+        val mflags = cached
+          .groupBy(col("doc_id"), col("cls"))
+          .agg(dots.head, dots.tail: _*)
+          .select(col("doc_id") +: col("cls").as("__cls") +: classes.map { c =>
+            (yOf(c) * (col(s"dot_$c") + bias(c)) <= 0L).as(s"mis_$c")
+          }: _*)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        try {
+          // one gradient collect: per-class conditional sums per
+          // bucket, plus bias (-1) and mistake-count (-2) rows
+          val gradCols = classes.map { c =>
+            sum(when(col(s"mis_$c"), yOf(c) * col("cnt")).otherwise(0L)).as(s"g_$c")
+          }
+          val grad = cached.join(mflags, Seq("doc_id"))
+            .groupBy(col("bucket"))
+            .agg(gradCols.head, gradCols.tail: _*)
+          def yOfM(c: String): Column = when(col("__cls") === c, 1L).otherwise(-1L)
+          val biasRow = mflags.agg(
+            sum(when(col(s"mis_${classes.head}"), yOfM(classes.head)).otherwise(0L)).as(s"g_${classes.head}"),
+            classes.tail.map(c =>
+              sum(when(col(s"mis_$c"), yOfM(c)).otherwise(0L)).as(s"g_$c")): _*)
+            .select(lit(-1L).as("bucket") +: classes.map(c => col(s"g_$c")): _*)
+          val misRow = mflags.agg(
+            sum(when(col(s"mis_${classes.head}"), 1L).otherwise(0L)).as(s"g_${classes.head}"),
+            classes.tail.map(c =>
+              sum(when(col(s"mis_$c"), 1L).otherwise(0L)).as(s"g_$c")): _*)
+            .select(lit(-2L).as("bucket") +: classes.map(c => col(s"g_$c")): _*)
+          val upd = grad.unionByName(biasRow).unionByName(misRow).collect()
+          upd.foreach { r =>
+            val b = r.getLong(0)
+            classes.zipWithIndex.foreach { case (c, i) =>
+              val v = if (r.isNullAt(i + 1)) 0L else r.getLong(i + 1)
+              b match {
+                case -1L => bias(c) += v
+                case -2L => mistakes(c) += v
+                case bb => w(c)(bb.toInt) += v
+              }
+            }
+          }
+        } finally mflags.unpersist()
+      }
+    } finally cached.unpersist()
+    classes.map(c => c -> PerceptronModel(w(c), bias(c), mistakes(c).result()))
+  }
 
   /** Argmax prediction under one-vs-all models: per-class margins
     * come from ONE aggregation pass (L lookup-sums over the same

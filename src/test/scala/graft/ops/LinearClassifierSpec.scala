@@ -122,6 +122,25 @@ class LinearClassifierSpec extends AnyFunSuite with SparkTestBase {
     assert(tied == Set("de"))
   }
 
+  test("fused one-vs-all is bit-identical to L separate binary fits") {
+    val tri = Seq(
+      (1L, "rouge rouge vin", "fr"), (2L, "vin rouge", "fr"),
+      (3L, "rot rot wein", "de"), (4L, "wein rot aye", "de"),
+      (5L, "red red wine", "en"), (6L, "wine red vin", "en"))
+      .toDF("doc_id", "text", "cls")
+    val feats = Features.hashedBow(tri, col("doc_id"), col("text"), Dim)
+    val labels = tri.select(col("doc_id"), col("cls"))
+    val fused = LinearClassifier.fitOneVsAll(feats, labels, Seq("de", "en", "fr"), Dim, 4)
+    fused.foreach { case (c, m) =>
+      val solo = LinearClassifier.fitPerceptron(
+        feats,
+        labels.select(col("doc_id"), when(col("cls") === c, 1).otherwise(-1).as("y")),
+        Dim, 4)
+      assert(m.weights.toSeq == solo.weights.toSeq, s"weights for $c")
+      assert(m.bias == solo.bias && m.mistakes == solo.mistakes, s"bias/curve for $c")
+    }
+  }
+
   test("score margins are the exact dot products under the returned model") {
     val model = LinearClassifier.fitPerceptron(feats, labels, Dim, 2)
     val margins = LinearClassifier.score(feats, model)
