@@ -21,7 +21,8 @@ object SparkEntry {
       graft.queries.Round7bQueries.defs ++
       graft.queries.Round7cQueries.defs ++
       graft.queries.Round7dQueries.defs ++
-      graft.queries.Round8Queries.defs
+      graft.queries.Round8Queries.defs ++
+      graft.queries.Round8bQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -36,5 +37,6 @@ object SparkEntry {
       graft.queries.Round7bQueries.oracles ++
       graft.queries.Round7cQueries.oracles ++
       graft.queries.Round7dQueries.oracles ++
-      graft.queries.Round8Queries.oracles
+      graft.queries.Round8Queries.oracles ++
+      graft.queries.Round8bQueries.oracles
 }

@@ -206,7 +206,7 @@ object Dedup {
     minHashLsh(df, id, text, shingleK, numHashes = b * r, bands = b, threshold = threshold)
   }
 
-  private def shingled(df: DataFrame, id: Column, text: Column, shingleK: Int): DataFrame =
+  private[ops] def shingled(df: DataFrame, id: Column, text: Column, shingleK: Int): DataFrame =
     // Shingle sets are referenced by the signature pass and twice by
     // the verify join; signatures feed both sides of the band
     // self-join. Persist both — otherwise projection collapse inlines

@@ -40,4 +40,50 @@ object Splits {
       .withColumn("split",
         Sampling.assignSplit(col("cluster_id").cast("string"), splits))
   }
+
+  /** Stratified k-fold assignment: within every stratum the folds
+    * are EXACTLY balanced (sizes differ by at most one) — the
+    * cross-validation guarantee plain hash-bucketing (C19) cannot
+    * give, because a hash split's per-stratum fold sizes are only
+    * balanced in expectation.
+    *
+    * fold = per-stratum rank of the document's seeded 60-bit hash,
+    * mod k. The rank uses the distributed prefix device from
+    * [[EpochShuffle]] — per-(stratum, hash-range) counts prefix-sum
+    * in a tiny window and broadcast back, within-range ranks are
+    * range-partitioned — so a billion-row stratum never funnels
+    * through one window task the way a naive
+    * row_number() OVER (PARTITION BY stratum) would.
+    *
+    * @return (doc_id, stratum, fold) with fold in [0, k)
+    */
+  def stratifiedKFold(
+      docs: DataFrame,
+      id: Column,
+      stratum: Column,
+      k: Int,
+      seed: String = "kfold"): DataFrame = {
+    require(k >= 2, "k >= 2")
+    import org.apache.spark.sql.expressions.Window
+    val ranges = 256
+    val rangeWidth = Sampling.HashSpace / ranges
+    val rows = docs.select(id.cast("bigint").as("doc_id"), stratum.as("stratum"))
+      .withColumn("hkey",
+        Dedup.md5Hash60(concat(lit(seed + ":"), col("doc_id").cast("string"))))
+      .withColumn("coarse", expr(s"hkey DIV ${rangeWidth}L"))
+
+    val wOff = Window.partitionBy(col("stratum")).orderBy(col("coarse"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = rows.groupBy(col("stratum"), col("coarse"))
+      .agg(count(lit(1)).as("cs"))
+      .withColumn("offset", coalesce(sum(col("cs")).over(wOff), lit(0L)))
+      .select(col("stratum"), col("coarse"), col("offset"))
+
+    val wIn = Window.partitionBy(col("stratum"), col("coarse"))
+      .orderBy(col("hkey"), col("doc_id"))
+    rows.join(broadcast(offsets), Seq("stratum", "coarse"))
+      .withColumn("rank", col("offset") + row_number().over(wIn).cast("bigint") - 1L)
+      .select(col("doc_id"), col("stratum"),
+        (col("rank") % k).cast("int").as("fold"))
+  }
 }
