@@ -22,7 +22,9 @@ object SparkEntry {
       graft.queries.Round7cQueries.defs ++
       graft.queries.Round7dQueries.defs ++
       graft.queries.Round8Queries.defs ++
-      graft.queries.Round8bQueries.defs
+      graft.queries.Round8bQueries.defs ++
+      graft.queries.Round8cQueries.defs ++
+      graft.queries.Round8dQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -38,5 +40,7 @@ object SparkEntry {
       graft.queries.Round7cQueries.oracles ++
       graft.queries.Round7dQueries.oracles ++
       graft.queries.Round8Queries.oracles ++
-      graft.queries.Round8bQueries.oracles
+      graft.queries.Round8bQueries.oracles ++
+      graft.queries.Round8cQueries.oracles ++
+      graft.queries.Round8dQueries.oracles
 }

@@ -1,5 +1,7 @@
 package graft.ops
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -40,6 +42,49 @@ object Profiler {
         col(s"${c}__mn").as("min_val"), col(s"${c}__mx").as("max_val"))
     }
     one.select(explode(array(branches: _*)).as("p")).select(col("p.*"))
+  }
+
+  /** Expected Benford leading-digit shares in micro-units:
+    * round(1e6 * log10(1 + 1/d)) for d = 1..9. Inlined as integer
+    * constants so both engines compare against the identical table.
+    */
+  final val BenfordMicro: Seq[Long] =
+    (1 to 9).map(d => math.round(1e6 * math.log10(1.0 + 1.0 / d)))
+
+  /** Benford leading-digit audit — the classic fabricated-data /
+    * broken-generator smell test for a positive numeric column
+    * (price-like fields should track Benford; uniform synthetics and
+    * copy-paste rows do not). One partial-aggregated groupBy over a
+    * 9-value key; entirely integer (shares in floor-micro units, the
+    * expected table an inlined constant), so it hash-matches any
+    * engine.
+    *
+    * @param units positive INTEGER column (fixed-point the value
+    *              first, e.g. cents via floor(price * 100))
+    * @return per digit 1..9: (digit, n, obs_micro, exp_micro,
+    *         dev_micro = |obs - exp|) ordered by digit
+    */
+  def benfordAudit(df: DataFrame, units: org.apache.spark.sql.Column): DataFrame = {
+    val obs = df.select(units.cast("bigint").as("u"))
+      .filter(col("u") > 0L)
+      .select(substring(col("u").cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val expected = obs.sparkSession.createDataFrame(
+      BenfordMicro.zipWithIndex.map { case (m, i) =>
+        org.apache.spark.sql.Row(i + 1, m)
+      }.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("digit",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("exp_micro",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    val total = obs.agg(sum(col("n")).as("tot"))
+    broadcast(expected).join(obs, Seq("digit"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .crossJoin(broadcast(total))
+      .select(col("digit"), col("n"),
+        expr("(1000000 * n) DIV tot").as("obs_micro"), col("exp_micro"))
+      .withColumn("dev_micro", abs(col("obs_micro") - col("exp_micro")))
   }
 
   /** DuckDB twin of [[profile]] over `table` (UNION ALL per column —

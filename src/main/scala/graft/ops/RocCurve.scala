@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** ROC / precision-recall curve points — the threshold-sweep view of
+  * a scorer's quality that a single AUC number (C102) cannot give:
+  * which cutoff buys which TPR/FPR trade is what a filtering
+  * pipeline actually tunes (e.g. "keep documents the quality scorer
+  * ranks above t" picks t off this curve).
+  *
+  * One point per distinct INTEGER score, descending — callers with a
+  * continuous score bucket it first (floor/fixed-point), which is
+  * also what bounds the curve size independently of the row count.
+  *
+  * Scale shape: the heavy step is a partial-aggregated groupBy on
+  * the score (counts only); the cumulative sweep then runs over at
+  * most |distinct scores| rows — bounded by the caller's score
+  * granularity, NOT the data — so the unpartitioned window is over
+  * a provably small set (the same justification as C87's histogram
+  * device). Totals ride along as a one-row broadcast.
+  *
+  * Determinism: counts are integers; tpr/fpr/precision are single
+  * IEEE divisions of integers rounded 4dp — engine-portable.
+  */
+object RocCurve {
+
+  /** Curve points for predicting `label` by `score >= t`, one row
+    * per distinct score t descending.
+    *
+    * @param score integral-valued column (bucket floats first)
+    * @param label boolean (or 0/1) column
+    * @return (threshold, n_pos, n_neg, cum_tp, cum_fp, tpr, fpr,
+    *         precision) ordered by threshold desc
+    */
+  def points(df: DataFrame, score: Column, label: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perScore = df
+      .select(score.cast("bigint").as("threshold"),
+        label.cast("boolean").as("y"))
+      .groupBy(col("threshold"))
+      .agg(sum(when(col("y"), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(!col("y"), 1L).otherwise(0L)).as("n_neg"))
+
+    val w = Window.orderBy(col("threshold").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = perScore.agg(sum(col("n_pos")).as("tot_pos"),
+      sum(col("n_neg")).as("tot_neg"))
+
+    perScore
+      .withColumn("cum_tp", sum(col("n_pos")).over(w))
+      .withColumn("cum_fp", sum(col("n_neg")).over(w))
+      .crossJoin(broadcast(totals))
+      .select(col("threshold"), col("n_pos"), col("n_neg"),
+        col("cum_tp"), col("cum_fp"),
+        round(col("cum_tp").cast("double") / col("tot_pos"), 4).as("tpr"),
+        round(col("cum_fp").cast("double") / col("tot_neg"), 4).as("fpr"),
+        round(col("cum_tp").cast("double") / (col("cum_tp") + col("cum_fp")), 4)
+          .as("precision"))
+  }
+}
