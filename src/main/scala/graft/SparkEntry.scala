@@ -24,7 +24,9 @@ object SparkEntry {
       graft.queries.Round8Queries.defs ++
       graft.queries.Round8bQueries.defs ++
       graft.queries.Round8cQueries.defs ++
-      graft.queries.Round8dQueries.defs
+      graft.queries.Round8dQueries.defs ++
+      graft.queries.Round8eQueries.defs ++
+      graft.queries.Round8fQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -42,5 +44,7 @@ object SparkEntry {
       graft.queries.Round8Queries.oracles ++
       graft.queries.Round8bQueries.oracles ++
       graft.queries.Round8cQueries.oracles ++
-      graft.queries.Round8dQueries.oracles
+      graft.queries.Round8dQueries.oracles ++
+      graft.queries.Round8eQueries.oracles ++
+      graft.queries.Round8fQueries.oracles
 }

@@ -122,4 +122,67 @@ object RankEval {
        |    $gBy))
        |ORDER BY ${if (groupCols.isEmpty) "p" else g}""".stripMargin
   }
+
+  /** Decile lift / gains table (C118) — the campaign-analysis view of
+    * a ranker: split the population into `k` equal-count score bands
+    * (best margins first), and per band report the positive rate,
+    * cumulative capture share, and lift vs the base rate. Where
+    * C111's ROC sweeps thresholds, the gains table answers "how much
+    * of the signal do the top-N% hold" — the budget question a
+    * selection pipeline (C60) actually asks.
+    *
+    * Banding is the exact C87 histogram-NTILE device on -margin
+    * (never a per-row global sort); band metrics are integer counts;
+    * rates/lift are floor-milli integers, cumulative over k rows.
+    */
+  def liftTable(scored: DataFrame, id: Column, margin: Column, label: Column,
+      k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tiles = PerplexityBuckets.ntileByGroup(
+      scored.select(id.cast("bigint").as("__id"),
+        (-margin).cast("bigint").as("__negm"),
+        when(label.cast("boolean"), 1L).otherwise(0L).as("__y")),
+      lit(1), col("__negm"), col("__id"), k)
+    val withY = tiles.join(
+      scored.select(id.cast("bigint").as("id"),
+        when(label.cast("boolean"), 1L).otherwise(0L).as("__y")),
+      Seq("id"))
+    val bands = withY.groupBy(col("tile").as("band"))
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("n_pos"))
+    val wCum = Window.orderBy(col("band"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    bands
+      .withColumn("cum_pos", sum(col("n_pos")).over(wCum))
+      .withColumn("tot_pos", sum(col("n_pos")).over(wAll))
+      .withColumn("tot_n", sum(col("n")).over(wAll))
+      .select(col("band"), col("n"), col("n_pos"),
+        expr("(1000 * n_pos) DIV n").as("pos_milli"),
+        expr("CASE WHEN tot_pos = 0 THEN -1 ELSE (1000 * cum_pos) DIV tot_pos END")
+          .as("capture_milli"),
+        expr("CASE WHEN tot_pos = 0 THEN -1 ELSE (1000 * n_pos * tot_n) DIV (n * tot_pos) END")
+          .as("lift_milli"))
+  }
+
+  /** DuckDB twin of [[liftTable]] over a relation exposing
+    * (doc_id, margin, y) — DuckDB's builtin ntile over the same
+    * total order produces identical bands (the C87 parity argument).
+    */
+  def liftSql(from: String, k: Int = 10): String =
+    s"""SELECT band, n, n_pos,
+       |  (1000 * n_pos) // n AS pos_milli,
+       |  CASE WHEN sum(n_pos) OVER () = 0 THEN -1
+       |       ELSE CAST((1000 * sum(n_pos) OVER (ORDER BY band ROWS UNBOUNDED PRECEDING))
+       |            // (sum(n_pos) OVER ()) AS BIGINT) END AS capture_milli,
+       |  CASE WHEN sum(n_pos) OVER () = 0 THEN -1
+       |       ELSE CAST((1000 * n_pos * (sum(n) OVER ())) // (n * (sum(n_pos) OVER ())) AS BIGINT)
+       |       END AS lift_milli
+       |FROM (
+       |  SELECT band, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+       |  FROM (
+       |    SELECT CAST(ntile($k) OVER (ORDER BY -margin, doc_id) AS BIGINT) AS band, y
+       |    FROM $from)
+       |  GROUP BY band)
+       |ORDER BY band""".stripMargin
 }

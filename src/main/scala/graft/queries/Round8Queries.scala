@@ -140,7 +140,10 @@ object Round8Queries {
   /** Shared WITH prelude: tokenization/bucketing identical to
     * q_hashed_bow's oracle, labels from lang.
     */
-  private def prelude: String =
+  /** feats + labels WITH-chain head, no fit — composable base for
+    * oracles that run their own (or several) fit chains.
+    */
+  private[queries] def preludeBase: String =
     s"""WITH tok AS (SELECT doc_id,
        |               unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
        |             FROM documents),
@@ -148,13 +151,16 @@ object Round8Queries {
        |          FROM (SELECT doc_id, ${Features.bucketSql("tok", ClsDim)} AS bucket
        |                FROM tok WHERE tok <> '') GROUP BY doc_id, bucket),
        |lab AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y
-       |        FROM documents),
+       |        FROM documents)""".stripMargin
+
+  private[queries] def prelude: String =
+    s"""$preludeBase,
        |${LinearClassifier.fitSqlCtes(ClsEpochs)}""".stripMargin
 
   /** Margins under the FINAL weights (w<epochs>), joined with labels
     * — the oracle-side twin of score(...) ∘ hashedBow.
     */
-  private def finalScoredCte: String =
+  private[queries] def finalScoredCte: String =
     s"""fsc AS (SELECT f.doc_id,
        |  CAST(COALESCE(SUM(w.w * f.cnt), 0) + (SELECT b FROM bias$ClsEpochs) AS BIGINT) AS margin,
        |  l.y
