@@ -58,6 +58,71 @@ object CorpusStats {
       round(col("kl_sum").cast("double") / 1e6, 4).as("kl_vs_corpus"))
   }
 
+  /** Population stability index between two binned score
+    * distributions (C119) — the model-monitoring standard for "has
+    * the scored population shifted since calibration": PSI < 0.1 is
+    * stable, > 0.25 triggers recalibration. The symmetric companion
+    * to [[sourceDrift]]'s KL (PSI = KL(p∥q) + KL(q∥p) over the
+    * bins).
+    *
+    * Per-bin contribution (p−q)·ln(p/q) is always >= 0 and is
+    * quantized to integer micro-nats BEFORE the sum (the KL device
+    * above), so the total is aggregation-order independent. Bins
+    * absent on one side are Laplace-smoothed (+1 on every observed
+    * bin, documented and mirrored in the twin) — the standard way a
+    * PSI survives an empty bin without an epsilon hack.
+    *
+    * One partial-agg groupBy per side over the caller's bin key;
+    * the joined bin table is |bins|-sized.
+    *
+    * @return per bin: (bin, n_ref, n_cur, psi_micro) plus the total
+    *         riding in every row would be redundant — sum
+    *         psi_micro / 1e6 for the headline number
+    */
+  def psi(ref: DataFrame, cur: DataFrame): DataFrame = {
+    val r = ref.select(col("bin").cast("bigint").as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n_ref"))
+    val c = cur.select(col("bin").cast("bigint").as("bin"))
+      .groupBy(col("bin")).agg(count(lit(1)).as("n_cur"))
+    val bins = r.join(c, Seq("bin"), "full_outer")
+      .select(col("bin"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    import org.apache.spark.sql.expressions.Window
+    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val tot = bins
+      .withColumn("t_ref", sum(col("n_ref")).over(wAll))
+      .withColumn("t_cur", sum(col("n_cur")).over(wAll))
+      .withColumn("b", count(lit(1)).over(wAll))
+    val p = (col("n_ref") + 1).cast("double") / (col("t_ref") + col("b"))
+    val q = (col("n_cur") + 1).cast("double") / (col("t_cur") + col("b"))
+    tot.select(col("bin"), col("n_ref"), col("n_cur"),
+      floor((p - q) * log(p / q) * 1e6).cast("bigint").as("psi_micro"))
+  }
+
+  /** DuckDB twin of [[psi]] over CTEs `refb(bin)` / `curb(bin)`;
+    * emits the WITH tail + final SELECT.
+    */
+  def psiSqlTail: String =
+    """r AS (SELECT CAST(bin AS BIGINT) AS bin, count(*) AS n_ref FROM refb GROUP BY 1),
+      |c AS (SELECT CAST(bin AS BIGINT) AS bin, count(*) AS n_cur FROM curb GROUP BY 1),
+      |bins AS (SELECT coalesce(r.bin, c.bin) AS bin,
+      |           CAST(coalesce(n_ref, 0) AS BIGINT) AS n_ref,
+      |           CAST(coalesce(n_cur, 0) AS BIGINT) AS n_cur
+      |         FROM r FULL OUTER JOIN c ON r.bin = c.bin),
+      |tot AS (SELECT bin, n_ref, n_cur,
+      |          CAST(sum(n_ref) OVER () AS BIGINT) AS t_ref,
+      |          CAST(sum(n_cur) OVER () AS BIGINT) AS t_cur,
+      |          CAST(count(*) OVER () AS BIGINT) AS b
+      |        FROM bins)
+      |SELECT bin, n_ref, n_cur,
+      |  CAST(floor(((CAST(n_ref + 1 AS DOUBLE) / (t_ref + b))
+      |        - (CAST(n_cur + 1 AS DOUBLE) / (t_cur + b)))
+      |    * ln((CAST(n_ref + 1 AS DOUBLE) / (t_ref + b))
+      |        / (CAST(n_cur + 1 AS DOUBLE) / (t_cur + b))) * 1e6) AS BIGINT)
+      |    AS psi_micro
+      |FROM tot ORDER BY bin""".stripMargin
+
   /** DuckDB twin of [[sourceDrift]] over `table(source, text)`;
     * final relation is `drift`.
     */
