@@ -26,7 +26,8 @@ object SparkEntry {
       graft.queries.Round8cQueries.defs ++
       graft.queries.Round8dQueries.defs ++
       graft.queries.Round8eQueries.defs ++
-      graft.queries.Round8fQueries.defs
+      graft.queries.Round8fQueries.defs ++
+      graft.queries.Round8gQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -46,5 +47,6 @@ object SparkEntry {
       graft.queries.Round8cQueries.oracles ++
       graft.queries.Round8dQueries.oracles ++
       graft.queries.Round8eQueries.oracles ++
-      graft.queries.Round8fQueries.oracles
+      graft.queries.Round8fQueries.oracles ++
+      graft.queries.Round8gQueries.oracles
 }
