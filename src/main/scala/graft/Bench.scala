@@ -66,25 +66,30 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val loadAfter = loadAvg1m()
-    val json = s"""{"metric":"total","value":${d4(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"loadavg_before":${d4(loadBefore)},"loadavg_after":${d4(loadAfter)}}"""
+    // Full artifact (with the per-query map) goes to the results FILE;
+    // stdout carries only a SHORT summary line. The r7 and r8 captures
+    // both proved the per-query map cannot live on the stdout line: at
+    // 163 queries the one-line JSON (~3.5 KB) outgrew the driver's
+    // tail-capture window and BENCH_r{7,8}.json landed "parsed": null
+    // with the captured tail starting mid-map. The short line (total +
+    // artifact path, ~200 bytes) always fits; the map is read from
+    // SPARK_GRAFT_BENCH_OUT.
+    val fullJson = s"""{"metric":"total","value":${d4(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"loadavg_before":${d4(loadBefore)},"loadavg_after":${d4(loadAfter)}}"""
+    val shortJson = s"""{"metric":"total","value":${d4(total)},"unit":"sec","sf":"$sfDir","passes":$passes,"n_queries":${results.size},"out":"$outFile","loadavg_before":${d4(loadBefore)},"loadavg_after":${d4(loadAfter)}}"""
     try {
       val w = new java.io.PrintWriter(new java.io.File(outFile), "UTF-8")
-      try w.println(json) finally w.close()
-    } catch { case _: Throwable => () } // file copy is best-effort; stdout line is the contract
-    // Print the JSON LAST — after spark.stop(), with logging muted.
-    // The r7 driver capture kept only a tail of the merged output and
-    // the shutdown INFO flood after println pushed the result line out
-    // of the window (BENCH_r07 "parsed": null). Ordering stop() first
-    // and muting its logs makes the JSON the final line the process
-    // emits (sbt's one [success] trailer aside).
-    // stop() is best-effort: a teardown exception must not eat the
-    // result line the driver parses
+      try w.println(fullJson) finally w.close()
+    } catch { case _: Throwable => () }
+    // Print the short JSON LAST — after spark.stop(), with logging
+    // muted, so it is the final line the process emits (sbt's one
+    // [success] trailer aside). stop() is best-effort: a teardown
+    // exception must not eat the result line the driver parses.
     try {
       spark.sparkContext.setLogLevel("OFF")
       spark.stop()
     } catch { case _: Throwable => () }
     System.out.flush()
-    println(json)
+    println(shortJson)
     System.out.flush()
   }
 }

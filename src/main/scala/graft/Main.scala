@@ -91,7 +91,11 @@ object Main {
     "-t" -> "trips", "--trips" -> "trips",
     "-s" -> "strategy", "--strategy" -> "strategy",
     "-o" -> "output", "--output" -> "output",
-    "-f" -> "files", "--files" -> "files", "--full-trips" -> "files",
+    // -f is the shared short form of both --files (sql) and
+    // --full-trips (show), exactly like the reference CLI; normalize
+    // all three to the NEUTRAL key "f" so neither long name masquerades
+    // as the other at the read sites
+    "-f" -> "f", "--files" -> "f", "--full-trips" -> "f",
     "-d" -> "date", "--date" -> "date",
     "-n" -> "num-results", "--num-results" -> "num-results",
     "-c" -> "config", "--config" -> "config")
@@ -215,7 +219,7 @@ object Main {
   private def cmdSql(spark: SparkSession, db: String,
       opts: Map[String, Seq[String]], emit: String => Unit): Int = {
     val feed = openDb(spark, db)
-    opts.getOrElse("files", Seq.empty).foreach { f =>
+    opts.getOrElse("f", Seq.empty).foreach { f =>
       val text = Files.readString(Paths.get(f))
       text.split(";").map(_.trim).filter(_.nonEmpty).foreach { stmt =>
         val result = feed.sql(stmt)
@@ -231,7 +235,7 @@ object Main {
       case None => emit("show: missing --date"); 2
       case Some(d) =>
         val day = LocalDate.parse(d, DateTimeFormatter.BASIC_ISO_DATE)
-        val fullTrips = opts.get("files").flatMap(_.headOption).exists(_.toBoolean)
+        val fullTrips = opts.get("f").flatMap(_.headOption).exists(_.toBoolean)
         val numResults = opts.get("num-results").flatMap(_.headOption).map(_.toInt).getOrElse(200)
         val trips = openDb(spark, db).nominalOperationDayTrips(day, fullTrips)
         opts.get("output").flatMap(_.headOption) match {

@@ -16,18 +16,16 @@ object SparkEntry {
       graft.queries.VectorQueries.defs ++
       graft.queries.PipelineQueries.defs ++
       graft.queries.CorpusQueries.defs ++
-      graft.queries.Round6Queries.defs ++
-      graft.queries.Round7Queries.defs ++
-      graft.queries.Round7bQueries.defs ++
-      graft.queries.Round7cQueries.defs ++
-      graft.queries.Round7dQueries.defs ++
-      graft.queries.Round8Queries.defs ++
-      graft.queries.Round8bQueries.defs ++
-      graft.queries.Round8cQueries.defs ++
-      graft.queries.Round8dQueries.defs ++
-      graft.queries.Round8eQueries.defs ++
-      graft.queries.Round8fQueries.defs ++
-      graft.queries.Round8gQueries.defs
+      graft.queries.DedupQueries.defs ++
+      graft.queries.CurationQueries.defs ++
+      graft.queries.TextKernelQueries.defs ++
+      graft.queries.AnnQueries.defs ++
+      graft.queries.ClassifierQueries.defs ++
+      graft.queries.EvalQueries.defs ++
+      graft.queries.GraphQueries.defs ++
+      graft.queries.LinkageQueries.defs ++
+      graft.queries.AuditQueries.defs ++
+      graft.queries.RelationalQueries.defs
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -37,16 +35,14 @@ object SparkEntry {
       graft.queries.VectorQueries.oracles ++
       graft.queries.PipelineQueries.oracles ++
       graft.queries.CorpusQueries.oracles ++
-      graft.queries.Round6Queries.oracles ++
-      graft.queries.Round7Queries.oracles ++
-      graft.queries.Round7bQueries.oracles ++
-      graft.queries.Round7cQueries.oracles ++
-      graft.queries.Round7dQueries.oracles ++
-      graft.queries.Round8Queries.oracles ++
-      graft.queries.Round8bQueries.oracles ++
-      graft.queries.Round8cQueries.oracles ++
-      graft.queries.Round8dQueries.oracles ++
-      graft.queries.Round8eQueries.oracles ++
-      graft.queries.Round8fQueries.oracles ++
-      graft.queries.Round8gQueries.oracles
+      graft.queries.DedupQueries.oracles ++
+      graft.queries.CurationQueries.oracles ++
+      graft.queries.TextKernelQueries.oracles ++
+      graft.queries.AnnQueries.oracles ++
+      graft.queries.ClassifierQueries.oracles ++
+      graft.queries.EvalQueries.oracles ++
+      graft.queries.GraphQueries.oracles ++
+      graft.queries.LinkageQueries.oracles ++
+      graft.queries.AuditQueries.oracles ++
+      graft.queries.RelationalQueries.oracles
 }

@@ -88,6 +88,15 @@ object CorpusStats {
       .select(col("bin"),
         coalesce(col("n_ref"), lit(0L)).as("n_ref"),
         coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    psiFromCounts(bins)
+  }
+
+  /** [[psi]]'s arithmetic over PRE-AGGREGATED per-bin counts
+    * (bin, n_ref, n_cur) — the form a streaming monitor holds as
+    * durable state (B17's drift-refit trigger accumulates counts
+    * across micro-batches and re-derives the PSI per batch).
+    */
+  def psiFromCounts(bins: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val tot = bins

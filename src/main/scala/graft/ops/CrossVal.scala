@@ -20,10 +20,20 @@ import org.apache.spark.sql.functions._
   */
 object CrossVal {
 
-  /** Every labeled doc scored by the model from the folds it is NOT
-    * in.
+  /** Every labeled doc WITH at least one token scored by the model
+    * from the folds it is NOT in. Labeled docs whose text tokenizes
+    * to nothing carry no hashed-BoW rows and are excluded from the
+    * audit on both engines (there is no lexical evidence to
+    * contradict such a label; a margin for them would be the fold
+    * bias alone).
     *
     * @param labels (doc_id, y) with y in {+1, -1}
+    * @param fitMemo caching hook for the k deterministic fold fits:
+    *        given (fold, fit-thunk) returns the model — the default
+    *        just runs the thunk; query modules inject a session memo
+    *        so repeated audits over the same dataset pay the k
+    *        sequential fit chains once. Semantics-free: the fit is a
+    *        pure function of (data, dim, epochs, k, seed, fold).
     * @return (doc_id, fold, y, margin, pred, suspect) — suspect when
     *         the held-out prediction contradicts y
     */
@@ -35,7 +45,9 @@ object CrossVal {
       dim: Int,
       epochs: Int,
       k: Int,
-      seed: String = "noise"): DataFrame = {
+      seed: String = "noise",
+      fitMemo: (Int, () => LinearClassifier.PerceptronModel) => LinearClassifier.PerceptronModel =
+        (_, mk) => mk()): DataFrame = {
     require(k >= 2, "k >= 2")
     val feats = Features.hashedBow(docs, id, text, dim)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -47,9 +59,9 @@ object CrossVal {
       (0 until k).map { f =>
         // the fit is EAGER (k bounded collects) — scoring plans built
         // after it embed the fold-f weights as literals
-        val model = LinearClassifier.fitPerceptron(feats,
+        val model = fitMemo(f, () => LinearClassifier.fitPerceptron(feats,
           folds.filter(col("fold") =!= f).select(col("doc_id"), col("y")),
-          dim, epochs)
+          dim, epochs))
         val holdout = folds.filter(col("fold") === f)
         LinearClassifier.score(
             feats.join(holdout.select(col("doc_id")), Seq("doc_id"), "left_semi"),

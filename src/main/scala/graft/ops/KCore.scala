@@ -38,17 +38,19 @@ object KCore {
     */
   def core(edges: DataFrame, k: Int, maxRounds: Int = 200): DataFrame = {
     require(k >= 1, "k >= 1")
+    // The peel loop keeps the distinct's own shuffle partitioning:
+    // a fixed coalesce here would either be a no-op (target >= the
+    // shuffle-partition count, the local case) or funnel every
+    // degree count and anti-join round of a LARGE candidate graph
+    // through that many tasks at cluster scale — coalesce only ever
+    // reduces partition count. Peel rounds are launch-bound at test
+    // scale either way; at data scale the partitioning must track
+    // the input.
     var e = edges.select(
         least(col("src").cast("bigint"), col("dst").cast("bigint")).as("a"),
         greatest(col("src").cast("bigint"), col("dst").cast("bigint")).as("b"))
       .filter(col("a") < col("b"))
       .distinct()
-      // narrow squeeze before the loop: peel rounds are LAUNCH-bound
-      // at test scale (fixed-width id pairs), so fewer cached
-      // partitions = fewer tasks per round; at cluster scale the
-      // distinct's own partitioning dominates and this is a no-op
-      // cap, not a funnel (64 partitions of an 8-byte-pair stream)
-      .coalesce(64)
       .localCheckpoint()
     // Per round: ONE degree job (count() — never isEmpty/take(1),
     // which populates the cache only partially and forces the

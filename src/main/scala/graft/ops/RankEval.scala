@@ -21,30 +21,46 @@ import org.apache.spark.sql.functions._
   * Scale shape (the A40 equi-depth argument): the global order runs
   * over the DISTINCT-MARGIN histogram, not rows — one partial-agg
   * shuffle collapses the corpus to (margin, c, p) rows first. The
-  * prefix sum over that histogram is a single small window by
-  * default, or A40's two-pass coarse-range partitioned prefix sum
-  * (`partitionedPrefix = true`) when the distinct-margin domain is
-  * itself huge — same crossover analysis as docs/EQUIDEPTH.md.
-  * The grouped variant partitions every window by group, so nothing
-  * is ever single-partition there.
+  * prefix sum over that histogram picks its strategy from the
+  * MEASURED distinct count (the A40 `histogramAuto` policy and
+  * docs/EQUIDEPTH.md crossover): one small window below the cutoff,
+  * A40's two-pass coarse-range partitioned prefix sum above it — so
+  * the 100×-safe path is the DEFAULT for wide-domain margins, not an
+  * opt-in flag. The grouped variant partitions every window by
+  * group, so nothing is ever single-partition there.
   */
 object RankEval {
 
   /** Global AUC of `margin` against binary `label` (+1 positive,
     * -1 negative). One row: (p, n, u2, auc_milli); u2 = 2·U exactly.
     * Degenerate cases (no positives or no negatives) → auc_milli -1.
+    *
+    * The prefix-sum strategy over the distinct-margin histogram is
+    * picked from the MEASURED distinct count, the A40
+    * `histogramAuto` policy: the (v, c, p) aggregate is persisted
+    * (it feeds the window pass either way — the count() just
+    * materializes it a stage early), and the cumulative pass runs as
+    * ONE small window under `distinctCutoff` distinct margins, or as
+    * A40's two-pass coarse-range partitioned prefix sum above it —
+    * so a huge-domain margin column (e.g. raw 64-bit scores) never
+    * funnels through a single-partition global sort by default.
+    * `partitionedPrefix = true` forces the partitioned path
+    * regardless (spec/debug hook); both paths are bit-identical.
     */
   def aucMilli(scored: DataFrame, margin: Column, label: Column,
-      partitionedPrefix: Boolean = false): DataFrame = {
+      partitionedPrefix: Boolean = false,
+      distinctCutoff: Long = EquiDepth.AutoDistinctCutoff): DataFrame = {
     val counts = scored
       .select(margin.cast("bigint").as("v"),
         when(label === 1, 1L).otherwise(0L).as("ispos"))
       .filter(col("v").isNotNull)
       .groupBy(col("v"))
       .agg(count(lit(1)).as("c"), sum(col("ispos")).as("p"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val usePartitioned = partitionedPrefix || counts.count() > distinctCutoff
     val withP = counts.select(col("v"), col("p"))
     val cum =
-      (if (partitionedPrefix) EquiDepth.cumPartitioned(counts.select(col("v"), col("c")))
+      (if (usePartitioned) EquiDepth.cumPartitioned(counts.select(col("v"), col("c")))
        else EquiDepth.cumSingle(counts.select(col("v"), col("c"))))
         .join(withP, Seq("v"))
     finish(cum)

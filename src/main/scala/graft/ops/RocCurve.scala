@@ -47,14 +47,21 @@ object RocCurve {
     val totals = perScore.agg(sum(col("n_pos")).as("tot_pos"),
       sum(col("n_neg")).as("tot_neg"))
 
+    // Degenerate inputs (no positives / no negatives) get the same
+    // -1.0 sentinel convention as liftTable's capture/lift columns —
+    // never a NaN/Infinity from a 0-total division. precision's
+    // denominator is always >= 1 (every threshold row exists because
+    // at least one input row carried it).
     perScore
       .withColumn("cum_tp", sum(col("n_pos")).over(w))
       .withColumn("cum_fp", sum(col("n_neg")).over(w))
       .crossJoin(broadcast(totals))
       .select(col("threshold"), col("n_pos"), col("n_neg"),
         col("cum_tp"), col("cum_fp"),
-        round(col("cum_tp").cast("double") / col("tot_pos"), 4).as("tpr"),
-        round(col("cum_fp").cast("double") / col("tot_neg"), 4).as("fpr"),
+        when(col("tot_pos") === 0L, lit(-1.0))
+          .otherwise(round(col("cum_tp").cast("double") / col("tot_pos"), 4)).as("tpr"),
+        when(col("tot_neg") === 0L, lit(-1.0))
+          .otherwise(round(col("cum_fp").cast("double") / col("tot_neg"), 4)).as("fpr"),
         round(col("cum_tp").cast("double") / (col("cum_tp") + col("cum_fp")), 4)
           .as("precision"))
   }

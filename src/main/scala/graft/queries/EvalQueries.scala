@@ -1,0 +1,252 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.{ClusterAgreement, Conformal, CorpusStats, CrossVal, Dedup, LinearClassifier, RankEval, RocCurve, Splits}
+
+/** Model/data evaluation queries: exact distributed AUC global and
+  * per-group (C102), fixed-threshold classifier evaluation (C100),
+  * cross-validated label-noise audit (C116), split-conformal
+  * coverage gate (C117), decile lift/gains table (C118), ROC/PR
+  * curve points (C111), PSI score-drift monitor (C119), exact
+  * Adjusted Rand clustering agreement (C120), and stratified k-fold
+  * assignment (C108).
+  *
+  * All queries over the fitted gate share [[ClassifierQueries.fit]]
+  * — one memoized deterministic fit per dataset per session.
+  */
+object EvalQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.read(s, dir, name)
+
+  /** Label-noise audit: folds x epochs sized to keep the unrolled
+    * oracle at 6 fit blocks.
+    */
+  val NoiseFolds = 3
+  val NoiseEpochs = 2
+
+  /** Conformal miscoverage level (alpha = 0.1 -> 90% target). */
+  val ConfAlphaMilli = 100L
+
+  /** Lift table bands. */
+  val LiftBands = 10
+
+  /** PSI bin width over floor(value). */
+  val PsiBinWidth = 50L
+
+  /** ARI perturbation: every 10th doc reassigned to a fresh cell. */
+  val AriMod = 10L
+
+  /** Cross-validation folds. */
+  val KFolds = 5
+
+  private def labels(docs: DataFrame): DataFrame =
+    ClassifierQueries.labels(docs)
+
+  /** Corpus scored by the memoized shared fit, with gold labels. */
+  private def fitScored(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val model = ClassifierQueries.fit(s, dir)
+    LinearClassifier.score(
+        graft.ops.Features.hashedBow(docs, col("doc_id"), col("text"),
+          ClassifierQueries.ClsDim),
+        model)
+      .join(labels(docs), Seq("doc_id"))
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // C102: exact distributed AUC (Mann-Whitney, midrank ties) of
+    // the fitted gate — global, over the distinct-margin histogram.
+    "q_auc_global" -> { (s, dir) =>
+      RankEval.aucMilli(fitScored(s, dir), col("margin"), col("y"))
+    },
+
+    // C102 grouped: per-source ranking quality (group-partitioned
+    // windows — nothing single-partition).
+    "q_auc_by_source" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val scored = fitScored(s, dir)
+        .join(docs.select(col("doc_id").cast("bigint").as("doc_id"), col("source")), Seq("doc_id"))
+      RankEval.aucMilliByGroup(scored, col("source"), col("margin"), col("y"))
+        .withColumnRenamed("grp", "source")
+        .orderBy(col("source"))
+    },
+
+    // C100: classifier evaluation — exact confusion counts + integer
+    // floor-milli accuracy/precision/recall/F1 of the fitted gate.
+    "q_classifier_eval" -> { (s, dir) =>
+      LinearClassifier.evaluate(fitScored(s, dir))
+    },
+
+    // C116: every labeled doc scored by the fold model that never
+    // saw it; a confident contradiction flags the LABEL.
+    "q_label_noise" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      CrossVal.labelNoiseAudit(docs, col("doc_id"), col("text"),
+          labels(docs), ClassifierQueries.ClsDim, NoiseEpochs, NoiseFolds,
+          fitMemo = (f, mk) => Memo.cached(
+            s"noisefold:$dir:${ClassifierQueries.ClsDim}:$NoiseEpochs:$NoiseFolds:$f")(mk()))
+        .orderBy(col("doc_id"))
+    },
+
+    // C117: conformal acceptance threshold calibrated on half the
+    // positives (by id hash), coverage audited on the other half.
+    "q_conformal" -> { (s, dir) =>
+      val pos = fitScored(s, dir).filter(col("y") === 1)
+        .select(col("doc_id"), (-col("margin")).as("s"),
+          (Dedup.md5Hash60(concat(lit("conf:"), col("doc_id").cast("string")))
+            % 2).as("half"))
+      Conformal.coverageAudit(
+        pos.filter(col("half") === 0L).select(col("s")),
+        pos.filter(col("half") === 1L).select(col("s")),
+        ConfAlphaMilli)
+    },
+
+    // C118: decile gains table of the fitted gate — how much of the
+    // English signal the top score bands capture.
+    "q_lift" -> { (s, dir) =>
+      RankEval.liftTable(fitScored(s, dir), col("doc_id"), col("margin"),
+          col("y") === 1, LiftBands)
+        .orderBy(col("band"))
+    },
+
+    // C111: ROC/PR sweep of "value predicts purchase" at integer
+    // thresholds — one curve point per distinct floor(value).
+    "q_roc_points" -> { (s, dir) =>
+      RocCurve.points(t(s, dir, "events"),
+          floor(col("value")), col("event_type") === "purchase")
+        .orderBy(col("threshold"))
+    },
+
+    // C119: has the purchase population's value distribution shifted
+    // vs views — per-bin PSI contributions in exact micro-nats.
+    "q_psi" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      def side(tpe: String) = ev.filter(col("event_type") === tpe)
+        .select(expr(s"CAST(floor(value) AS BIGINT) DIV $PsiBinWidth").as("bin"))
+      CorpusStats.psi(side("view"), side("purchase")).orderBy(col("bin"))
+    },
+
+    // C120: ARI of the language partition against a 10%-perturbed
+    // copy — high-but-not-perfect agreement, exactly quantified.
+    "q_ari" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+      val pa = d.select(col("doc_id").as("id"), col("lang").as("cell"))
+      val pb = d.select(col("doc_id").as("id"),
+        when(col("doc_id") % AriMod === 0, lit("xx"))
+          .otherwise(col("lang")).as("cell"))
+      ClusterAgreement.ariMilli(pa, pb)
+    },
+
+    // C108: stratified 5-fold assignment — folds exactly balanced
+    // within every language stratum.
+    "q_kfold" -> { (s, dir) =>
+      Splits.stratifiedKFold(t(s, dir, "documents"),
+          col("doc_id"), col("lang"), KFolds)
+        .orderBy(col("doc_id"))
+    }
+  )
+
+  private def prelude = ClassifierQueries.prelude
+  private def finalScoredCte = ClassifierQueries.finalScoredCte
+  private def ClsEpochs = ClassifierQueries.ClsEpochs
+
+  val oracles: Map[String, String] = Map(
+
+    "q_auc_global" ->
+      s"""$prelude,
+         |$finalScoredCte
+         |${RankEval.aucSql("fsc")}""".stripMargin,
+
+    "q_auc_by_source" ->
+      s"""$prelude,
+         |$finalScoredCte,
+         |msrc AS (SELECT m.margin, m.y, d.source
+         |         FROM fsc m JOIN documents d USING (doc_id))
+         |${RankEval.aucSql("msrc", Seq("source"))}""".stripMargin,
+
+    "q_classifier_eval" -> {
+      val scoredCte =
+        s"""scored AS (SELECT f.doc_id,
+           |  CASE WHEN COALESCE(SUM(w.w * f.cnt), 0) + (SELECT b FROM bias$ClsEpochs) > 0
+           |       THEN 1 ELSE -1 END AS pred,
+           |  l.y
+           |FROM feats f JOIN lab l USING (doc_id)
+           |LEFT JOIN w$ClsEpochs w USING (bucket)
+           |GROUP BY f.doc_id, l.y)""".stripMargin
+      s"""$prelude,
+         |$scoredCte
+         |${LinearClassifier.evaluateSql("scored")}""".stripMargin
+    },
+
+    "q_label_noise" ->
+      s"""${ClassifierQueries.preludeBase},
+         |${CrossVal.auditSqlTail(NoiseEpochs, NoiseFolds)}""".stripMargin,
+
+    "q_conformal" -> {
+      val h = "('0x' || substr(md5('conf:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 2"
+      s"""$prelude,
+         |$finalScoredCte,
+         |pos AS (SELECT doc_id, -margin AS s, $h AS half FROM fsc WHERE y = 1),
+         |cal AS (SELECT s FROM pos WHERE half = 0),
+         |ev AS (SELECT s FROM pos WHERE half = 1),
+         |${Conformal.coverageAuditSqlTail(ConfAlphaMilli)}""".stripMargin
+    },
+
+    "q_lift" ->
+      s"""$prelude,
+         |$finalScoredCte,
+         |lifted AS (SELECT doc_id, margin, CASE WHEN y = 1 THEN 1 ELSE 0 END AS y
+         |           FROM fsc)
+         |${RankEval.liftSql("lifted", LiftBands)}""".stripMargin,
+
+    "q_roc_points" ->
+      """WITH s AS (SELECT CAST(floor(value) AS BIGINT) AS threshold,
+        |             (event_type = 'purchase') AS y FROM events),
+        |g AS (SELECT threshold,
+        |        CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |        CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS n_neg
+        |      FROM s GROUP BY threshold),
+        |c AS (SELECT threshold, n_pos, n_neg,
+        |        CAST(sum(n_pos) OVER (ORDER BY threshold DESC
+        |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tp,
+        |        CAST(sum(n_neg) OVER (ORDER BY threshold DESC
+        |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_fp
+        |      FROM g),
+        |t AS (SELECT sum(n_pos) AS tot_pos, sum(n_neg) AS tot_neg FROM g)
+        |SELECT threshold, n_pos, n_neg, cum_tp, cum_fp,
+        |  CASE WHEN tot_pos = 0 THEN -1.0
+        |       ELSE round(CAST(cum_tp AS DOUBLE) / tot_pos, 4) END AS tpr,
+        |  CASE WHEN tot_neg = 0 THEN -1.0
+        |       ELSE round(CAST(cum_fp AS DOUBLE) / tot_neg, 4) END AS fpr,
+        |  round(CAST(cum_tp AS DOUBLE) / (cum_tp + cum_fp), 4) AS "precision"
+        |FROM c, t ORDER BY threshold""".stripMargin,
+
+    "q_psi" ->
+      s"""WITH refb AS (SELECT CAST(floor(value) AS BIGINT) // $PsiBinWidth AS bin
+         |              FROM events WHERE event_type = 'view'),
+         |curb AS (SELECT CAST(floor(value) AS BIGINT) // $PsiBinWidth AS bin
+         |         FROM events WHERE event_type = 'purchase'),
+         |${CorpusStats.psiSqlTail}""".stripMargin,
+
+    "q_ari" ->
+      s"""WITH pa AS (SELECT doc_id AS id, lang AS cell FROM documents),
+         |pb AS (SELECT doc_id AS id,
+         |         CASE WHEN doc_id % $AriMod = 0 THEN 'xx' ELSE lang END AS cell
+         |       FROM documents),
+         |${ClusterAgreement.ariSqlTail}""".stripMargin,
+
+    "q_kfold" ->
+      s"""WITH r AS (SELECT doc_id, lang AS stratum,
+         |             ('0x' || substr(md5('kfold:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hkey
+         |           FROM documents)
+         |SELECT doc_id, stratum,
+         |  CAST((row_number() OVER (PARTITION BY stratum ORDER BY hkey, doc_id) - 1)
+         |    % $KFolds AS INTEGER) AS fold
+         |FROM r ORDER BY doc_id""".stripMargin
+  )
+}

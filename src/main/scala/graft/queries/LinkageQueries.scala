@@ -1,0 +1,167 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.ops.{RecordLinkage, SetSimJoin}
+
+/** Entity-resolution queries: prefix-filtered exact set-similarity
+  * join (C104) and Fellegi-Sunter probabilistic record linkage
+  * (C113).
+  */
+object LinkageQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.read(s, dir, name)
+
+  /** Jaccard threshold (milli) for the set-similarity join. */
+  val SetSimTau = 700
+
+  /** Linkage rules: name is the strong identifier; segment and
+    * balance bucket are corroborating weak fields. Milli log-odds.
+    */
+  val LinkRules = Seq(
+    RecordLinkage.FieldRule("name", 4000L, -500L),
+    RecordLinkage.FieldRule("seg", 700L, -200L),
+    RecordLinkage.FieldRule("bal_bucket", 900L, -300L))
+  val LinkMatch = 3000L
+  val LinkPossible = 600L
+
+  /** The set-sim fixture: corpus + exact copies of every 10th doc +
+    * last-2-tokens-truncated copies of every 20th doc with >= 10
+    * tokens (Jaccard (n-4)/(n-2) — high but < 1).
+    */
+  private def setSimCorpus(d: DataFrame): DataFrame = {
+    val toks = split(trim(lower(col("text"))), "\\s+")
+    d.select(col("doc_id"), col("text"))
+      .unionAll(d.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 3000000L).as("doc_id"), col("text")))
+      .unionAll(d.filter(col("doc_id") % 20 === 0 && size(toks) >= 10)
+        .select((col("doc_id") + 4000000L).as("doc_id"),
+          array_join(slice(toks, lit(1), size(toks) - 2), " ").as("text")))
+  }
+
+  /** The perturbed-twin fixture: every 5th name case-mangled, every
+    * 3rd segment replaced — so true pairs split across match /
+    * possible and coincidental same-block agreement lands in
+    * possible.
+    */
+  private[queries] def linkSides(d: DataFrame): (DataFrame, DataFrame) = {
+    val base = d.select(col("c_custkey"), col("c_nationkey"),
+      col("c_name"), col("c_mktsegment"),
+      floor(col("c_acctbal") / 100).cast("bigint").as("bal_bucket"))
+    val left = base.select(col("c_custkey").as("rid"),
+      col("c_nationkey").as("block"), col("c_name").as("name"),
+      col("c_mktsegment").as("seg"), col("bal_bucket"))
+    val right = base.select(
+      (col("c_custkey") + 10000000L).as("rid"),
+      col("c_nationkey").as("block"),
+      when(col("c_custkey") % 5 === 0, upper(col("c_name")))
+        .otherwise(col("c_name")).as("name"),
+      when(col("c_custkey") % 3 === 0, lit("ALTERED"))
+        .otherwise(col("c_mktsegment")).as("seg"),
+      col("bal_bucket"))
+    (left, right)
+  }
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // C104: exact Jaccard >= 0.7 self-join via prefix filtering —
+    // guaranteed-recall dedup without LSH's probabilistic miss.
+    "q_setsim_join" -> { (s, dir) =>
+      SetSimJoin.jaccardJoin(setSimCorpus(t(s, dir, "documents")),
+          col("doc_id"), col("text"), shingleK = 3, tauMilli = SetSimTau)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // C113: Fellegi-Sunter linkage of customer against its perturbed
+    // twin — blocked by nation, integer milli-log-odds evidence.
+    "q_record_linkage" -> { (s, dir) =>
+      val (l, r) = linkSides(t(s, dir, "customer"))
+      RecordLinkage.score(l, r, LinkRules, LinkMatch, LinkPossible)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // C113b: m/u/prevalence ESTIMATION — EM over the agreement-
+    // pattern histogram of the same blocked fixture; name should
+    // come out discriminative (m >> u), the weak fields less so.
+    "q_linkage_em" -> { (s, dir) =>
+      val (l, r) = linkSides(t(s, dir, "customer"))
+      RecordLinkage.estimateEm(l, r, LinkRules.map(_.field), iters = EmIters)
+        .orderBy(col("field_idx"))
+    }
+  )
+
+  /** EM rounds for q_linkage_em (micro-quantized; 3 is past the
+    * point where the fixture's parameters move by > a few micro).
+    */
+  val EmIters = 3
+
+  private val truncToks =
+    "string_split_regex(trim(lower(text)), '\\s+')"
+
+  /** DuckDB sides of the linkage fixture, shared by the score and
+    * (future) estimation twins.
+    */
+  private[queries] val linkBaseSql =
+    """SELECT c_custkey, c_nationkey, c_name, c_mktsegment,
+      |  CAST(floor(c_acctbal / 100) AS BIGINT) AS bal_bucket FROM customer"""
+      .stripMargin
+  private[queries] val linkLeftSql =
+    s"""SELECT c_custkey AS rid, c_nationkey AS block, c_name AS name,
+       |  c_mktsegment AS seg, bal_bucket FROM ($linkBaseSql)""".stripMargin
+  private[queries] val linkRightSql =
+    s"""SELECT c_custkey + 10000000 AS rid, c_nationkey AS block,
+       |  CASE WHEN c_custkey % 5 = 0 THEN upper(c_name) ELSE c_name END AS name,
+       |  CASE WHEN c_custkey % 3 = 0 THEN 'ALTERED' ELSE c_mktsegment END AS seg,
+       |  bal_bucket FROM ($linkBaseSql)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+
+    "q_setsim_join" ->
+      s"""WITH all_docs AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 3000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 4000000 AS doc_id,
+         |    array_to_string(($truncToks)[1:len($truncToks)-2], ' ') AS text
+         |  FROM documents WHERE doc_id % 20 = 0 AND len($truncToks) >= 10),
+         |${TextQueries.shinglesCte},
+         |e AS (SELECT DISTINCT doc_id, ${PipelineQueries.hash60("u.s")} AS h
+         |      FROM sh, unnest(sh.shingles) AS u(s)),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM e GROUP BY doc_id),
+         |dfreq AS (SELECT h, count(*) AS df FROM e GROUP BY h),
+         |rnk AS (SELECT e.doc_id, e.h, s.sz,
+         |          row_number() OVER (PARTITION BY e.doc_id ORDER BY d.df, e.h) AS rnk
+         |        FROM e JOIN dfreq d USING (h) JOIN sizes s USING (doc_id)),
+         |pref AS (SELECT h, doc_id, sz FROM rnk
+         |         WHERE rnk <= sz - (sz * $SetSimTau + 999) // 1000 + 1),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |         FROM pref a JOIN pref b ON a.h = b.h AND a.doc_id < b.doc_id
+         |         WHERE a.sz * 1000 >= b.sz * $SetSimTau
+         |           AND b.sz * 1000 >= a.sz * $SetSimTau),
+         |common AS (SELECT c.id_a, c.id_b, count(*) AS n_common
+         |           FROM cand c
+         |           JOIN e ea ON ea.doc_id = c.id_a
+         |           JOIN e eb ON eb.doc_id = c.id_b AND eb.h = ea.h
+         |           GROUP BY c.id_a, c.id_b)
+         |SELECT m.id_a, m.id_b, CAST(m.n_common AS BIGINT) AS n_common,
+         |  CAST(sa.sz AS BIGINT) AS size_a, CAST(sb.sz AS BIGINT) AS size_b,
+         |  round(CAST(m.n_common AS DOUBLE) / (sa.sz + sb.sz - m.n_common), 4) AS jaccard
+         |FROM common m
+         |JOIN sizes sa ON sa.doc_id = m.id_a
+         |JOIN sizes sb ON sb.doc_id = m.id_b
+         |WHERE m.n_common * 1000 >= (sa.sz + sb.sz - m.n_common) * $SetSimTau
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_record_linkage" ->
+      (RecordLinkage.scoreSql(linkLeftSql, linkRightSql, LinkRules, LinkMatch, LinkPossible) +
+        "\nORDER BY id_a, id_b"),
+
+    "q_linkage_em" ->
+      RecordLinkage.estimateEmSql(linkLeftSql, linkRightSql,
+        LinkRules.map(_.field), iters = 3)
+  )
+}

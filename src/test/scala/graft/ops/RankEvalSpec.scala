@@ -48,6 +48,35 @@ class RankEvalSpec extends AnyFunSuite with SparkTestBase {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("wide-domain margins auto-select the partitioned prefix path (plan proof)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    // 400 distinct margins against a cutoff of 100: the auto policy
+    // must pick the partitioned path WITHOUT the caller opting in.
+    val scored = (1 to 400).map(i => (i.toLong * 7, if (i % 3 == 0) 1 else -1))
+      .toDF("margin", "y")
+    val wide = RankEval.aucMilli(scored, col("margin"), col("y"),
+      distinctCutoff = 100L)
+    val windows = wide.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(windows.nonEmpty)
+    // the per-value prefix sum must be partitioned (by the coarse
+    // range key); any unpartitioned window in the plan may only be
+    // the coarse-offset pass, whose input is <= PrefixRanges+1 rows —
+    // it must order by the coarse key, never by the value itself
+    assert(windows.exists(_.partitionSpec.nonEmpty),
+      "expected a range-partitioned cumulative window")
+    windows.filter(_.partitionSpec.isEmpty).foreach { w =>
+      val ordCols = w.orderSpec.flatMap(_.child.references.map(_.name))
+      assert(!ordCols.contains("v"),
+        s"global single-partition window over the full value histogram: $w")
+    }
+    // and the narrow-domain default stays on the single small window
+    val narrow = RankEval.aucMilli(scored, col("margin"), col("y"))
+    val nw = narrow.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(nw.forall(_.partitionSpec.isEmpty) && nw.size == 1)
+    // identical results either way
+    assert(wide.collect()(0).toSeq == narrow.collect()(0).toSeq)
+  }
+
   test("per-group AUC equals the global computation run group-by-group") {
     val scored = (1 to 300).map { i =>
       (s"g${i % 3}", ((i * 41) % 53).toLong, if ((i * 7) % 4 == 0) 1 else -1)
