@@ -55,16 +55,21 @@ object Bm25 {
 
     // ONE tokenize pass over the corpus, projected down to text-free
     // rows and cached; serves both the postings and the corpus stats.
+    // On the literal path the query-vocab filter runs BEFORE the
+    // persist, so the cached projection really is (doc_id, dl, qtoks)
+    // with a near-always-empty array — caching the full token arrays
+    // here would write the whole corpus back out in tokenized form.
     val base = docs
       .select(id.as("doc_id"), split(trim(lower(text)), "\\s+").as("toks"))
-      .select(col("doc_id"), size(col("toks")).cast("bigint").as("dl"), col("toks"))
+      .select(col("doc_id"), size(col("toks")).cast("bigint").as("dl"),
+        (if (literalVocabComplete) filter(col("toks"), t => t.isInCollection(qTermsHead))
+         else col("toks")).as("qtoks"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val termStream =
       if (literalVocabComplete)
-        base.select(col("doc_id"), col("dl"),
-          explode(filter(col("toks"), t => t.isInCollection(qTermsHead))).as("term"))
+        base.select(col("doc_id"), col("dl"), explode(col("qtoks")).as("term"))
       else
-        base.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+        base.select(col("doc_id"), col("dl"), explode(col("qtoks")).as("term"))
           .join(queries.select(col("term")).distinct(), Seq("term"), "left_semi")
     val tf = termStream
       .groupBy(col("doc_id"), col("dl"), col("term"))

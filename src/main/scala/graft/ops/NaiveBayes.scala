@@ -20,12 +20,19 @@ import org.apache.spark.sql.functions._
   * IEEE doubles on both engines (the C42/C119 micro-nat device).
   * Argmax ties break toward the lexicographically smallest class.
   *
-  * Scale shape: no driver state at all — the class table (|C| rows,
-  * with priors/defaults) broadcasts into the scoring join; V and
-  * the train-doc total ride as one-row broadcast scalars; the only
-  * shuffles are the (class, token) count and the (doc, class) score
-  * partial-aggs. Docs with zero tokens score prior-only via the
-  * doc×class grid, not dropped.
+  * Scale shape: train and test tokenize in disjoint passes (one
+  * corpus of tokenize work total); the train explode collapses via
+  * partial agg to |C|·|V| rows per task before its shuffle. The
+  * class table (|C| rows with priors/defaults) is a bounded driver
+  * fetch (the model-literal device — same contract as C7b
+  * centroids), which lets the (class, token) weights PIVOT to one
+  * |V|-row table with a weight column per class. Scoring is then a single token-keyed
+  * join + one (doc)-keyed partial-agg producing |C| sum COLUMNS —
+  * no |C|× row blowup, no (token, class) shuffle, and the argmax is
+  * a codegen'd when-chain over class columns (strict > while
+  * scanning classes ascending = ties to the lexicographically
+  * smallest class), never a per-doc window. Docs with zero tokens
+  * score prior-only via a left join from the test roster.
   */
 object NaiveBayes {
 
@@ -53,17 +60,25 @@ object NaiveBayes {
         explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
       .filter(col("token") =!= "")
 
-    val train = base.filter(!col("is_test"))
-    val test = base.filter(col("is_test"))
-    val trainTok = tokens(train)
+    // the model: (class, token) train counts — the explode feeds a
+    // partial agg that collapses to |C|·|V| rows per task BEFORE the
+    // shuffle, so the exchange is model-sized, never corpus-sized.
+    // Train and test tokenize in disjoint passes (80/20 split): same
+    // total tokenize work as one pass, but the train side never pays
+    // a per-(doc, token) shuffle granularity it doesn't need.
+    val trainCnt = tokens(base.filter(!col("is_test")))
+      .groupBy(col("cls"), col("token")).agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // one-row scalars: vocabulary size and train-doc total
-    val vocabV = trainTok.agg(countDistinct(col("token")).as("v"))
-    val nTrain = train.agg(count(lit(1)).as("n_train"))
+    val vocabV = trainCnt.agg(countDistinct(col("token")).as("v"))
+    val nTrain = base.filter(!col("is_test")).agg(count(lit(1)).as("n_train"))
 
-    // |C|-row class table: doc count -> prior, token total -> default
-    val classes = train.groupBy(col("cls")).agg(count(lit(1)).as("n_docs"))
-      .join(trainTok.groupBy(col("cls")).agg(count(lit(1)).as("tok_c")),
+    // |C|-row class table: doc count -> prior, token total -> default.
+    // Bounded DRIVER fetch (the model-literal device): |C| rows of
+    // integers, which is what lets the weights pivot to class COLUMNS.
+    val classRows = base.filter(!col("is_test"))
+      .groupBy(col("cls")).agg(count(lit(1)).as("n_docs"))
+      .join(trainCnt.groupBy(col("cls")).agg(sum(col("cnt")).as("tok_c")),
         Seq("cls"), "left")
       .withColumn("tok_c", coalesce(col("tok_c"), lit(0L)))
       .crossJoin(broadcast(vocabV)).crossJoin(broadcast(nTrain))
@@ -73,36 +88,56 @@ object NaiveBayes {
         floor(log(lit(1.0) / (col("tok_c") + col("v"))) * 1e6)
           .cast("bigint").as("default_micro"),
         col("tok_c"), col("v"))
+      .collect()
+      .sortBy(_.getString(0))
+    val clsNames = classRows.map(_.getString(0))
+    val prior = classRows.map(r => r.getLong(1))
+    val default = classRows.map(r => r.getLong(2))
+    val tokC = classRows.map(r => r.getLong(3))
+    val vScalar = classRows.headOption.map(_.getLong(4)).getOrElse(0L)
 
-    // the model: floored micro-nat weight per observed (class, token)
-    val weights = trainTok.groupBy(col("cls"), col("token"))
-      .agg(count(lit(1)).as("cnt"))
-      .join(broadcast(classes.select(col("cls"), col("tok_c"), col("v"))), "cls")
-      .select(col("cls"), col("token"),
-        floor(log((col("cnt") + 1).cast("double") / (col("tok_c") + col("v"))) * 1e6)
-          .cast("bigint").as("w_micro"))
+    // pivot the model to ONE |V|-row table with a weight column per
+    // class — scoring then joins on token alone, no |C|x row blowup
+    val wide = trainCnt
+      .groupBy(col("token"))
+      .pivot("cls", clsNames)
+      .agg(first(col("cnt")))
+    val wCols = clsNames.indices.map { i =>
+      when(col(s"`${clsNames(i)}`").isNotNull,
+        floor(log((col(s"`${clsNames(i)}`") + 1).cast("double") / (tokC(i) + vScalar)) * 1e6)
+          .cast("bigint"))
+        .otherwise(lit(default(i))).as(s"w_$i")
+    }
+    val wideW = wide.select(col("token") +: wCols: _*)
 
-    // scoring: per-(doc, class) token-weight sum; unseen -> default
-    val testTok = tokens(test).select(col("doc_id"), col("token"))
-    val wts = weights.select(col("cls").as("wcls"), col("token").as("wtoken"), col("w_micro"))
-    val tokScores = testTok
-      .crossJoin(broadcast(classes.select(col("cls").as("scls"), col("default_micro"))))
-      .join(wts, col("token") === col("wtoken") && col("scls") === col("wcls"), "left")
-      .select(col("doc_id"), col("scls").as("cls"),
-        coalesce(col("w_micro"), col("default_micro")).as("w"))
-      .groupBy(col("doc_id"), col("cls")).agg(sum(col("w")).as("tok_sum"))
+    // scoring: single token-keyed join, then one doc-keyed partial
+    // agg with a sum COLUMN per class (per-occurrence weights sum
+    // exactly as weight × count would — integer addition)
+    val sums = clsNames.indices.map(i =>
+      sum(col(s"w_$i")).as(s"s_$i"))
+    val perDoc = tokens(base.filter(col("is_test")))
+      .select(col("doc_id"), col("token"))
+      .join(wideW, Seq("token"))
+      .groupBy(col("doc_id"))
+      .agg(sums.head, sums.tail: _*)
 
-    // doc x class grid keeps zero-token docs (prior-only score)
-    val grid = test.select(col("doc_id"), col("cls").as("true_cls"))
-      .crossJoin(broadcast(classes.select(col("cls"), col("prior_micro"))))
-      .join(tokScores, Seq("doc_id", "cls"), "left")
-      .select(col("doc_id"), col("true_cls"), col("cls"),
-        (col("prior_micro") + coalesce(col("tok_sum"), lit(0L))).as("score"))
-
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("cls"))
-    grid.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
-      .groupBy(col("true_cls").as("lang"), col("cls").as("pred_lang"))
+    // test roster left-joins the sums so zero-token docs score
+    // prior-only; argmax = codegen'd when-chain, ascending classes
+    // with strict > (ties to the lexicographically smallest class)
+    val scores = clsNames.indices.map(i =>
+      (lit(prior(i)) + coalesce(col(s"s_$i"), lit(0L))).as(s"score_$i"))
+    val scored = base.filter(col("is_test"))
+      .select(col("doc_id"), col("cls").as("true_cls"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id") +: col("true_cls") +: scores: _*)
+    val best = clsNames.indices.tail.foldLeft(
+      (lit(clsNames(0)), col("score_0"))) { case ((bc, bs), i) =>
+        (when(col(s"score_$i") > bs, lit(clsNames(i))).otherwise(bc),
+          when(col(s"score_$i") > bs, col(s"score_$i")).otherwise(bs))
+    }._1
+    scored
+      .select(col("true_cls").as("lang"), best.as("pred_lang"))
+      .groupBy(col("lang"), col("pred_lang"))
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("lang"), col("pred_lang"))
   }

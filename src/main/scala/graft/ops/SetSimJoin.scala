@@ -34,18 +34,27 @@ import org.apache.spark.storage.StorageLevel
   */
 object SetSimJoin {
 
-  /** Per-doc distinct 60-bit shingle hashes: (doc_id, h). */
-  private def hashSets(df: DataFrame, id: Column, text: Column, shingleK: Int): DataFrame =
-    Dedup.shingled(df, id, text, shingleK)
-      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
-      .select(col("doc_id"), Dedup.md5Hash60(col("shingle")).as("h"))
-      .distinct()
+  /** Per-doc distinct 60-bit shingle-hash ARRAYS: (doc_id, hs, sz).
+    * Hashing happens inside the row (transform + array_distinct over
+    * the already-distinct shingle array) so per-doc dedup costs ZERO
+    * shuffle — the exploded (doc_id, h) stream this used to
+    * `.distinct()` was a corpus-sized exchange, and keeping the
+    * array form also hands the verify stage its sets without a
+    * collect_list re-shuffle.
+    */
+  private def hashArrays(df: DataFrame, id: Column, text: Column, shingleK: Int): DataFrame =
+    df.select(id.cast("bigint").as("doc_id"),
+        array_distinct(transform(TextAnalysis.wordShingles(text, shingleK),
+          sh => Dedup.md5Hash60(sh))).as("hs"))
+      .withColumn("sz", size(col("hs")).cast("bigint"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
   /** Prefix-filter candidate pairs (post size-filter, pre verify):
     * distinct (id_a < id_b) sharing a rarest-first prefix token with
     * compatible sizes.
     */
-  private def candidateStage(sets: DataFrame, tauMilli: Int): DataFrame = {
+  private def candidateStage(docArrays: DataFrame, tauMilli: Int): DataFrame = {
+    val sets = docArrays.select(col("doc_id"), explode(col("hs")).as("h"), col("sz"))
     val dfreq = sets.groupBy(col("h")).agg(count(lit(1)).as("df"))
     // rarest-first rank within each doc; the window partition is one
     // document's shingle set (bounded by doc length), not the corpus
@@ -53,7 +62,7 @@ object SetSimJoin {
     val ranked = sets.join(dfreq, "h")
       .select(col("doc_id"), col("h"),
         row_number().over(perDoc).as("rnk"),
-        count(lit(1)).over(Window.partitionBy(col("doc_id"))).as("sz"))
+        col("sz"))
     // prefix length |S| - ceil(tau·|S|) + 1, exact in integers
     // (the double quotient is exact below 2^53; cast truncates = floor)
     val prefix = ranked
@@ -80,11 +89,10 @@ object SetSimJoin {
       shingleK: Int = 3,
       tauMilli: Int = 700): DataFrame = {
     require(tauMilli > 0 && tauMilli <= 1000, "tauMilli in (0, 1000]")
-    val sets = hashSets(df, id, text, shingleK).persist(StorageLevel.MEMORY_AND_DISK)
-    val candidates = candidateStage(sets, tauMilli)
+    val docArrays = hashArrays(df, id, text, shingleK)
+    val candidates = candidateStage(docArrays, tauMilli)
 
-    val arrays = sets.groupBy(col("doc_id"))
-      .agg(collect_list(col("h")).as("hs"), count(lit(1)).as("sz"))
+    val arrays = docArrays
 
     candidates
       .join(arrays.select(col("doc_id").as("id_a"), col("hs").as("hs_a"), col("sz").as("size_a")), "id_a")
@@ -110,5 +118,5 @@ object SetSimJoin {
       text: Column,
       shingleK: Int = 3,
       tauMilli: Int = 700): DataFrame =
-    candidateStage(hashSets(df, id, text, shingleK), tauMilli)
+    candidateStage(hashArrays(df, id, text, shingleK), tauMilli)
 }

@@ -70,7 +70,12 @@ object TfIdf {
         floor(log((col("n_docs") + lit(1L)).cast("double") /
           (col("df") + lit(1L)).cast("double")) * lit(1000.0)).cast("bigint"))
       .select(col("h"), col("df"), col("idf"))
+    // the posting ⋈ df join is the one corpus-sized sort-merge join
+    // here and BOTH the norm aggregate and the pair join read its
+    // output — persist it or it runs twice (the join output is the
+    // rare-shingle postings only, far smaller than its inputs)
     val w = postings.join(dfc, "h")
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     val normsq = w.groupBy(col("doc_id"))
       .agg(sum(col("idf") * col("idf")).as("nsq"))
