@@ -49,39 +49,56 @@ object TfIdf {
       threshold: Double): DataFrame = {
     require(maxDf >= 2, s"maxDf must admit at least one pair, got $maxDf")
 
-    // distinct (doc, shingle-hash) postings; one pass over the text
-    // persisted: the df count, the weighted join, the norm agg and
-    // the pair join all read this stream — unpersisted, the
-    // tokenize+shingle+md5 subtree re-evaluates per consumer
-    // (measured 1.9 s → 1.0 s at sf0.1)
-    val postings = docs
-      .select(id.as("doc_id"),
-        explode(TextAnalysis.wordShingles(text, shingleK)).as("sh"))
-      .select(col("doc_id"), Dedup.md5Hash60(col("sh")).as("h"))
+    // per-doc shingle-hash ARRAYS (hashing inside the row, the C104
+    // device) persisted once; the exploded posting stream derives
+    // from them without re-tokenizing, and the array size is the
+    // doc's term count for the norm assembly below
+    val docArrays = docs
+      .select(id.cast("bigint").as("doc_id"),
+        transform(TextAnalysis.wordShingles(text, shingleK),
+          sh => Dedup.md5Hash60(sh)).as("hs"))
+      .withColumn("sz", size(col("hs")).cast("bigint"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val postings = docArrays.select(col("doc_id"), explode(col("hs")).as("h"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
 
-    // integer milli-idf per surviving shingle: exact-integer ratio
-    // through one ln, floored BEFORE any sum
-    val dfc = postings.groupBy(col("h")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= maxDf)
+    // df only for shingles SHARED by >= 2 docs. The df = 1 mass —
+    // most of an organic corpus — never enters a join at all: every
+    // df = 1 term carries the same constant weight idf1, so its norm
+    // contribution is just (count × idf1²), assembled per doc from
+    // the array size without shuffling those postings anywhere.
+    val dfShared = postings.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2)
+    // integer milli-idf: exact-integer ratio through one ln, floored
+    // BEFORE any sum; the shared-df side is small (bounded by how
+    // much the corpus actually overlaps), so AQE can broadcast it
+    // and the posting stream never shuffles for this join
+    val wShared = postings.join(dfShared, "h")
       .crossJoin(broadcast(n))
-      .withColumn("idf",
+      .select(col("doc_id"), col("h"), col("df"),
         floor(log((col("n_docs") + lit(1L)).cast("double") /
-          (col("df") + lit(1L)).cast("double")) * lit(1000.0)).cast("bigint"))
-      .select(col("h"), col("df"), col("idf"))
-    // the posting ⋈ df join is the one corpus-sized sort-merge join
-    // here and BOTH the norm aggregate and the pair join read its
-    // output — persist it or it runs twice (the join output is the
-    // rare-shingle postings only, far smaller than its inputs)
-    val w = postings.join(dfc, "h")
+          (col("df") + lit(1L)).cast("double")) * lit(1000.0)).cast("bigint").as("idf"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    val normsq = w.groupBy(col("doc_id"))
-      .agg(sum(col("idf") * col("idf")).as("nsq"))
+    // nsq = (n_df1 × idf1²) + Σ_{df ∈ [2, maxDf]} idf² — identical
+    // integers to summing idf² over every df <= maxDf term (df = 1
+    // terms all weigh idf1; df > maxDf terms are dropped from the
+    // space entirely, contributing to neither norms nor dots)
+    val sharedAgg = wShared.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"),
+        sum(when(col("df") <= maxDf, col("idf") * col("idf"))
+          .otherwise(lit(0L))).as("nsq_shared"))
+    val idf1 = floor(log((col("n_docs") + lit(1L)).cast("double") / lit(2L).cast("double"))
+      * lit(1000.0)).cast("bigint")
+    val normsq = docArrays.crossJoin(broadcast(n))
+      .join(sharedAgg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        ((col("sz") - coalesce(col("n_shared"), lit(0L))) * idf1 * idf1
+          + coalesce(col("nsq_shared"), lit(0L))).as("nsq"))
 
-    // posting self-join, df >= 2 only; fan-out ≤ maxDf²/2 per shingle
-    val pairable = w.filter(col("df") >= 2)
+    // posting self-join, df in [2, maxDf] only; fan-out ≤ maxDf²/2
+    // per shingle
+    val pairable = wShared.filter(col("df") <= maxDf)
     val dots = pairable.as("a")
       .join(pairable.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
