@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output goes STRAIGHT to stdout — no "[info] " prefix on
+// the one-line bench/verify JSON (the r7-r9 BENCH_r{N}.json captures
+// all landed "parsed": null because the JSON line carried sbt's log
+// prefix and was followed by the "[success] Total time" trailer).
+run / outputStrategy := Some(StdoutOutput)
+// ... and drop the "[success] Total time: ..." trailer so the JSON
+// line is the FINAL line the driver's tail capture sees.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -31,7 +31,10 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench_latest.json")
+    // default INSIDE the repo (r9 verdict: /tmp is outside the tree,
+    // so the only committed per-query bench was a stale docs/ copy) —
+    // the forked JVM's cwd is the project base directory
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "docs/bench_latest.json")
     val loadBefore = loadAvg1m()
     val spark = GraftSession.getOrCreate(s"local[$cpus]", cpus)
 
@@ -86,6 +89,7 @@ object Bench {
     // exception must not eat the result line the driver parses.
     try {
       spark.sparkContext.setLogLevel("OFF")
+      graft.util.PlanCache.clear(spark) // own the shared-projection handles
       spark.stop()
     } catch { case _: Throwable => () }
     System.out.flush()

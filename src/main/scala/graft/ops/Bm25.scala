@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.util.PlanCache.Shareable
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -64,7 +65,7 @@ object Bm25 {
       .select(col("doc_id"), size(col("toks")).cast("bigint").as("dl"),
         (if (literalVocabComplete) filter(col("toks"), t => t.isInCollection(qTermsHead))
          else col("toks")).as("qtoks"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .sharedPersist()
     val termStream =
       if (literalVocabComplete)
         base.select(col("doc_id"), col("dl"), explode(col("qtoks")).as("term"))

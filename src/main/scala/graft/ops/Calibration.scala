@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.util.PlanCache.Shareable
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -42,7 +43,7 @@ object Calibration {
     // otherwise; three fixed-width columns cached
     val rows = df.select(id.cast("bigint").as("doc_id"), group.as("grp"),
       score.cast("bigint").as("score"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .sharedPersist()
     val mm = rows.agg(min(col("score")).as("lo"), max(col("score")).as("hi"))
     val ranged = rows.crossJoin(broadcast(mm))
       .withColumn("halfstep", expr(s"(hi DIV 2 - lo DIV 2) DIV $ScoreRanges + 1"))

@@ -37,17 +37,24 @@ object Conformal {
     * @return one row: (n_cal, q_index, q_hat, n_eval, n_covered,
     *         coverage_milli, target_milli)
     */
-  def coverageAudit(cal: DataFrame, eval: DataFrame, alphaMilli: Long): DataFrame = {
+  def coverageAudit(cal: DataFrame, eval: DataFrame, alphaMilli: Long,
+      distinctCutoff: Long = EquiDepth.AutoDistinctCutoff,
+      forcePartitioned: Boolean = false): DataFrame = {
     require(alphaMilli > 0 && alphaMilli < 1000, "alphaMilli in (0, 1000)")
-    import org.apache.spark.sql.expressions.Window
-    val hist = cal.select(col("s").cast("bigint").as("s"))
-      .groupBy(col("s")).agg(count(lit(1)).as("c"))
-    val w = Window.orderBy(col("s"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val cum = hist
-      .withColumn("cum", sum(col("c")).over(w))
-      .withColumn("n_cal", sum(col("c")).over(wAll))
+    // cumulative rank over the distinct-score histogram via the shared
+    // auto-strategy prefix device (C102/A40): one small window under
+    // the cutoff, the two-pass partitioned prefix above it — a
+    // near-continuous milli-score domain never funnels through a
+    // single-partition sort. n_cal rides as a one-row broadcast
+    // instead of an unbounded unpartitioned window.
+    val hist = cal.select(col("s").cast("bigint").as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("c"))
+    val totals = hist.agg(sum(col("c")).as("n_cal"))
+    val cum = EquiDepth
+      .cumAutoMulti(hist, Seq("c"), asc = true, distinctCutoff, forcePartitioned)
+      .withColumn("cum", col("cum_before_c") + col("c"))
+      .withColumnRenamed("v", "s")
+      .crossJoin(broadcast(totals))
       .withColumn("q_index",
         expr(s"((n_cal + 1) * (1000 - $alphaMilli) + 999) DIV 1000"))
     // the threshold row: smallest score whose cumulative count

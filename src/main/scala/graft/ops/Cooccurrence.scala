@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.util.PlanCache.Shareable
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -41,7 +42,7 @@ object Cooccurrence {
           slice(col("toks"), d + 1, greatest(size(col("toks")) - d, lit(0))),
           (a, b) => struct(a.as("w1"), b.as("w2")))))).as("p"))
       .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .sharedPersist()
 
     val pairs = pairStream.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_pair"))
     val left = pairStream.groupBy(col("w1")).agg(count(lit(1)).as("c1"))

@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.util.PlanCache.Shareable
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -83,7 +84,7 @@ object CorpusPipeline {
         repFrac.as("rep"),
         md5(col("text")).as("fp"),
         TextAnalysis.tokenCount(col("text")).as("n_toks"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .sharedPersist()
     val langOk = col("lang").isin(cfg.langs.toSeq: _*)
     val qOk = col("q") >= cfg.minQuality
     val repOk = if (cfg.maxTopBigramFrac >= 1.0) lit(true)

@@ -15,8 +15,12 @@ import org.apache.spark.sql.functions._
   *
   * Split search runs over the (feature value) histogram, not rows —
   * the C111/C87 argument: one partial-agg groupBy, then cumulative
-  * windows over <= |distinct values| rows, bounded by the caller's
-  * feature granularity.
+  * prefix sums over <= |distinct values| rows. The prefix strategy is
+  * picked from the MEASURED distinct count (the C102/A40 auto policy
+  * via [[EquiDepth.cumAutoMulti]]): one small window under the
+  * cutoff, the two-pass partitioned prefix above it — so an
+  * unbucketed wide-domain feature never runs a single-partition
+  * global sort.
   *
   * Determinism: candidate thresholds are scored by the exact
   * integer form of N * weightedGini(t):
@@ -37,28 +41,39 @@ object DecisionStump {
     * @return (threshold, l_pos, l_neg, r_pos, r_neg, score_milli,
     *         rk) with rk = 1 the optimal stump
     */
-  def splitScores(df: DataFrame, feature: Column, label: Column): DataFrame = {
+  def splitScores(df: DataFrame, feature: Column, label: Column,
+      distinctCutoff: Long = EquiDepth.AutoDistinctCutoff,
+      forcePartitioned: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val hist = df
-      .select(feature.cast("bigint").as("t"), label.cast("boolean").as("y"))
-      .groupBy(col("t"))
+      .select(feature.cast("bigint").as("v"), label.cast("boolean").as("y"))
+      .groupBy(col("v"))
       .agg(sum(when(col("y"), 1L).otherwise(0L)).as("p"),
         sum(when(!col("y"), 1L).otherwise(0L)).as("n"))
 
-    val w = Window.orderBy(col("t"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val totals = hist.agg(sum(col("p")).as("tot_p"), sum(col("n")).as("tot_n"))
 
     val dec = "CAST(%s AS DECIMAL(38,0))"
     def sq(c: String) = s"(${dec.format(c)} * ${dec.format(c)})"
+    // greatest(divisor, 1) is inert — the rt > 0 filter guarantees
+    // lt*rt >= 1 on every surviving row — but keeps ANSI mode happy
+    // when Catalyst infers isnotnull(score_milli) from the rank join
+    // and evaluates the expression on the filtered-out rt = 0 row
     val scoreExpr = expr(
       s"CAST((1000 * ((${sq("lt")} - ${sq("lp")} - ${sq("ln")}) * rt" +
         s" + (${sq("rt")} - ${sq("rp")} - ${sq("rn")}) * lt))" +
-        s" DIV (${dec.format("lt")} * ${dec.format("rt")}) AS BIGINT)")
+        s" DIV greatest(${dec.format("lt")} * ${dec.format("rt")}," +
+        s" CAST(1 AS DECIMAL(38,0))) AS BIGINT)")
 
-    val scored = hist
-      .withColumn("lp", sum(col("p")).over(w))
-      .withColumn("ln", sum(col("n")).over(w))
+    // inclusive left-side counts via the shared auto-strategy prefix
+    // device (C102/A40): one small window under the cutoff, the
+    // two-pass partitioned prefix above — a wide-domain feature
+    // (e.g. a raw milli-score at 100× data) never funnels the whole
+    // histogram through a single-partition sort.
+    val scored = EquiDepth
+      .cumAutoMulti(hist, Seq("p", "n"), asc = true, distinctCutoff, forcePartitioned)
+      .withColumn("lp", col("cum_before_p") + col("p"))
+      .withColumn("ln", col("cum_before_n") + col("n"))
       .crossJoin(broadcast(totals))
       .withColumn("rp", col("tot_p") - col("lp"))
       .withColumn("rn", col("tot_n") - col("ln"))
@@ -66,10 +81,23 @@ object DecisionStump {
       .withColumn("rt", col("rp") + col("rn"))
       .filter(col("rt") > 0L) // max value: no right side, not a split
       .withColumn("score_milli", scoreExpr)
+      .withColumnRenamed("v", "t")
 
-    val wRank = Window.orderBy(col("score_milli"), col("t"))
+    // rk = global (score_milli, t) rank, decomposed so no window is
+    // ever global: an exclusive prefix over the distinct-SCORE
+    // histogram (same auto device, keyed on score_milli) plus a
+    // row_number PARTITIONED by score_milli breaking ties on t —
+    // partition sizes are tie-group sizes, never the histogram.
+    val perScoreCnt = scored.groupBy(col("score_milli")).agg(count(lit(1)).as("c"))
+    val scoreCum = EquiDepth
+      .cumAutoMulti(perScoreCnt.withColumnRenamed("score_milli", "v"),
+        Seq("c"), asc = true, distinctCutoff, forcePartitioned)
+      .select(col("v").as("score_milli"), col("cum_before_c"))
+    val wTie = Window.partitionBy(col("score_milli")).orderBy(col("t"))
     scored
-      .withColumn("rk", row_number().over(wRank).cast("bigint"))
+      .join(scoreCum, Seq("score_milli"))
+      .withColumn("rk",
+        (col("cum_before_c") + row_number().over(wTie)).cast("bigint"))
       .select(col("t").as("threshold"), col("lp").as("l_pos"),
         col("ln").as("l_neg"), col("rp").as("r_pos"),
         col("rn").as("r_neg"), col("score_milli"), col("rk"))

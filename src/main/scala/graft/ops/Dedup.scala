@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.util.PlanCache.Shareable
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -215,7 +216,7 @@ object Dedup {
     // and bucket it instead — see SURVEY.md §5.)
     df.select(id.cast("bigint").as("doc_id"),
         TextAnalysis.wordShingles(text, shingleK).as("shingles"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .sharedPersist()
 
   /** Shared LSH candidate plumbing: signature → banded keys →
     * bucket self-join → exact Jaccard verify on candidates only.
@@ -247,7 +248,7 @@ object Dedup {
         struct(lit(b).as("band"), bandKeyOf(slice(col("sig"), b * rows + 1, rows)).as("band_key"))
       }: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.band_key").as("band_key"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .sharedPersist()
 
     banded.alias("x")
       .join(banded.alias("y"),
@@ -310,7 +311,7 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     val docs = df.select(id.cast("bigint").as("doc_id"), blockBy.as("block"),
         TextAnalysis.wordShingles(text, shingleK).as("shingles"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .sharedPersist()
     val candidates = docs.select(col("doc_id").as("id_a"), col("block"))
       .join(docs.select(col("doc_id").as("id_b"), col("block")), "block")
       .filter(col("id_a") < col("id_b"))
@@ -351,7 +352,7 @@ object Dedup {
       .select(col("doc_id"), explode(col("shingles")).as("shingle"))
       .select(col("doc_id"), md5Hash60(col("shingle")).as("h"))
       .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .sharedPersist()
     // per-doc distinct-hash ARRAYS: the exploded stream shuffles ONCE
     // (this groupBy); the verify stage then moves only candidate-pair
     // rows + their two arrays and intersects with a narrow codegen
@@ -359,7 +360,7 @@ object Dedup {
     // join side (that shape wrote tens of GB of shuffle at 100x)
     val arrays = sh.groupBy(col("doc_id"))
       .agg(collect_list(col("h")).as("hs"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .sharedPersist()
 
     val rare = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= maxDf)
@@ -425,7 +426,7 @@ object Dedup {
     * hamming <= 3 must), verified by bit_count(xor).
     */
   private[ops] def hammingPairs(sigTable: DataFrame, chunkBits: Int, maxHamming: Int): DataFrame = {
-    val sigs = sigTable.persist(StorageLevel.MEMORY_AND_DISK)
+    val sigs = sigTable.sharedPersist()
     val mask = (1L << chunkBits) - 1
     val chunks = sigs.select(col("doc_id"), col("simhash"), explode(array(
       (0 until 4).map { c =>

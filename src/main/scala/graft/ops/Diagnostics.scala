@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.util.PlanCache.Shareable
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -46,7 +47,7 @@ object Diagnostics {
     val counts = df.groupBy(key.cast("string").as("key"))
       .agg(count(lit(1)).as("n"))
       .withColumn("kh", Dedup.md5Hash60(col("key")))
-      .persist()
+      .sharedPersist()
 
     // bounded heap: best = (n desc, hash asc); score = n, id = hash
     val winners = counts

@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.util.PlanCache.Shareable
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -45,7 +46,7 @@ object DupSpans {
     val ex = docs
       .select(col("doc_id"), explode(col("spans")).as("s"))
       .select(col("doc_id"), Dedup.md5Hash60(col("s")).as("shash"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .sharedPersist()
     val duplicated = ex.groupBy(col("shash"))
       .agg(count(lit(1)).as("span_df")) // rows distinct per doc => df
       .filter(col("span_df") >= 2)
@@ -86,7 +87,7 @@ object DupSpans {
     require(k >= 2, s"span width must be >= 2 tokens, got $k")
     val toks = df.select(id.cast("bigint").as("doc_id"),
         split(trim(lower(text)), "\\s+").as("toks"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .sharedPersist()
 
     // all span positions (1-based), including within-doc repeats
     val spans = toks
@@ -97,7 +98,7 @@ object DupSpans {
             Dedup.md5Hash60(array_join(slice(col("toks"), p, lit(k)), " ")).as("shash"))))
         .as("sp"))
       .select(col("doc_id"), col("sp.p").as("p"), col("sp.shash").as("shash"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .sharedPersist()
 
     val duplicated = spans.groupBy(col("shash"))
       .agg(countDistinct(col("doc_id")).as("ndocs"))

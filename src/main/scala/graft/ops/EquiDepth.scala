@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.util.PlanCache.Shareable
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -103,6 +104,71 @@ object EquiDepth {
         col("offset") + coalesce(sum(col("c")).over(wIn), lit(0L)))
   }
 
+  /** Multi-column generalization of [[cumSingle]]: exclusive prefix
+    * sums of every column in `sumCols` over the `v`-ordered histogram
+    * (ascending or descending), emitted as `cum_before_<col>`. One
+    * window, unpartitioned — for domains under the cutoff.
+    */
+  private[ops] def cumSingleMulti(counts: DataFrame, sumCols: Seq[String],
+      asc: Boolean = true): DataFrame = {
+    val w = Window.orderBy(if (asc) col("v").asc else col("v").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    sumCols.foldLeft(counts)((d, c) =>
+      d.withColumn(s"cum_before_$c", coalesce(sum(col(c)).over(w), lit(0L))))
+  }
+
+  /** Multi-column generalization of [[cumPartitioned]] — the same
+    * two-pass coarse-range device (see [[histogramPartitioned]] for
+    * the overflow-free halved-value key), prefix-summing every column
+    * in `sumCols` at once, ascending or descending. The coarse key is
+    * monotone in `v`, so ordering coarse ranges and the within-range
+    * window BOTH by the requested direction reproduces the global
+    * total order exactly.
+    */
+  private[ops] def cumPartitionedMulti(counts: DataFrame, sumCols: Seq[String],
+      asc: Boolean = true): DataFrame = {
+    def dir(c: Column) = if (asc) c.asc else c.desc
+    val mm = counts.agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+    val ranged = counts.crossJoin(broadcast(mm))
+      .withColumn("halfstep", expr(s"(hi DIV 2 - lo DIV 2) DIV $PrefixRanges + 1"))
+      .withColumn("coarse", expr("(v DIV 2 - lo DIV 2) DIV halfstep"))
+
+    val wOff = Window.orderBy(dir(col("coarse")))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val aggs = sumCols.map(c => sum(col(c)).as(s"__cs_$c"))
+    val offsets = sumCols.foldLeft(
+        ranged.groupBy(col("coarse")).agg(aggs.head, aggs.tail: _*)) {
+      (d, c) => d.withColumn(s"__off_$c",
+        coalesce(sum(col(s"__cs_$c")).over(wOff), lit(0L)))
+    }.select(col("coarse") +: sumCols.map(c => col(s"__off_$c")): _*)
+
+    val wIn = Window.partitionBy(col("coarse")).orderBy(dir(col("v")))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withCums = sumCols.foldLeft(ranged.join(broadcast(offsets), Seq("coarse"))) {
+      (d, c) => d.withColumn(s"cum_before_$c",
+        col(s"__off_$c") + coalesce(sum(col(c)).over(wIn), lit(0L)))
+    }
+    withCums.drop(Seq("lo", "hi", "halfstep", "coarse") ++
+      sumCols.map(c => s"__off_$c"): _*)
+  }
+
+  /** The auto-strategy prefix-sum entry point (the C102/A40 policy,
+    * shared by Conformal/RocCurve/DecisionStump/RankEval): persists
+    * the (v, cols...) histogram — it feeds the window pass either way
+    * — and picks the single small window under `distinctCutoff`
+    * distinct values, the two-pass partitioned prefix above it (or
+    * when `forcePartitioned`, the spec/debug hook). Both paths are
+    * bit-identical; output adds `cum_before_<col>` per sum column.
+    */
+  private[ops] def cumAutoMulti(counts: DataFrame, sumCols: Seq[String],
+      asc: Boolean = true, distinctCutoff: Long = AutoDistinctCutoff,
+      forcePartitioned: Boolean = false): DataFrame = {
+    val persisted = counts.sharedPersist()
+    val usePartitioned = forcePartitioned || persisted.count() > distinctCutoff
+    if (usePartitioned) cumPartitionedMulti(persisted, sumCols, asc)
+    else cumSingleMulti(persisted, sumCols, asc)
+  }
+
   /** Measured crossover between the strategies (docs/EQUIDEPTH.md,
     * `graft.EquiDepthBench` on sf10's 60M-row lineitem): the single
     * unpartitioned window wins up through ≥3.75M distinct values
@@ -126,7 +192,7 @@ object EquiDepth {
       distinctCutoff: Long = AutoDistinctCutoff): DataFrame = {
     require(buckets >= 1)
     val counts = valueCounts(df, value)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .sharedPersist()
     val nDistinct = counts.count()
     val cum = if (nDistinct <= distinctCutoff) cumSingle(counts) else cumPartitioned(counts)
     bucketize(cum, counts.agg(sum(col("c")).as("n")), buckets)

@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.util.PlanCache.Shareable
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -40,7 +41,7 @@ object ImportanceWeights {
         explode(split(trim(lower(text)), "\\s+")).as("w"))
       .select(col("doc_id"), col("is_t"),
         (Dedup.md5Hash60(col("w")) % buckets).as("b"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .sharedPersist()
 
     val raw = f.groupBy(col("b")).agg(count(lit(1)).as("rc"))
     val tgt = f.filter(col("is_t")).groupBy(col("b")).agg(count(lit(1)).as("tc"))

@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.util.PlanCache.Shareable
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -68,7 +69,7 @@ object NaiveBayes {
     // a per-(doc, token) shuffle granularity it doesn't need.
     val trainCnt = tokens(base.filter(!col("is_test")))
       .groupBy(col("cls"), col("token")).agg(count(lit(1)).as("cnt"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .sharedPersist()
 
     val vocabV = trainCnt.agg(countDistinct(col("token")).as("v"))
     val nTrain = base.filter(!col("is_test")).agg(count(lit(1)).as("n_train"))
@@ -90,6 +91,13 @@ object NaiveBayes {
         col("tok_c"), col("v"))
       .collect()
       .sortBy(_.getString(0))
+    // empty train split: no classes, no model — degrade to an empty
+    // confusion frame instead of seeding the argmax fold with
+    // clsNames(0) (which would throw at plan-build time)
+    if (classRows.isEmpty)
+      return base.limit(0).select(
+        col("cls").as("lang"), col("cls").as("pred_lang"),
+        lit(0L).as("n_docs"))
     val clsNames = classRows.map(_.getString(0))
     val prior = classRows.map(r => r.getLong(1))
     val default = classRows.map(r => r.getLong(2))
@@ -112,12 +120,17 @@ object NaiveBayes {
 
     // scoring: single token-keyed join, then one doc-keyed partial
     // agg with a sum COLUMN per class (per-occurrence weights sum
-    // exactly as weight × count would — integer addition)
+    // exactly as weight × count would — integer addition). The join
+    // is LEFT from the test token stream: a test token absent from
+    // the ENTIRE train vocabulary (OOV) still scores default_micro
+    // per class — dropping it would diverge from the oracle (and
+    // default_micro differs per class via tok_c, so the drop is not
+    // argmax-neutral).
     val sums = clsNames.indices.map(i =>
-      sum(col(s"w_$i")).as(s"s_$i"))
+      sum(coalesce(col(s"w_$i"), lit(default(i)))).as(s"s_$i"))
     val perDoc = tokens(base.filter(col("is_test")))
       .select(col("doc_id"), col("token"))
-      .join(wideW, Seq("token"))
+      .join(wideW, Seq("token"), "left")
       .groupBy(col("doc_id"))
       .agg(sums.head, sums.tail: _*)
 

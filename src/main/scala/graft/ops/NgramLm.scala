@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.util.PlanCache.Shareable
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -52,7 +53,7 @@ object NgramLm {
         col("toks"))
       .select(col("doc_id"), col("w1"),
         element_at(col("toks"), col("pos") + 2).as("w2"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .sharedPersist()
 
     val uni = toks.select(explode(col("toks")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c1"))
@@ -110,14 +111,14 @@ object NgramLm {
         col("toks"))
       .select(col("doc_id"), col("w1"),
         element_at(col("toks"), col("pos") + 2).as("w2"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .sharedPersist()
 
     // bi feeds FOUR consumers (ctx, cont, types, the contrib join);
     // persisted, the |bigram types| relation materializes once —
     // unpersisted, every consumer re-evaluates the tokenize+explode
     // subtree
     val bi = stream.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .sharedPersist()
     // per context w1: total bigram mass + distinct continuations
     val ctx = bi.groupBy(col("w1"))
       .agg(sum(col("c2")).as("ctxw1"), count(lit(1)).as("n1fw"))

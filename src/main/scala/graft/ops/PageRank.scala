@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.util.PlanCache.Shareable
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -50,12 +51,12 @@ object PageRank {
     val e = edges.select(col("src").cast("bigint").as("src"),
         col("dst").cast("bigint").as("dst"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .sharedPersist()
 
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .sharedPersist()
 
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     val teleport = Unit - DampMilli * Unit / 1000L // (1 - d) * Unit, exact

@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.util.PlanCache.Shareable
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -50,17 +51,50 @@ object PerplexityBuckets {
       .withColumn("__tr", row_number().over(wTie))
       .join(cum, Seq("__g", "__v"))
       .withColumn("__rank", col("__below") + col("__tr"))
-    // SQL-standard NTILE from (rank, n): r = n mod k tiles of q+1
-    // rows lead, the remaining k-r tiles hold q rows. Divisions are
-    // double-exact here (ranks < 2^53), floored back to integers.
-    val q = floor(col("__n") / k).cast("bigint")
-    val r = col("__n") % k
-    val cut = r * (q + 1)
-    val tile = when(col("__rank") <= cut,
-        floor((col("__rank") - 1) / (q + 1)))
-      .otherwise(r + floor((col("__rank") - cut - 1) / max0(q)))
     ranked.select(col("__i").as("id"), col("__g").as("group"),
-      col("__v").as("score"), (tile.cast("bigint") + 1).as("tile"))
+      col("__v").as("score"), tileExpr(col("__rank"), col("__n"), k).as("tile"))
+  }
+
+  // SQL-standard NTILE from (rank, n): r = n mod k tiles of q+1
+  // rows lead, the remaining k-r tiles hold q rows. Divisions are
+  // double-exact here (ranks < 2^53), floored back to integers.
+  private def tileExpr(rank: Column, n: Column, k: Int): Column = {
+    val q = floor(n / k).cast("bigint")
+    val r = n % k
+    val cut = r * (q + 1)
+    val tile = when(rank <= cut, floor((rank - 1) / (q + 1)))
+      .otherwise(r + floor((rank - cut - 1) / max0(q)))
+    tile.cast("bigint") + 1
+  }
+
+  /** Ungrouped exact NTILE(k) over the total order (score, id):
+    * (id, score, tile). [[ntileByGroup]] with a constant group would
+    * put BOTH histogram windows in one partition; this variant runs
+    * the strictly-below cumulative through the shared auto-strategy
+    * prefix device ([[EquiDepth.cumAutoMulti]] — one small window
+    * under the cutoff, two-pass partitioned prefix above) and rides
+    * the total as a one-row broadcast, so nothing is global even on
+    * a near-distinct score domain (the C118 lift-table case at 100×).
+    */
+  def ntileGlobal(df: DataFrame, score: Column, id: Column, k: Int,
+      distinctCutoff: Long = EquiDepth.AutoDistinctCutoff,
+      forcePartitioned: Boolean = false): DataFrame = {
+    require(k >= 2, s"need k >= 2 tiles, got $k")
+    val base = df.select(score.as("__v"), id.as("__i"))
+    val hist = base.groupBy(col("__v")).agg(count(lit(1)).as("__c"))
+    val totals = hist.agg(sum(col("__c")).as("__n"))
+    val cum = EquiDepth
+      .cumAutoMulti(hist.withColumnRenamed("__v", "v"), Seq("__c"),
+        asc = true, distinctCutoff, forcePartitioned)
+      .select(col("v").as("__v"), col("cum_before___c").as("__below"))
+    val wTie = Window.partitionBy(col("__v")).orderBy(col("__i"))
+    val ranked = base
+      .withColumn("__tr", row_number().over(wTie))
+      .join(cum, Seq("__v"))
+      .crossJoin(broadcast(totals))
+      .withColumn("__rank", col("__below") + col("__tr"))
+    ranked.select(col("__i").as("id"), col("__v").as("score"),
+      tileExpr(col("__rank"), col("__n"), k).as("tile"))
   }
 
   // guards the n < k case (q = 0): those rows all sit below `cut`,
@@ -80,7 +114,7 @@ object PerplexityBuckets {
     // persisted so the whole KN scoring pipeline runs once
     val withLang = scored.join(
         df.select(id.cast("bigint").as("doc_id"), lang.as("lang")), Seq("doc_id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .sharedPersist()
     val tiles = ntileByGroup(withLang, col("lang"), col("avg_logprob"),
       col("doc_id"), k = 3)
     withLang.join(

@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.util.PlanCache.Shareable
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -56,7 +57,7 @@ object RankEval {
       .filter(col("v").isNotNull)
       .groupBy(col("v"))
       .agg(count(lit(1)).as("c"), sum(col("ispos")).as("p"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .sharedPersist()
     val usePartitioned = partitionedPrefix || counts.count() > distinctCutoff
     val withP = counts.select(col("v"), col("p"))
     val cum =
@@ -154,11 +155,14 @@ object RankEval {
   def liftTable(scored: DataFrame, id: Column, margin: Column, label: Column,
       k: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tiles = PerplexityBuckets.ntileByGroup(
+    // ntileGlobal, not ntileByGroup(lit(1), ...): the constant group
+    // would single-partition the histogram windows exactly when the
+    // margin domain goes near-distinct (the sf10 q_lift hazard) —
+    // the global variant rides the auto-strategy prefix device.
+    val tiles = PerplexityBuckets.ntileGlobal(
       scored.select(id.cast("bigint").as("__id"),
-        (-margin).cast("bigint").as("__negm"),
-        when(label.cast("boolean"), 1L).otherwise(0L).as("__y")),
-      lit(1), col("__negm"), col("__id"), k)
+        (-margin).cast("bigint").as("__negm")),
+      col("__negm"), col("__id"), k)
     val withY = tiles.join(
       scored.select(id.cast("bigint").as("id"),
         when(label.cast("boolean"), 1L).otherwise(0L).as("__y")),

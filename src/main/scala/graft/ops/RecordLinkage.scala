@@ -201,6 +201,8 @@ object RecordLinkage {
       iters: Int, mInitMicro: Long = 900000L,
       uInitMicro: Option[Long] = None,
       pInitMicro: Long = 100000L): String = {
+    require(iters >= 1 && fields.size <= 4,
+      "iters >= 1; F <= 4 keeps E-step products inside HUGEINT")
     val M = 1000000L
     val f = fields.size
     val mask = fields.zipWithIndex.map { case (fl, i) =>

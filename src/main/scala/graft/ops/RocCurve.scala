@@ -33,28 +33,36 @@ object RocCurve {
     * @return (threshold, n_pos, n_neg, cum_tp, cum_fp, tpr, fpr,
     *         precision) ordered by threshold desc
     */
-  def points(df: DataFrame, score: Column, label: Column): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  def points(df: DataFrame, score: Column, label: Column,
+      distinctCutoff: Long = EquiDepth.AutoDistinctCutoff,
+      forcePartitioned: Boolean = false): DataFrame = {
     val perScore = df
-      .select(score.cast("bigint").as("threshold"),
+      .select(score.cast("bigint").as("v"),
         label.cast("boolean").as("y"))
-      .groupBy(col("threshold"))
+      .groupBy(col("v"))
       .agg(sum(when(col("y"), 1L).otherwise(0L)).as("n_pos"),
         sum(when(!col("y"), 1L).otherwise(0L)).as("n_neg"))
 
-    val w = Window.orderBy(col("threshold").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val totals = perScore.agg(sum(col("n_pos")).as("tot_pos"),
       sum(col("n_neg")).as("tot_neg"))
 
+    // Descending cumulative TP/FP over the distinct-score histogram
+    // via the shared auto-strategy prefix device (C102/A40): the
+    // "provably small set" justification only holds when callers
+    // bucket continuous scores — when they don't (raw milli-scores at
+    // 100× data), the measured distinct count now flips to the
+    // two-pass partitioned prefix instead of funneling one partition.
+    //
     // Degenerate inputs (no positives / no negatives) get the same
     // -1.0 sentinel convention as liftTable's capture/lift columns —
     // never a NaN/Infinity from a 0-total division. precision's
     // denominator is always >= 1 (every threshold row exists because
     // at least one input row carried it).
-    perScore
-      .withColumn("cum_tp", sum(col("n_pos")).over(w))
-      .withColumn("cum_fp", sum(col("n_neg")).over(w))
+    EquiDepth.cumAutoMulti(perScore, Seq("n_pos", "n_neg"), asc = false,
+        distinctCutoff, forcePartitioned)
+      .withColumn("cum_tp", col("cum_before_n_pos") + col("n_pos"))
+      .withColumn("cum_fp", col("cum_before_n_neg") + col("n_neg"))
+      .withColumnRenamed("v", "threshold")
       .crossJoin(broadcast(totals))
       .select(col("threshold"), col("n_pos"), col("n_neg"),
         col("cum_tp"), col("cum_fp"),

@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.util.PlanCache.Shareable
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -51,7 +52,7 @@ object Selection {
     // three fixed-width columns
     val rows = df.select(id.cast("bigint").as("doc_id"),
       score.cast("bigint").as("score"), tokens.cast("bigint").as("n_tokens"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .sharedPersist()
     val mm = rows.agg(min(col("score")).as("lo"), max(col("score")).as("hi"))
     // descending: the BEST scores get the LOWEST coarse key, so the
     // range prefix order equals the selection order

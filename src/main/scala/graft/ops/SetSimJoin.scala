@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.util.PlanCache.Shareable
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -47,7 +48,7 @@ object SetSimJoin {
         array_distinct(transform(TextAnalysis.wordShingles(text, shingleK),
           sh => Dedup.md5Hash60(sh))).as("hs"))
       .withColumn("sz", size(col("hs")).cast("bigint"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .sharedPersist()
 
   /** Prefix-filter candidate pairs (post size-filter, pre verify):
     * distinct (id_a < id_b) sharing a rarest-first prefix token with

@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.util.PlanCache.Shareable
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -58,7 +59,7 @@ object TfIdf {
         transform(TextAnalysis.wordShingles(text, shingleK),
           sh => Dedup.md5Hash60(sh)).as("hs"))
       .withColumn("sz", size(col("hs")).cast("bigint"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .sharedPersist()
     val postings = docArrays.select(col("doc_id"), explode(col("hs")).as("h"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
 
@@ -78,7 +79,7 @@ object TfIdf {
       .select(col("doc_id"), col("h"), col("df"),
         floor(log((col("n_docs") + lit(1L)).cast("double") /
           (col("df") + lit(1L)).cast("double")) * lit(1000.0)).cast("bigint").as("idf"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .sharedPersist()
 
     // nsq = (n_df1 × idf1²) + Σ_{df ∈ [2, maxDf]} idf² — identical
     // integers to summing idf² over every df <= maxDf term (df = 1

@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.util.PlanCache.Shareable
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -37,11 +38,11 @@ object TriangleCount {
         greatest(col("src").cast("bigint"), col("dst").cast("bigint")).as("b"))
       .filter(col("a") < col("b"))
       .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .sharedPersist()
 
     val deg = e.select(col("a").as("node")).unionAll(e.select(col("b").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("degree"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .sharedPersist()
 
     // orient low (degree, id) -> high (degree, id)
     val oriented = e
@@ -54,7 +55,7 @@ object TriangleCount {
           struct(col("db").as("d"), col("b").as("id")))
           .otherwise(struct(col("da").as("d"), col("a").as("id"))).as("vr"))
       .select(col("u"), col("vr.id").as("v"), col("vr.d").as("dv"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .sharedPersist()
 
     // wedges from each node's out-list (ordered by rank so the closing
     // edge (v, w) is itself an oriented edge), closed against oriented
@@ -64,7 +65,7 @@ object TriangleCount {
       .select(col("u"), col("v"), col("w"))
     val triangles = wedges
       .join(oriented.select(col("v").as("w"), col("u").as("v")), Seq("v", "w"), "left_semi")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .sharedPersist()
 
     val perNode = triangles.select(explode(array(col("u"), col("v"), col("w"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
@@ -94,7 +95,7 @@ object TriangleCount {
         explode(TextAnalysis.wordShingles(text, shingleK)).as("shingle"))
       .select(col("doc_id"), Dedup.md5Hash60(col("shingle")).as("h"))
       .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .sharedPersist()
     val rare = sets.groupBy(col("h")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= maxDf)
       .select(col("h"))

@@ -65,6 +65,41 @@ object LinkageQueries {
     (left, right)
   }
 
+  /** Target expected block size for the hash-bucketed fixture. */
+  val HashBlockTarget = 50L
+
+  /** The BOUNDED-block twin of [[linkSides]] (r9 verdict task 5): the
+    * nation block grows quadratically in pairs as customers grow — a
+    * fixture property, not an operator one. This fixture blocks on
+    * md5(custkey) mod ceil(n / [[HashBlockTarget]]): the modulus scales
+    * WITH the table, so the expected block size stays ~50 at every
+    * SF (the production blocking discipline — block cardinality must
+    * grow with the data, or pair counts go quadratic). Twins share a
+    * block because both sides derive it from the same custkey; the
+    * same name/segment perturbations split pairs across
+    * match/possible.
+    */
+  private[queries] def linkSidesHashed(d: DataFrame): (DataFrame, DataFrame) = {
+    val nBlocks = d.agg(
+      greatest((count(lit(1)) + HashBlockTarget - 1L) / HashBlockTarget, lit(1L))
+        .cast("bigint").as("nb"))
+    val base = d.crossJoin(broadcast(nBlocks)).select(col("c_custkey"),
+      (graft.ops.Dedup.md5Hash60(concat(lit("lnk:"), col("c_custkey").cast("string"))) % col("nb"))
+        .as("block"),
+      col("c_name"), col("c_mktsegment"),
+      floor(col("c_acctbal") / 100).cast("bigint").as("bal_bucket"))
+    val left = base.select(col("c_custkey").as("rid"), col("block"),
+      col("c_name").as("name"), col("c_mktsegment").as("seg"), col("bal_bucket"))
+    val right = base.select(
+      (col("c_custkey") + 10000000L).as("rid"), col("block"),
+      when(col("c_custkey") % 5 === 0, upper(col("c_name")))
+        .otherwise(col("c_name")).as("name"),
+      when(col("c_custkey") % 3 === 0, lit("ALTERED"))
+        .otherwise(col("c_mktsegment")).as("seg"),
+      col("bal_bucket"))
+    (left, right)
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // C104: exact Jaccard >= 0.7 self-join via prefix filtering —
@@ -88,6 +123,23 @@ object LinkageQueries {
     // come out discriminative (m >> u), the weak fields less so.
     "q_linkage_em" -> { (s, dir) =>
       val (l, r) = linkSides(t(s, dir, "customer"))
+      RecordLinkage.estimateEm(l, r, LinkRules.map(_.field), iters = EmIters)
+        .orderBy(col("field_idx"))
+    },
+
+    // C113 on the BOUNDED-block fixture: hash-bucketed blocks
+    // whose expected size stays ~50 at every SF — the scale-safe
+    // blocking discipline (the nation fixture above is kept as the
+    // coarse-block stress case; it stops at sf1 by design).
+    "q_linkage_hashblock" -> { (s, dir) =>
+      val (l, r) = linkSidesHashed(t(s, dir, "customer"))
+      RecordLinkage.score(l, r, LinkRules, LinkMatch, LinkPossible)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // C123 on the bounded-block fixture.
+    "q_linkage_em_hashblock" -> { (s, dir) =>
+      val (l, r) = linkSidesHashed(t(s, dir, "customer"))
       RecordLinkage.estimateEm(l, r, LinkRules.map(_.field), iters = EmIters)
         .orderBy(col("field_idx"))
     }
@@ -116,6 +168,24 @@ object LinkageQueries {
        |  CASE WHEN c_custkey % 5 = 0 THEN upper(c_name) ELSE c_name END AS name,
        |  CASE WHEN c_custkey % 3 = 0 THEN 'ALTERED' ELSE c_mktsegment END AS seg,
        |  bal_bucket FROM ($linkBaseSql)""".stripMargin
+
+  /** DuckDB sides of the hash-bucketed bounded-block fixture. */
+  private val hashBlockSql =
+    s"""(('0x' || substr(md5('lnk:' || CAST(c_custkey AS VARCHAR)), 1, 15))::BIGINT) %
+       |  (SELECT greatest((count(*) + ${HashBlockTarget - 1}) // $HashBlockTarget, 1)
+       |   FROM customer)""".stripMargin
+  private[queries] val linkHashBaseSql =
+    s"""SELECT c_custkey, $hashBlockSql AS block, c_name, c_mktsegment,
+       |  CAST(floor(c_acctbal / 100) AS BIGINT) AS bal_bucket FROM customer"""
+      .stripMargin
+  private[queries] val linkHashLeftSql =
+    s"""SELECT c_custkey AS rid, block, c_name AS name,
+       |  c_mktsegment AS seg, bal_bucket FROM ($linkHashBaseSql)""".stripMargin
+  private[queries] val linkHashRightSql =
+    s"""SELECT c_custkey + 10000000 AS rid, block,
+       |  CASE WHEN c_custkey % 5 = 0 THEN upper(c_name) ELSE c_name END AS name,
+       |  CASE WHEN c_custkey % 3 = 0 THEN 'ALTERED' ELSE c_mktsegment END AS seg,
+       |  bal_bucket FROM ($linkHashBaseSql)""".stripMargin
 
   val oracles: Map[String, String] = Map(
 
@@ -162,6 +232,14 @@ object LinkageQueries {
 
     "q_linkage_em" ->
       RecordLinkage.estimateEmSql(linkLeftSql, linkRightSql,
+        LinkRules.map(_.field), iters = 3),
+
+    "q_linkage_hashblock" ->
+      (RecordLinkage.scoreSql(linkHashLeftSql, linkHashRightSql, LinkRules,
+        LinkMatch, LinkPossible) + "\nORDER BY id_a, id_b"),
+
+    "q_linkage_em_hashblock" ->
+      RecordLinkage.estimateEmSql(linkHashLeftSql, linkHashRightSql,
         LinkRules.map(_.field), iters = 3)
   )
 }

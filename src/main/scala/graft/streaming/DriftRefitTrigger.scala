@@ -66,8 +66,12 @@ object DriftRefitTrigger {
     require(reference.nonEmpty, "empty reference histogram")
     val spark = batch.sparkSession
 
+    // unparseable tags (store written via the batchId=None path, or a
+    // foreign store) count as NOT applied — skip-not-crash
     val alreadyApplied = batchId.exists(id =>
-      countStore.lastAppliedTag.exists(_.toLong >= id))
+      countStore.lastAppliedTag
+        .flatMap(t => scala.util.Try(t.toLong).toOption)
+        .exists(_ >= id))
     if (!alreadyApplied) {
       val batchCounts = batch
         .withColumn("margin", LinearClassifier.marginExpr(col(textCol), dim, model))

@@ -1,0 +1,72 @@
+package graft.util
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+
+/** Session-scoped owner of shared persisted intermediates.
+  *
+  * Why: ops persist projections they consume more than once (posting
+  * lists, shingle arrays, token streams). The bench harness runs every
+  * query twice (and several queries share fixture projections), so the
+  * same LOGICAL plan gets `.persist()`ed repeatedly — Spark keeps the
+  * first cache entry and logs `CacheManager: Asked to cache already
+  * cached data` for each repeat (the r9 bench tail), and nothing ever
+  * unpersists until session teardown.
+  *
+  * [[persist]] dedups by the CANONICALIZED analyzed plan (the same
+  * semantic identity CacheManager itself uses): the first caller
+  * persists and registers the handle; every later caller with an
+  * equivalent plan gets the FIRST DataFrame back — same cached data,
+  * no re-registration, no warning. [[clear]] unpersists everything for
+  * a session (bench/verify teardown).
+  *
+  * Driver state is bounded: one (plan-key → DataFrame handle) entry
+  * per distinct persisted intermediate — plan metadata, never data.
+  */
+object PlanCache {
+
+  private val cache =
+    TrieMap.empty[(org.apache.spark.sql.SparkSession, Any), DataFrame]
+
+  /** Persist `df` (MEMORY_AND_DISK) unless an equivalent plan is
+    * already registered — then return the registered handle.
+    */
+  def persist(df: DataFrame,
+      level: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    // the key carries the OUTPUT SCHEMA alongside the canonicalized
+    // plan: canonicalization normalizes aliases away, so two plans
+    // that differ only in output names (RocCurve's (v, n_pos, n_neg)
+    // vs DecisionStump's (v, p, n) histogram) canonicalize EQUAL —
+    // returning one for the other breaks downstream name resolution
+    val key = (df.sparkSession,
+      (df.schema, df.queryExecution.analyzed.canonicalized))
+    cache.getOrElseUpdate(key, {
+      // CacheManager's own lookup is sameResult (alias-insensitive):
+      // if an alias-differing twin is already cached, this plan will
+      // read that cache at execution anyway — persisting again would
+      // only log the "already cached" warning we exist to remove
+      if (df.storageLevel == StorageLevel.NONE) df.persist(level) else df
+    })
+  }
+
+  /** Chainable form: `df.sharedPersist()` — the drop-in replacement
+    * for a `.persist(...)` with no matching unpersist (iterative ops
+    * that unpersist within one call keep the direct API: their
+    * intermediates are round-scoped, not shared).
+    */
+  implicit class Shareable(private val df: DataFrame) extends AnyVal {
+    def sharedPersist(level: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame =
+      PlanCache.persist(df, level)
+  }
+
+  /** Unpersist and drop every handle registered for `spark`. */
+  def clear(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val mine = cache.keys.filter(_._1 eq spark)
+    mine.foreach { k =>
+      cache.remove(k).foreach(df =>
+        try df.unpersist(blocking = false) catch { case _: Throwable => () })
+    }
+  }
+}
