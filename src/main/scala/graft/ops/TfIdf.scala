@@ -60,8 +60,14 @@ object TfIdf {
           sh => Dedup.md5Hash60(sh)).as("hs"))
       .withColumn("sz", size(col("hs")).cast("bigint"))
       .sharedPersist()
+      
     val postings = docArrays.select(col("doc_id"), explode(col("hs")).as("h"))
-    val n = docs.agg(count(lit(1)).as("n_docs"))
+    // n_docs as a DRIVER literal (one bounded 1-row fetch off the
+    // cached arrays — the model-literal device): both idf sites then
+    // fold the corpus size into the expression instead of each paying
+    // a broadcast-subquery job per pass. scala math.log IS Spark's
+    // log (both java.lang.Math.log), so the arithmetic is unchanged.
+    val nDocs = docArrays.agg(count(lit(1))).collect()(0).getLong(0)
 
     // df only for shingles SHARED by >= 2 docs. The df = 1 mass —
     // most of an organic corpus — never enters a join at all: every
@@ -75,11 +81,11 @@ object TfIdf {
     // much the corpus actually overlaps), so AQE can broadcast it
     // and the posting stream never shuffles for this join
     val wShared = postings.join(dfShared, "h")
-      .crossJoin(broadcast(n))
       .select(col("doc_id"), col("h"), col("df"),
-        floor(log((col("n_docs") + lit(1L)).cast("double") /
+        floor(log(lit((nDocs + 1L).toDouble) /
           (col("df") + lit(1L)).cast("double")) * lit(1000.0)).cast("bigint").as("idf"))
       .sharedPersist()
+
 
     // nsq = (n_df1 × idf1²) + Σ_{df ∈ [2, maxDf]} idf² — identical
     // integers to summing idf² over every df <= maxDf term (df = 1
@@ -89,16 +95,21 @@ object TfIdf {
       .agg(count(lit(1)).as("n_shared"),
         sum(when(col("df") <= maxDf, col("idf") * col("idf"))
           .otherwise(lit(0L))).as("nsq_shared"))
-    val idf1 = floor(log((col("n_docs") + lit(1L)).cast("double") / lit(2L).cast("double"))
-      * lit(1000.0)).cast("bigint")
-    val normsq = docArrays.crossJoin(broadcast(n))
+    val idf1 = lit(math.floor(math.log((nDocs + 1L).toDouble / 2.0) * 1000.0).toLong)
+    val normsq = docArrays
       .join(sharedAgg, Seq("doc_id"), "left")
       .select(col("doc_id"),
         ((col("sz") - coalesce(col("n_shared"), lit(0L))) * idf1 * idf1
           + coalesce(col("nsq_shared"), lit(0L))).as("nsq"))
 
     // posting self-join, df in [2, maxDf] only; fan-out ≤ maxDf²/2
-    // per shingle
+    // per shingle. pairable filters the CACHED wShared (already
+    // hash-partitioned by h from the df join), so the self-join on h
+    // reuses that partitioning with no pre-exchange; norms join the
+    // AGGREGATED pair set, which is orders of magnitude smaller than
+    // the posting stream — attaching norms to postings BEFORE pairing
+    // was measured 2× slower at sf10 (it re-exchanges the full
+    // pairable stream by doc_id and back by h).
     val pairable = wShared.filter(col("df") <= maxDf)
     val dots = pairable.as("a")
       .join(pairable.as("b"),
