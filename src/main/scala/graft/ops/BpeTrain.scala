@@ -56,14 +56,21 @@ object BpeTrain {
     val spark = df.sparkSession
     import spark.implicits._
 
-    var words = df
+    // `base` keeps the handle the persist is registered on: `words`
+    // is reassigned every merge round, so unpersisting through it (or
+    // a derived `prev`) is a silent no-op and the vocab cache entry
+    // leaks one copy per fit — the source of the residual
+    // "already cached" warnings in the r9/r10 bench tails
+    val base = df
       .select(explode(split(trim(lower(text)), "\\s+")).as("word"))
       .filter(length(col("word")) >= 2)
       .groupBy(col("word")).agg(count(lit(1)).as("wc"))
       .select(col("word"), col("wc"),
         regexp_replace(col("word"), "(.)", s"$Sep$$1$Sep").as("rep"))
       .persist()
-    words.count()
+    base.count()
+    var words = base
+    var prevCkpt: Option[org.apache.spark.sql.DataFrame] = None
 
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var rank = 1
@@ -89,18 +96,24 @@ object BpeTrain {
       else {
         val (l, r, n) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         merges += ((rank, l, r, n))
-        val prev = words
         words = words
           .withColumn("rep", call_function("replace", col("rep"),
             lit(s"$Sep$l$Sep$Sep$r$Sep"), lit(s"$Sep$l$r$Sep")))
-        if (rank % 4 == 0) { words = words.localCheckpoint(); prev.unpersist() }
+        if (rank % 4 == 0) {
+          val ck = words.localCheckpoint()
+          prevCkpt.foreach(_.unpersist()) // the previous checkpoint's blocks
+          prevCkpt = Some(ck)
+          words = ck
+        }
         rank += 1
       }
     }
-    // pin the encoded vocabulary, then release the training base: the
-    // checkpoint truncates lineage back to the persisted first table
+    // pin the encoded vocabulary, then release the training base AND
+    // the last intermediate checkpoint: the eager checkpoint above
+    // truncates lineage, so neither is referenced afterwards
     val vocab = words.localCheckpoint(true)
-    words.unpersist()
+    prevCkpt.foreach(_.unpersist())
+    base.unpersist()
     val mergesDf = merges.toSeq.toDF("merge_rank", "lhs", "rhs", "n_total")
       .select(col("merge_rank").cast("bigint").as("merge_rank"),
         col("lhs"), col("rhs"), col("n_total"))
