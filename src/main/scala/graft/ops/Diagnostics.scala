@@ -25,7 +25,10 @@ import graft.plans.TopKAgg
   *    winners back against the counts recovers the key strings;
   *  - percentiles over the DISTINCT-GROUP-SIZE histogram (the A40
   *    equi-depth device): the prefix window orders ≤ |distinct sizes|
-  *    rows — bounded and typically tiny;
+  *    rows — PROVABLY ≤ √(2·n_rows) (distinct sizes are distinct
+  *    positive integers summing to n_rows, so k distinct sizes force
+  *    n_rows ≥ k(k+1)/2): ~630 k rows at 10¹¹ input rows, a few MB
+  *    through one task at the worst case, not a funnel;
   *  - the global stats row is a broadcast scalar joined onto the
   *    heavy-key rows.
   * Heavy-key ties at the topN boundary break by md5₆₀(key) — the
