@@ -80,7 +80,9 @@ object Bench {
     val fullJson = s"""{"metric":"total","value":${d4(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"loadavg_before":${d4(loadBefore)},"loadavg_after":${d4(loadAfter)}}"""
     val shortJson = s"""{"metric":"total","value":${d4(total)},"unit":"sec","sf":"$sfDir","passes":$passes,"n_queries":${results.size},"out":"$outFile","loadavg_before":${d4(loadBefore)},"loadavg_after":${d4(loadAfter)}}"""
     try {
-      val w = new java.io.PrintWriter(new java.io.File(outFile), "UTF-8")
+      val f = new java.io.File(outFile)
+      Option(f.getParentFile).foreach(_.mkdirs()) // cwd-relative default needs docs/
+      val w = new java.io.PrintWriter(f, "UTF-8")
       try w.println(fullJson) finally w.close()
     } catch { case _: Throwable => () }
     // Print the short JSON LAST — after spark.stop(), with logging

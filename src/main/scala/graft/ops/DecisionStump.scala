@@ -70,8 +70,9 @@ object DecisionStump {
     // two-pass partitioned prefix above — a wide-domain feature
     // (e.g. a raw milli-score at 100× data) never funnels the whole
     // histogram through a single-partition sort.
-    val scored = EquiDepth
-      .cumAutoMulti(hist, Seq("p", "n"), asc = true, distinctCutoff, forcePartitioned)
+    val (histCum, nDistinctFeatures) = EquiDepth
+      .cumAutoMultiCounted(hist, Seq("p", "n"), asc = true, distinctCutoff, forcePartitioned)
+    val scored = histCum
       .withColumn("lp", col("cum_before_p") + col("p"))
       .withColumn("ln", col("cum_before_n") + col("n"))
       .crossJoin(broadcast(totals))
@@ -85,13 +86,18 @@ object DecisionStump {
 
     // rk = global (score_milli, t) rank, decomposed so no window is
     // ever global: an exclusive prefix over the distinct-SCORE
-    // histogram (same auto device, keyed on score_milli) plus a
-    // row_number PARTITIONED by score_milli breaking ties on t —
-    // partition sizes are tie-group sizes, never the histogram.
+    // histogram (keyed on score_milli) plus a row_number PARTITIONED
+    // by score_milli breaking ties on t — partition sizes are
+    // tie-group sizes, never the histogram. The strategy reuses the
+    // feature pass's measurement (|distinct scores| <= |distinct
+    // feature values|: each surviving threshold row yields one score
+    // row) instead of a second eager measuring job that would
+    // materialize the whole scoring pipeline at plan-build time.
     val perScoreCnt = scored.groupBy(col("score_milli")).agg(count(lit(1)).as("c"))
     val scoreCum = EquiDepth
-      .cumAutoMulti(perScoreCnt.withColumnRenamed("score_milli", "v"),
-        Seq("c"), asc = true, distinctCutoff, forcePartitioned)
+      .cumMulti(perScoreCnt.withColumnRenamed("score_milli", "v"), Seq("c"),
+        asc = true,
+        usePartitioned = forcePartitioned || nDistinctFeatures > distinctCutoff)
       .select(col("v").as("score_milli"), col("cum_before_c"))
     val wTie = Window.partitionBy(col("score_milli")).orderBy(col("t"))
     scored

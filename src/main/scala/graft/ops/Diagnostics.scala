@@ -27,7 +27,7 @@ import graft.plans.TopKAgg
   *    equi-depth device): the prefix window orders ≤ |distinct sizes|
   *    rows — PROVABLY ≤ √(2·n_rows) (distinct sizes are distinct
   *    positive integers summing to n_rows, so k distinct sizes force
-  *    n_rows ≥ k(k+1)/2): ~630 k rows at 10¹¹ input rows, a few MB
+  *    n_rows ≥ k(k+1)/2): ~450 k rows at 10¹¹ input rows, a few MB
   *    through one task at the worst case, not a funnel;
   *  - the global stats row is a broadcast scalar joined onto the
   *    heavy-key rows.

@@ -162,9 +162,32 @@ object EquiDepth {
     */
   private[ops] def cumAutoMulti(counts: DataFrame, sumCols: Seq[String],
       asc: Boolean = true, distinctCutoff: Long = AutoDistinctCutoff,
-      forcePartitioned: Boolean = false): DataFrame = {
+      forcePartitioned: Boolean = false): DataFrame =
+    cumAutoMultiCounted(counts, sumCols, asc, distinctCutoff, forcePartitioned)._1
+
+  /** [[cumAutoMulti]] that also returns the measured distinct count,
+    * so a caller with a LATER histogram whose cardinality is bounded
+    * by this one (e.g. C114's distinct-score pass, one row per
+    * distinct feature value) can pick that pass's strategy via
+    * [[cumMulti]] without a second eager measuring job.
+    */
+  private[ops] def cumAutoMultiCounted(counts: DataFrame, sumCols: Seq[String],
+      asc: Boolean = true, distinctCutoff: Long = AutoDistinctCutoff,
+      forcePartitioned: Boolean = false): (DataFrame, Long) = {
     val persisted = counts.sharedPersist()
-    val usePartitioned = forcePartitioned || persisted.count() > distinctCutoff
+    val n = persisted.count()
+    val usePartitioned = forcePartitioned || n > distinctCutoff
+    (if (usePartitioned) cumPartitionedMulti(persisted, sumCols, asc)
+     else cumSingleMulti(persisted, sumCols, asc), n)
+  }
+
+  /** Strategy-dispatched prefix sums when the caller already knows
+    * which path to take — no measuring job; the histogram is still
+    * shared-persisted (the partitioned path consumes it twice).
+    */
+  private[ops] def cumMulti(counts: DataFrame, sumCols: Seq[String],
+      asc: Boolean, usePartitioned: Boolean): DataFrame = {
+    val persisted = counts.sharedPersist()
     if (usePartitioned) cumPartitionedMulti(persisted, sumCols, asc)
     else cumSingleMulti(persisted, sumCols, asc)
   }

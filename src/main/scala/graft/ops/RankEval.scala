@@ -1,6 +1,5 @@
 package graft.ops
 
-import graft.util.PlanCache.Shareable
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -57,13 +56,13 @@ object RankEval {
       .filter(col("v").isNotNull)
       .groupBy(col("v"))
       .agg(count(lit(1)).as("c"), sum(col("ispos")).as("p"))
-      .sharedPersist()
-    val usePartitioned = partitionedPrefix || counts.count() > distinctCutoff
-    val withP = counts.select(col("v"), col("p"))
-    val cum =
-      (if (usePartitioned) EquiDepth.cumPartitioned(counts.select(col("v"), col("c")))
-       else EquiDepth.cumSingle(counts.select(col("v"), col("c"))))
-        .join(withP, Seq("v"))
+    // the shared auto-strategy device (one implementation for the
+    // whole C102/C111/C114/C117/C118 family — RankEval used to carry
+    // its own copy of this policy); the p column rides through the
+    // prefix pass, so no join-back is needed
+    val cum = EquiDepth
+      .cumAutoMulti(counts, Seq("c"), asc = true, distinctCutoff, partitionedPrefix)
+      .withColumnRenamed("cum_before_c", "cum_before")
     finish(cum)
   }
 

@@ -30,11 +30,20 @@ object PlanCache {
   private val cache =
     TrieMap.empty[(org.apache.spark.sql.SparkSession, Any), DataFrame]
 
-  /** Persist `df` (MEMORY_AND_DISK) unless an equivalent plan is
-    * already registered — then return the registered handle.
+  /** Persist `df` unless an equivalent plan is already registered —
+    * then return the registered handle. First registration wins: the
+    * `level` of a later equivalent call is intentionally ignored (the
+    * data is already cached at the first caller's level; re-caching
+    * at a different level is exactly the churn this class removes).
+    *
+    * Entries for sessions that were stopped WITHOUT a [[clear]] call
+    * are swept opportunistically on every registration, so a JVM that
+    * cycles sessions (test harnesses, notebooks) cannot grow the map
+    * without bound.
     */
   def persist(df: DataFrame,
       level: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
+    cache.keys.filter(_._1.sparkContext.isStopped).foreach(cache.remove)
     // the key carries the OUTPUT SCHEMA alongside the canonicalized
     // plan: canonicalization normalizes aliases away, so two plans
     // that differ only in output names (RocCurve's (v, n_pos, n_neg)

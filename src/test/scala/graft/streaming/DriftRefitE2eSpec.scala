@@ -41,11 +41,14 @@ class DriftRefitE2eSpec extends AnyFunSuite with SparkTestBase {
     if (i % 2 == 0) (i.toLong, "aye aye captain " + ("aye " * (i % 3)).trim, 1)
     else (i.toLong, "nay nay motion " + ("nay " * (i % 3)).trim, -1)
   }
-  // vocabulary B (the drift): disjoint tokens, much longer docs —
-  // margins under model A shift distribution and PSI crosses
+  // the drift: SAME vocabulary, docs 6× longer — margins under model
+  // A scale 6× (so the positive class is still accepted: the replay
+  // really appends rows), while the margin DISTRIBUTION shifts
+  // entirely into new bins and PSI crosses in one batch (the
+  // DriftRefitTriggerSpec device)
   private def vocabB(ids: Range): Seq[(Long, String, Int)] = ids.map { i =>
-    if (i % 2 == 0) (i.toLong, ("oui bon accord " * 6).trim, 1)
-    else (i.toLong, ("non mal refus " * 6).trim, -1)
+    if (i % 2 == 0) (i.toLong, ("aye aye captain " * 6).trim, 1)
+    else (i.toLong, ("nay nay motion " * 6).trim, -1)
   }
 
   private def fit(rows: Seq[(Long, String, Int)]): PerceptronModel = {
@@ -76,10 +79,14 @@ class DriftRefitE2eSpec extends AnyFunSuite with SparkTestBase {
       seed.toDF("doc_id", "text", "y"), "text", servedModel, Dim, binWidth = 1L)
 
     var refits = 0
+    var pendingSignal = false
     var modelServedPerBatch = Map.empty[Long, PerceptronModel]
 
     // the foreachBatch body: gate with the CURRENTLY SERVED model,
-    // then monitor; on signal, the scheduler stub re-fits and swaps
+    // then monitor. The signal is only RECORDED here — the scheduler
+    // consumes it OUT OF BAND (the B18 decoupled-serving contract:
+    // the gate keeps the old model until the re-fit lands), which is
+    // also what makes a replay of the crossing batch byte-identical.
     def body(batch: DataFrame, id: Long): Unit = {
       val m = servedModel
       modelServedPerBatch += id -> m
@@ -87,17 +94,21 @@ class DriftRefitE2eSpec extends AnyFunSuite with SparkTestBase {
         .write.mode("append").parquet(acceptedPath)
       val sig = DriftRefitTrigger.updateBatch(batch.drop("y"), "text", m, Dim, 1L,
         reference, counts, signals, batchId = Some(id)).collect()
-      if (sig.nonEmpty) {
-        // scheduler stub: consume the signal, re-fit C99 on the
-        // labeled drift window, publish + swap, reset the monitor
-        refits += 1
-        val refit = fit(batch.select("doc_id", "text", "y")
-          .as[(Long, String, Int)].collect().toSeq)
-        LinearClassifier.saveModel(spark, refit, s"$tmp/models/v$refits")
-        servedModel = LinearClassifier.loadModel(spark, s"$tmp/models/v$refits", Dim)
-        reference = DriftRefitTrigger.referenceBins(batch, "text", servedModel, Dim, 1L)
-        epoch += 1
-      }
+      if (sig.nonEmpty) pendingSignal = true
+    }
+
+    // the scheduler stub: consume the pending signal, re-fit C99 on
+    // the labeled drift window, publish + swap, reset the monitor
+    def schedulerStep(window: Seq[(Long, String, Int)]): Unit = {
+      assert(pendingSignal, "scheduler runs only on a signal")
+      refits += 1
+      val refit = fit(window)
+      LinearClassifier.saveModel(spark, refit, s"$tmp/models/v$refits")
+      servedModel = LinearClassifier.loadModel(spark, s"$tmp/models/v$refits", Dim)
+      reference = DriftRefitTrigger.referenceBins(
+        window.toDF("doc_id", "text", "y"), "text", servedModel, Dim, 1L)
+      epoch += 1
+      pendingSignal = false
     }
 
     def runStream(): Unit = {
@@ -123,38 +134,42 @@ class DriftRefitE2eSpec extends AnyFunSuite with SparkTestBase {
       .filter(col("margin") > 0).select("doc_id").collect().map(_.getLong(0)).toSet
     assert(acceptedAfterB0 == wantB0 && acceptedAfterB0.nonEmpty)
 
-    // ---- batch 1: the drift window -> signal fires, scheduler re-fits,
-    // but THIS batch was still served by model A (decoupled serving)
+    // ---- batch 1: the drift window -> the signal fires, but the
+    // scheduler has not consumed it yet: the gate KEEPS model A
     val b1 = vocabB(201 to 320)
     b1.toDF("doc_id", "text", "y").write.mode("append").parquet(dropDir)
     runStream()
-    assert(refits == 1, "drift window must fire exactly one re-fit")
-    assert(epoch == 1, "scheduler must reset the monitor stores")
+    assert(pendingSignal, "drift window must raise the re-fit signal")
+    assert(refits == 0 && epoch == 0,
+      "signal raised but not yet consumed: no re-fit, no store reset")
     val b1Id = modelServedPerBatch.keys.max
     assert(modelServedPerBatch(b1Id).weights.toSeq == modelA.weights.toSeq,
       "the batch that FIRES the signal is still served by the old model")
-    assert(servedModel.weights.toSeq != modelA.weights.toSeq,
-      "the swapped-in model must differ from model A")
+    assert(servedModel.weights.toSeq == modelA.weights.toSeq,
+      "serving stays decoupled until the scheduler lands the re-fit")
 
-    // ---- replay of the crossing batch (at-least-once): same body,
-    // same batch id -> no second re-fit, no epoch churn; the gate's
-    // duplicate appends collapse under exact dedup (B9)
+    // ---- replay of the crossing batch BEFORE the re-fit lands (the
+    // at-least-once window a real restart hits): same body, same
+    // batch id, same serving model -> byte-identical appends that
+    // exact dedup (B9) collapses; the monitor neither re-merges the
+    // batch (applied-tag skip) nor double-fires (latched signal)
     val acceptedBeforeReplay = spark.read.parquet(acceptedPath).count()
-    val epochBefore = epoch
-    // the replayed delivery is served by the CURRENT model and counted
-    // in the CURRENT monitor epoch, as a real restarted foreachBatch
-    // would be after the scheduler's reset; the tag-skip idempotence
-    // within one epoch is DriftRefitTriggerSpec's unit contract — the
-    // e2e claim here is that the replay cannot re-fire the handshake
     body(b1.toDF("doc_id", "text", "y"), b1Id)
-    assert(refits == 1, "replayed crossing batch must not re-fit")
-    assert(epoch == epochBefore, "replay must not advance the monitor epoch")
+    assert(refits == 0 && epoch == 0, "replay must not re-fit or reset")
     val accepted = spark.read.parquet(acceptedPath)
     assert(accepted.count() > acceptedBeforeReplay,
       "replay appends duplicates (at-least-once)")
-    assert(accepted.select("doc_id").distinct().count() ==
-      accepted.dropDuplicates("doc_id").count(),
-      "exact dedup collapses the replayed appends")
+    assert(accepted.count() > accepted.dropDuplicates("doc_id").count(),
+      "the appended rows really are duplicates")
+    assert(accepted.dropDuplicates("doc_id").count() == acceptedBeforeReplay,
+      "exact dedup restores exactly the pre-replay accepted set")
+
+    // ---- the scheduler consumes the signal: re-fit on the labeled
+    // drift window, swap, reset the monitor against a new reference
+    schedulerStep(b1)
+    assert(refits == 1 && epoch == 1)
+    assert(servedModel.weights.toSeq != modelA.weights.toSeq,
+      "the swapped-in model must differ from model A")
 
     // ---- batch 2: vocab-B inflow under the NEW model: gate accepts
     // the positive-class docs model B was fit on; the monitor, reset
@@ -174,6 +189,7 @@ class DriftRefitE2eSpec extends AnyFunSuite with SparkTestBase {
       "post-swap batch must be gated by the re-fit model")
     // the perceptron separates the (separable) vocab-B classes: every
     // accepted doc is a positive-class one
-    assert(gotB2.forall(_ % 2 == 0), "model B accepts exactly the oui-class docs")
+    assert(gotB2.forall(_ % 2 == 0),
+      "model B accepts exactly the positive-class docs")
   }
 }
