@@ -17,8 +17,10 @@ run / fork := true
 // prefix and was followed by the "[success] Total time" trailer).
 run / outputStrategy := Some(StdoutOutput)
 // ... and drop the "[success] Total time: ..." trailer so the JSON
-// line is the FINAL line the driver's tail capture sees.
+// line is the FINAL line the driver's tail capture sees. (The key is
+// command-consumed, which sbt's unused-settings lint can't see.)
 Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
