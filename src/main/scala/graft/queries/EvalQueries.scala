@@ -43,6 +43,14 @@ object EvalQueries {
   /** Cross-validation folds. */
   val KFolds = 5
 
+  /** Source ablation (C124): the sources under review, the per-fit
+    * epoch count (keeps the K+1 unrolled oracle chains readable),
+    * and the eval-split modulus (25% held out).
+    */
+  val AblSources = Seq("src11", "src3", "src7")
+  val AblEpochs = 2
+  val AblEvalMod = 4L
+
   private def labels(docs: DataFrame): DataFrame =
     ClassifierQueries.labels(docs)
 
@@ -91,6 +99,20 @@ object EvalQueries {
           fitMemo = (f, mk) => Memo.cached(
             s"noisefold:$dir:${ClassifierQueries.ClsDim}:$NoiseEpochs:$NoiseFolds:$f")(mk()))
         .orderBy(col("doc_id"))
+    },
+
+    // C124: leave-one-source-out data valuation — exact AUC delta on
+    // a hash-held-out eval split from re-fitting the gate without
+    // each candidate source; the ablation ground truth C53/C92
+    // approximate. Fits memoized per ablated source.
+    "q_source_ablation" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      graft.ops.SourceAblation.aucDeltas(docs, col("doc_id"), col("text"),
+          col("source"), labels(docs), ClassifierQueries.ClsDim, AblEpochs,
+          AblSources, AblEvalMod,
+          fitMemo = (k, mk) => Memo.cached(
+            s"ablfit:$dir:${ClassifierQueries.ClsDim}:$AblEpochs:$k")(mk()))
+        .orderBy(col("source"))
     },
 
     // C117: conformal acceptance threshold calibrated on half the
@@ -161,6 +183,11 @@ object EvalQueries {
       s"""$prelude,
          |$finalScoredCte
          |${RankEval.aucSql("fsc")}""".stripMargin,
+
+    "q_source_ablation" ->
+      s"""${ClassifierQueries.preludeBase},
+         |${graft.ops.SourceAblation.aucDeltasSqlTail(
+              AblEpochs, AblSources, AblEvalMod, PipelineQueries.hash60)}""".stripMargin,
 
     "q_auc_by_source" ->
       s"""$prelude,
