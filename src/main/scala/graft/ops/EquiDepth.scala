@@ -174,11 +174,10 @@ object EquiDepth {
   private[ops] def cumAutoMultiCounted(counts: DataFrame, sumCols: Seq[String],
       asc: Boolean = true, distinctCutoff: Long = AutoDistinctCutoff,
       forcePartitioned: Boolean = false): (DataFrame, Long) = {
-    val persisted = counts.sharedPersist()
+    val persisted = counts.sharedPersist() // idempotent through PlanCache
     val n = persisted.count()
-    val usePartitioned = forcePartitioned || n > distinctCutoff
-    (if (usePartitioned) cumPartitionedMulti(persisted, sumCols, asc)
-     else cumSingleMulti(persisted, sumCols, asc), n)
+    (cumMulti(persisted, sumCols, asc,
+      usePartitioned = forcePartitioned || n > distinctCutoff), n)
   }
 
   /** Strategy-dispatched prefix sums when the caller already knows

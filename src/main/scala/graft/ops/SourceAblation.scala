@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.ops.LinearClassifier.PerceptronModel
+import graft.util.PlanCache.Shareable
 
 /** Leave-one-source-out data valuation (C124) — the ablation answer
   * to "is this corpus source helping or hurting the gate": for each
@@ -63,15 +64,22 @@ object SourceAblation {
       source.cast("string").as("source"),
       (Dedup.md5Hash60(concat(lit("ablsplit:"), id.cast("string"))) % evalMod === 0)
         .as("is_eval"))
-    // ONE featurization for everything; per-ablation restriction
-    // happens through the label join inside the fit (the C116 device)
+    // ONE featurization for everything, shared-persisted: each fit
+    // persists its own (feats ⋈ train-labels) projection internally,
+    // but they all derive from THIS cached tokenize+hash pass — the
+    // per-ablation restriction happens through the label join inside
+    // the fit (the C116 device), never a re-tokenize
     val feats = Features.hashedBow(base, col("doc_id"), col("text"), dim)
+      .sharedPersist()
     val trainRoster = base.filter(!col("is_eval"))
       .select(col("doc_id"), col("source"))
 
     def fitExcluding(excl: Option[String]): PerceptronModel = {
       val roster = excl match {
-        case Some(s0) => trainRoster.filter(col("source") =!= s0)
+        // null-safe: a NULL source must stay in every ablated fit,
+        // matching the twin's NOT IN (... WHERE source = 's0') —
+        // plain =!= would evaluate NULL to NULL and drop those rows
+        case Some(s0) => trainRoster.filter(!(col("source") <=> lit(s0)))
         case None => trainRoster
       }
       val trainLabels = labels.join(roster.select("doc_id"), Seq("doc_id"), "left_semi")
@@ -81,11 +89,20 @@ object SourceAblation {
 
     val evalFeats = feats.join(
       base.filter(col("is_eval")).select("doc_id"), Seq("doc_id"), "left_semi")
-    def aucOf(m: PerceptronModel): Long =
-      RankEval.aucMilli(
+    def aucOf(m: PerceptronModel): Long = {
+      val r = RankEval.aucMilli(
           LinearClassifier.score(evalFeats, m).join(labels, Seq("doc_id")),
           col("margin"), col("y"))
-        .collect()(0).getAs[Long]("auc_milli") // 1-row driver fetch
+        .collect()(0) // 1-row driver fetch
+      // a degenerate eval split (empty, or single-class -> the -1
+      // sentinel) would make every delta 0 and the audit read as
+      // "no source matters" — fail loudly instead
+      require(!r.isNullAt(r.fieldIndex("auc_milli"))
+          && r.getAs[Long]("auc_milli") >= 0L,
+        s"degenerate eval split: p=${r.get(r.fieldIndex("p"))}, " +
+          s"n=${r.get(r.fieldIndex("n"))} — need both classes held out")
+      r.getAs[Long]("auc_milli")
+    }
 
     val baseAuc = aucOf(fitExcluding(None))
     val removedCounts = trainRoster.groupBy(col("source"))

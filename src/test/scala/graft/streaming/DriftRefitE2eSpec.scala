@@ -171,6 +171,15 @@ class DriftRefitE2eSpec extends AnyFunSuite with SparkTestBase {
     assert(servedModel.weights.toSeq != modelA.weights.toSeq,
       "the swapped-in model must differ from model A")
 
+    // ---- a SECOND replay of the crossing batch arriving AFTER the
+    // swap (the other at-least-once window): the NEW model gates it
+    // and the epoch-fresh monitor counts it against the new
+    // reference — but b1 IS that reference's fit window, so PSI ~ 0
+    // and the handshake must not re-fire; no re-fit, no epoch churn
+    body(b1.toDF("doc_id", "text", "y"), b1Id)
+    assert(!pendingSignal, "post-swap replay must not re-raise the signal")
+    assert(refits == 1 && epoch == 1, "post-swap replay must not re-fit")
+
     // ---- batch 2: vocab-B inflow under the NEW model: gate accepts
     // the positive-class docs model B was fit on; the monitor, reset
     // against the vocab-B reference, stays quiet
