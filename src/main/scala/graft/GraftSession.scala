@@ -22,6 +22,16 @@ object GraftSession {
       // column indexes (on by default in the writer) make point/range
       // predicates skip pages within row groups
       .config("spark.sql.parquet.compression.codec", "zstd")
+      // every graft TypedImperativeAggregate (top-k, HLL/theta/CMS/
+      // quantile sketches) runs through ObjectHashAggregate, whose
+      // DEFAULT hash-map capacity is 128 keys per task before it
+      // silently degrades to sort-based aggregation — i.e. any
+      // sketch/top-k groupBy with >128 groups per task paid a full
+      // sort. Graft buffers are bounded by construction (k-element
+      // heaps, fixed-width sketch registers ≤ a few KB), so 64k keys
+      // per task is ≤ tens of MB — raise the fallback accordingly;
+      // beyond that the sort fallback is the right spill behavior.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
       // RocksDB is the DEFAULT streaming state store: the HDFS-backed
       // provider keeps every live key on-heap per executor, which caps
       // realtime state (latest-entity maps, session windows, dedup

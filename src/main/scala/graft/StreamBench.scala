@@ -1,0 +1,274 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQueryListener, Trigger}
+import org.apache.spark.sql.types._
+
+/** Streaming-throughput evidence (the batch surface has sf0.1→sf10
+  * growth curves; this gives the B-surface the same discipline):
+  * drives B1 (RocksDB latest-state + TTL), B9 (incremental ingest),
+  * B17 (classifier gate) and B3 (full RT server loop) over
+  * sf0.1-scale inputs split into >= 20 micro-batches, and reports
+  * events/sec, per-batch trigger latency, and state size per scenario
+  * from StreamingQueryProgress (plus on-disk store bytes for the
+  * parquet-versioned stores).
+  *
+  * Output: one JSON line on stdout + the same JSON at
+  * SPARK_GRAFT_STREAMBENCH_OUT (default docs/bench_streaming.json).
+  * Rendered narrative lives in docs/BENCH_STREAMING.md.
+  */
+object StreamBench {
+
+  final case class BatchStat(batchId: Long, rows: Long, ms: Long,
+      stateRows: Long, stateBytes: Long)
+
+  /** Collects per-batch progress for the CURRENTLY running query —
+    * scenarios run sequentially, so one collector per scenario.
+    */
+  final class Collector extends StreamingQueryListener {
+    val stats = ArrayBuffer.empty[BatchStat]
+    override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+    override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
+      val p = e.progress
+      val (srows, sbytes) = Option(p.stateOperators).filter(_.nonEmpty)
+        .map(ops => (ops.map(_.numRowsTotal).sum, ops.map(_.memoryUsedBytes).sum))
+        .getOrElse((0L, 0L))
+      val ms = Option(p.durationMs.get("triggerExecution")).map(_.longValue).getOrElse(0L)
+      if (p.numInputRows > 0 || srows > 0)
+        stats += BatchStat(p.batchId, p.numInputRows, ms, srows, sbytes)
+    }
+  }
+
+  private def dirBytes(path: String): Long = {
+    val root = Paths.get(path)
+    if (!Files.exists(root)) 0L
+    else {
+      val s = Files.walk(root)
+      try s.filter(Files.isRegularFile(_)).mapToLong(Files.size(_)).sum
+      finally s.close()
+    }
+  }
+
+  /** Run one scenario: register a fresh collector, run `body`, return
+    * (batches, totalRows, totalMs, lastStateRows, maxStateBytes).
+    */
+  private def scenario(spark: SparkSession, name: String)(body: => Unit): (Seq[BatchStat], String) = {
+    val c = new Collector
+    spark.streams.addListener(c)
+    val t0 = System.nanoTime()
+    try body finally spark.streams.removeListener(c)
+    val wallMs = (System.nanoTime() - t0) / 1000000L
+    (c.stats.toSeq, s"$wallMs")
+  }
+
+  private def summarize(name: String, stats: Seq[BatchStat], extraStateBytes: Long = 0L): String = {
+    val rows = stats.map(_.rows).sum
+    val ms = stats.map(_.ms).sum.max(1L)
+    val latencies = stats.map(_.ms).sorted
+    val p50 = if (latencies.isEmpty) 0L else latencies(latencies.size / 2)
+    val pMax = if (latencies.isEmpty) 0L else latencies.last
+    val stateRows = stats.lastOption.map(_.stateRows).getOrElse(0L)
+    val stateBytes = stats.map(_.stateBytes).maxOption.getOrElse(0L).max(extraStateBytes)
+    s""""$name":{"batches":${stats.size},"rows":$rows,"events_per_sec":${rows * 1000 / ms},""" +
+      s""""batch_ms_p50":$p50,"batch_ms_max":$pMax,"state_rows":$stateRows,"state_bytes":$stateBytes}"""
+  }
+
+  /** Stage `df` as `n` single-file parquet batches under `dir`/b###. */
+  private def stage(df: DataFrame, splitCol: String, n: Int, dir: String): Unit =
+    (0 until n).foreach { i =>
+      df.filter(pmod(col(splitCol), lit(n)) === i)
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/b$i")
+    }
+
+  /** Flat copy: streaming file sources don't recurse, so re-list the
+    * staged part files into one dir with stable names (b0 first).
+    */
+  private def flatten(dir: String, n: Int, out: String): Unit = {
+    Files.createDirectories(Paths.get(out))
+    (0 until n).foreach { i =>
+      val s = Files.list(Paths.get(s"$dir/b$i"))
+      try {
+        val part = s.filter(_.getFileName.toString.startsWith("part-")).findFirst().get()
+        Files.copy(part, Paths.get(out, f"batch$i%03d.parquet"))
+      } finally s.close()
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val outFile = new java.io.File(sys.env.getOrElse(
+      "SPARK_GRAFT_STREAMBENCH_OUT", "docs/bench_streaming.json")).getAbsolutePath
+    val nBatches = sys.env.getOrElse("SPARK_GRAFT_STREAM_BATCHES", "25").toInt
+    val spark = GraftSession.getOrCreate("local[32]", 32) // RocksDB state store default
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val work = Files.createTempDirectory("streambench").toString
+    val results = ArrayBuffer.empty[String]
+
+    // ---- B1: RocksDB latest-state + TTL over the events table ------
+    // 100k events -> EntityUpdate stream keyed by 5000 entities; the
+    // state operator is flatMapGroupsWithState on RocksDB.
+    locally {
+      val src = s"$work/b1_src"
+      val events = Tables.read(spark, sfDir, "events")
+        .select(concat(lit("e"), pmod(col("user_id"), lit(5000)).cast("string")).as("entityId"),
+          col("ts").cast("long").as("timestamp"),
+          col("event_type").as("payload"),
+          lit(false).as("isDeleted"),
+          col("event_id"))
+      stage(events, "event_id", nBatches, s"$work/b1_stage")
+      flatten(s"$work/b1_stage", nBatches, src)
+      val schema = StructType(Seq(
+        StructField("entityId", StringType), StructField("timestamp", LongType),
+        StructField("payload", StringType), StructField("isDeleted", BooleanType),
+        StructField("event_id", LongType)))
+      val (stats, _) = scenario(spark, "b1") {
+        val updates = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(src)
+          .drop("event_id")
+          .as[graft.streaming.RealtimeStateStream.EntityUpdate]
+        val q = graft.streaming.RealtimeStateStream
+          .latestStateStream(spark, updates, ttlMs = None)
+          .writeStream.outputMode("update").format("noop")
+          .option("checkpointLocation", s"$work/b1_ck")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      results += summarize("b1_latest_state_rocksdb", stats)
+    }
+
+    // ---- B9: incremental exact-dedup ingest over documents ---------
+    // 5000 docs + a 10% duplicate tail (same text, new ids) arriving
+    // in later batches — the fingerprint store must reject them.
+    locally {
+      val src = s"$work/b9_src"
+      val docs = Tables.read(spark, sfDir, "documents").select(col("doc_id"), col("text"))
+      val dups = docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      stage(docs.union(dups), "doc_id", nBatches, s"$work/b9_stage")
+      flatten(s"$work/b9_stage", nBatches, src)
+      val store = new graft.streaming.GtfsRtPipeline.ParquetStateStore(s"$work/b9_fp")
+      val acceptedPath = s"$work/b9_accepted"
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType)))
+      val (stats, _) = scenario(spark, "b9") {
+        val stream = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(src)
+        val q = graft.streaming.IncrementalIngest
+          .writer(stream, "doc_id", "text", store, acceptedPath)
+          .option("checkpointLocation", s"$work/b9_ck").start()
+        q.awaitTermination()
+      }
+      val accepted = spark.read.parquet(acceptedPath).count()
+      results += summarize("b9_incremental_ingest", stats, dirBytes(s"$work/b9_fp")) +
+        s""","b9_accepted_rows":$accepted"""
+    }
+
+    // ---- B17: classifier gate over documents ------------------------
+    locally {
+      val src = s"$work/b17_src"
+      val dim = 4096
+      val docs = Tables.read(spark, sfDir, "documents")
+      // deterministic labels: long docs positive — the model itself is
+      // incidental, the gate's throughput is what's measured
+      val train = docs.filter(col("doc_id") % 5 === 0)
+      val labels = train.select(col("doc_id"),
+        when(col("n_chars") > 200, lit(1)).otherwise(lit(-1)).as("y"))
+      val model = graft.ops.LinearClassifier.fitPerceptron(
+        graft.ops.Features.hashedBow(train, col("doc_id"), col("text"), dim),
+        labels, dim, epochs = 3)
+      stage(docs.select(col("doc_id"), col("text")), "doc_id", nBatches, s"$work/b17_stage")
+      flatten(s"$work/b17_stage", nBatches, src)
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType)))
+      val acceptedPath = s"$work/b17_accepted"
+      val (stats, _) = scenario(spark, "b17") {
+        val stream = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(src)
+        val q = graft.streaming.StreamingScorer
+          .writer(stream, "text", graft.streaming.StreamingScorer.gate(model), acceptedPath)
+          .option("checkpointLocation", s"$work/b17_ck").start()
+        q.awaitTermination()
+      }
+      val accepted = spark.read.parquet(acceptedPath).count()
+      results += summarize("b17_classifier_gate", stats) +
+        s""","b17_accepted_rows":$accepted"""
+    }
+
+    // ---- B3: full RT server loop (match -> latest-state -> TTL) ----
+    // 50k synthetic trip updates over 5000 update ids against a
+    // 1000-trip nominal feed; per-batch: TripMatcher + versioned
+    // parquet latest-state store with TTL.
+    locally {
+      val src = s"$work/b3_src"
+      val nTrips = 1000
+      val trips = (0 until nTrips).map(i => (s"t$i", s"r${i % 50}")).toDF("trip_id", "route_id")
+      val stopTimes = (0 until nTrips).flatMap { i =>
+        (1 to 10).map(sq => (s"t$i", sq, s"s${(i + sq) % 500}", f"${6 + i % 16}%02d:00:00"))
+      }.toDF("trip_id", "stop_sequence", "stop_id", "departure_time")
+      val stuType = ArrayType(StructType(Seq(
+        StructField("stop_sequence", IntegerType), StructField("stop_id", StringType))))
+      val updates = Tables.read(spark, sfDir, "events").limit(50000)
+        .select(
+          concat(lit("tu"), pmod(col("event_id"), lit(5000)).cast("string")).as("trip_update_id"),
+          concat(lit("t"), pmod(col("event_id"), lit(nTrips)).cast("string")).as("trip_id"),
+          concat(lit("r"), pmod(col("event_id"), lit(50)).cast("string")).as("route_id"),
+          format_string("%02d:00:00", pmod(col("event_id"), lit(16)) + 6).as("start_time"),
+          array(struct(lit(1).as("stop_sequence"),
+            concat(lit("s"), pmod(col("event_id") + 1, lit(500)).cast("string")).as("stop_id")))
+            .cast(stuType).as("stop_time_updates"),
+          col("ts").cast("long").as("event_ts"),
+          col("event_id"))
+      stage(updates, "event_id", nBatches, s"$work/b3_stage")
+      flatten(s"$work/b3_stage", nBatches, src)
+      val store = new graft.streaming.GtfsRtPipeline.ParquetStateStore(s"$work/b3_state")
+      val schema = StructType(Seq(
+        StructField("trip_update_id", StringType), StructField("trip_id", StringType),
+        StructField("route_id", StringType), StructField("start_time", StringType),
+        StructField("stop_time_updates", stuType), StructField("event_ts", LongType),
+        StructField("event_id", LongType)))
+      val (stats, _) = scenario(spark, "b3") {
+        val stream = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(src).drop("event_id")
+        val q = stream.writeStream
+          .outputMode("append").trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", s"$work/b3_ck")
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            graft.streaming.GtfsRtPipeline.applyBatch(
+              batch, trips, stopTimes, store, ttlSeconds = 14 * 24 * 3600L,
+              tag = Some(s"sb-$batchId"))
+          }.start()
+        q.awaitTermination()
+      }
+      val stateRows = store.read(spark).map(_.count()).getOrElse(0L)
+      results += summarize("b3_rt_server_loop", stats, dirBytes(s"$work/b3_state")) +
+        s""","b3_state_rows":$stateRows"""
+    }
+
+    val json = s"""{"metric":"stream_bench","sf":"$sfDir","n_batches":$nBatches,""" +
+      results.mkString(",") + "}"
+    try {
+      val f = new java.io.File(outFile)
+      Option(f.getParentFile).foreach(_.mkdirs())
+      val w = new java.io.PrintWriter(f, "UTF-8")
+      try w.println(json) finally w.close()
+    } catch {
+      case t: Throwable => System.err.println(s"graft.StreamBench: failed to write $outFile: $t")
+    }
+    try {
+      spark.sparkContext.setLogLevel("OFF")
+      graft.util.PlanCache.clear(spark)
+      spark.stop()
+    } catch { case _: Throwable => () }
+    System.out.flush()
+    println(json)
+    System.out.flush()
+  }
+}

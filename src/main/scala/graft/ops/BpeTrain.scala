@@ -70,7 +70,6 @@ object BpeTrain {
       .persist()
     base.count()
     var words = base
-    var prevCkpt: Option[org.apache.spark.sql.DataFrame] = None
 
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var rank = 1
@@ -100,19 +99,21 @@ object BpeTrain {
           .withColumn("rep", call_function("replace", col("rep"),
             lit(s"$Sep$l$Sep$Sep$r$Sep"), lit(s"$Sep$l$r$Sep")))
         if (rank % 4 == 0) {
-          val ck = words.localCheckpoint()
-          prevCkpt.foreach(_.unpersist()) // the previous checkpoint's blocks
-          prevCkpt = Some(ck)
-          words = ck
+          // reassigning drops the only driver reference to the
+          // previous checkpoint's Dataset; its RDD blocks are
+          // reclaimed by ContextCleaner on GC. Dataset.unpersist is
+          // NOT used here: it consults only the CacheManager, which
+          // has no entry for RDD-level checkpoint persistence, so an
+          // explicit call would be a silent no-op.
+          words = words.localCheckpoint()
         }
         rank += 1
       }
     }
-    // pin the encoded vocabulary, then release the training base AND
-    // the last intermediate checkpoint: the eager checkpoint above
-    // truncates lineage, so neither is referenced afterwards
+    // pin the encoded vocabulary, then release the training base; the
+    // last intermediate checkpoint loses its reference here and is
+    // ContextCleaner-reclaimed (see the in-loop note)
     val vocab = words.localCheckpoint(true)
-    prevCkpt.foreach(_.unpersist())
     base.unpersist()
     val mergesDf = merges.toSeq.toDF("merge_rank", "lhs", "rhs", "n_total")
       .select(col("merge_rank").cast("bigint").as("merge_rank"),

@@ -333,10 +333,13 @@ object Dedup {
     * anchoring are exactly those sharing ONLY boilerplate-frequency
     * shingles, which the boilerplate/dup-span operators own.
     *
-    * Shuffle shape: distinct (doc, shingle-hash60) fixed-width rows
-    * for df counting and the candidate join; the exact verify joins
-    * CANDIDATE rows against per-doc hash arrays (one array-assembly
-    * shuffle of the corpus, then candidate-bounded movement only) and
+    * Shuffle shape: per-doc distinct hash ARRAYS are built IN-ROW
+    * (`array_distinct(transform(...))`, the SetSimJoin form) so
+    * per-doc dedup costs ZERO shuffle — no corpus-sized distinct of
+    * the exploded stream and no collect_list re-assembly. The only
+    * corpus-wide exchanges left are the df count and the anchored
+    * candidate join, both on fixed-width (hash, id) rows; the exact
+    * verify moves candidate-bounded rows + their two arrays and
     * intersects in a narrow codegen map. Text never shuffles. Returns
     * (id_a, id_b, n_common, size_a, size_b, containment) with
     * id_a < id_b, containment >= threshold.
@@ -348,31 +351,42 @@ object Dedup {
       shingleK: Int = 3,
       maxDf: Int = 10,
       threshold: Double = 0.8): DataFrame = {
-    val sh = shingled(df, id, text, shingleK)
-      .select(col("doc_id"), explode(col("shingles")).as("shingle"))
-      .select(col("doc_id"), md5Hash60(col("shingle")).as("h"))
-      .distinct()
+    val arrays = df.select(id.cast("bigint").as("doc_id"),
+        array_distinct(transform(TextAnalysis.wordShingles(text, shingleK),
+          sh => md5Hash60(sh))).as("hs"))
       .sharedPersist()
-    // per-doc distinct-hash ARRAYS: the exploded stream shuffles ONCE
-    // (this groupBy); the verify stage then moves only candidate-pair
-    // rows + their two arrays and intersects with a narrow codegen
-    // map — never a re-explode + re-shuffle of the whole corpus per
-    // join side (that shape wrote tens of GB of shuffle at 100x)
-    val arrays = sh.groupBy(col("doc_id"))
-      .agg(collect_list(col("h")).as("hs"))
-      .sharedPersist()
+    // re-exploding the cached arrays is a scan, not a shuffle; rows
+    // are already distinct per doc by construction
+    val sh = arrays.select(col("doc_id"), explode(col("hs")).as("h"))
 
-    val rare = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    // ONE exchange for the whole anchoring stage: per hash, the exact
+    // df plus a BOUNDED id list (top-maxDf ascending ids — when
+    // df <= maxDf that is ALL of them, and rows with df > maxDf are
+    // dropped anyway, so the shuffle carries at most maxDf ids per
+    // hash regardless of how hot a boilerplate shingle is). Pairs
+    // then expand IN-ROW (<= maxDf²/2 per hash) — no df-count join
+    // and no candidate self-join, the two extra corpus-wide
+    // exchanges the previous shape paid.
+    val cells = sh.groupBy(col("h"))
+      .agg(count(lit(1)).as("df"),
+        graft.plans.TopKAgg.topK(-col("doc_id"), col("doc_id"), maxDf).as("kept"))
       .filter(col("df") >= 2 && col("df") <= maxDf)
-      .select(col("h"))
-    val anchored = sh.join(rare, "h")
-    val candidates = anchored.select(col("h"), col("doc_id").as("id_a"))
-      .join(anchored.select(col("h"), col("doc_id").as("id_b")), "h")
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
+      .select(transform(col("kept"), e => e.getField("id")).as("ids"))
+    // two chained Generates (posexplode then explode of the tail
+    // slice) stay in codegen; a nested transform/flatten/struct
+    // lambda form walks the interpreted higher-order path per pair
+    val candidates = cells
+      .select(posexplode(col("ids")).as(Seq("i", "id_a")), col("ids"))
+      .select(col("id_a"),
+        explode(slice(col("ids"), col("i") + lit(2), lit(maxDf))).as("id_b"))
       .distinct()
 
-    candidates
+    // pair STATS are threshold-independent — persist them, make the
+    // threshold a filter on top: re-querying at another threshold (or
+    // a repeat run over the same corpus) reuses the verified stats
+    // instead of re-walking anchor+verify. Bounded by the candidate
+    // count (anchor-df-bounded), MEMORY_AND_DISK via sharedPersist.
+    val pairStats = candidates
       .join(arrays.select(col("doc_id").as("id_a"), col("hs").as("hs_a")), "id_a")
       .join(arrays.select(col("doc_id").as("id_b"), col("hs").as("hs_b")), "id_b")
       .select(col("id_a"), col("id_b"),
@@ -381,6 +395,8 @@ object Dedup {
         size(col("hs_b")).cast("bigint").as("size_b"))
       .withColumn("containment",
         col("n_common").cast("double") / least(col("size_a"), col("size_b")).cast("double"))
+      .sharedPersist()
+    pairStats
       .filter(col("containment") >= threshold)
       .select(col("id_a"), col("id_b"), col("n_common"),
         col("size_a"), col("size_b"), col("containment"))

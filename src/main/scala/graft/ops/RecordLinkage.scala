@@ -267,6 +267,9 @@ object RecordLinkage {
       rules: Seq[FieldRule],
       tMatch: Long,
       tPossible: Long): String = {
+    // mirror [[score]]'s guards so both engines reject the same inputs
+    require(rules.nonEmpty && rules.size <= 62, "1..62 rules")
+    require(tMatch >= tPossible, "tMatch >= tPossible")
     val mask = rules.zipWithIndex.map { case (rule, i) =>
       s"CASE WHEN a.${rule.field} IS NOT DISTINCT FROM b.${rule.field} " +
         s"THEN ${1L << i} ELSE 0 END"

@@ -67,6 +67,11 @@ object TfIdf {
     // fold the corpus size into the expression instead of each paying
     // a broadcast-subquery job per pass. scala math.log IS Spark's
     // log (both java.lang.Math.log), so the arithmetic is unchanged.
+    // CONTRACT: this makes the op EAGER — building (or explaining)
+    // the returned frame runs one Spark job, and the corpus size is
+    // frozen into the plan as a literal at build time. Callers that
+    // need a fully-lazy frame over a still-mutating corpus should
+    // re-call this op after the corpus settles.
     val nDocs = docArrays.agg(count(lit(1))).collect()(0).getLong(0)
 
     // df only for shingles SHARED by >= 2 docs. The df = 1 mass —

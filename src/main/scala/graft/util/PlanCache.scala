@@ -44,6 +44,7 @@ object PlanCache {
   def persist(df: DataFrame,
       level: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
     cache.keys.filter(_._1.sparkContext.isStopped).foreach(cache.remove)
+    ensureAutoClear(df.sparkSession)
     // the key carries the OUTPUT SCHEMA alongside the canonicalized
     // plan: canonicalization normalizes aliases away, so two plans
     // that differ only in output names (RocCurve's (v, n_pos, n_neg)
@@ -51,14 +52,47 @@ object PlanCache {
     // returning one for the other breaks downstream name resolution
     val key = (df.sparkSession,
       (df.schema, df.queryExecution.analyzed.canonicalized))
-    cache.getOrElseUpdate(key, {
-      // CacheManager's own lookup is sameResult (alias-insensitive):
-      // if an alias-differing twin is already cached, this plan will
-      // read that cache at execution anyway — persisting again would
-      // only log the "already cached" warning we exist to remove
-      if (df.storageLevel == StorageLevel.NONE) df.persist(level) else df
+    // fast path lock-free; the slow path serializes registration so
+    // the persist thunk cannot run twice for one key (TrieMap's
+    // getOrElseUpdate may re-evaluate under a concurrent insert —
+    // a benign duplicate-cache warning, but exactly the noise this
+    // class exists to remove)
+    cache.get(key).getOrElse(registerLock.synchronized {
+      cache.getOrElseUpdate(key, {
+        // CacheManager's own lookup is sameResult (alias-insensitive):
+        // if an alias-differing twin is already cached, this plan will
+        // read that cache at execution anyway — persisting again would
+        // only log the "already cached" warning we exist to remove
+        if (df.storageLevel == StorageLevel.NONE) df.persist(level) else df
+      })
     })
   }
+
+  private val registerLock = new Object
+  private val autoCleared = TrieMap.empty[org.apache.spark.sql.SparkSession, Unit]
+
+  /** One listener per session: on application end, drop that
+    * session's handles so long-lived JVMs that never call [[clear]]
+    * (test harnesses, PlanDump, library callers) cannot pin
+    * DataFrame/SparkSession references past session stop. Explicit
+    * [[clear]] in Bench/Verify remains the deterministic path — the
+    * listener is the backstop.
+    */
+  private def ensureAutoClear(spark: org.apache.spark.sql.SparkSession): Unit =
+    if (!autoCleared.contains(spark)) {
+      autoCleared.putIfAbsent(spark, ()) match {
+        case None =>
+          spark.sparkContext.addSparkListener(
+            new org.apache.spark.scheduler.SparkListener {
+              override def onApplicationEnd(
+                  e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+                clear(spark)
+                autoCleared.remove(spark)
+              }
+            })
+        case Some(_) => () // another thread registered the listener
+      }
+    }
 
   /** Chainable form: `df.sharedPersist()` — the drop-in replacement
     * for a `.persist(...)` with no matching unpersist (iterative ops

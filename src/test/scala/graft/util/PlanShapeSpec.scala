@@ -1,0 +1,70 @@
+package graft.util
+
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/** The plan-shape audit as CI: every SparkEntry query's operator
+  * counts (shuffles, broadcasts, join strategies, unpartitioned
+  * windows) must match the committed manifest, and unpartitioned
+  * WindowExec nodes are allowed ONLY for the audited bounded-window
+  * queries. A new Exchange, a join that degrades to BNLJ/cartesian,
+  * or a window that loses its partitioning now fails `sbt test`
+  * instead of hiding in an 11k-line PLANS.md diff.
+  *
+  * Intentional plan changes: regenerate with
+  * `sbt "runMain graft.PlanShapeDump"` and commit the new manifest.
+  */
+class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
+
+  private lazy val manifest: Map[String, PlanShape.Counts] =
+    PlanShape.parseManifest(
+      Files.readString(Paths.get(graft.PlanShapeDump.ManifestPath))).toMap
+
+  private lazy val current: Seq[(String, PlanShape.Counts)] =
+    PlanShape.shapesForAll(spark, graft.PlanShapeDump.SfDir)
+
+  test("every query's plan shape matches the committed manifest") {
+    val drift = current.flatMap { case (q, c) =>
+      manifest.get(q) match {
+        case None => Some(s"$q: not in manifest (new query? run PlanShapeDump)")
+        case Some(m) if m != c => Some(s"$q: manifest=$m current=$c")
+        case _ => None
+      }
+    }
+    val removed = (manifest.keySet -- current.map(_._1)).toSeq.sorted
+      .map(q => s"$q: in manifest but no longer in SparkEntry.queries")
+    assert(drift.isEmpty && removed.isEmpty,
+      s"\nplan-shape drift (regenerate via `runMain graft.PlanShapeDump` if intentional):\n" +
+        (drift ++ removed).mkString("\n"))
+  }
+
+  test("unpartitioned windows only on the audited bounded-window whitelist") {
+    val offenders = current.collect {
+      case (q, c) if c.unpartitionedWindows > 0 &&
+        !PlanShape.BoundedWindowQueries.contains(q) => s"$q (${c.unpartitionedWindows})"
+    }
+    assert(offenders.isEmpty,
+      s"unpartitioned WindowExec outside the bounded whitelist — the whole " +
+        s"input serializes through ONE task at scale: ${offenders.mkString(", ")}")
+  }
+
+  test("no cartesian products anywhere") {
+    val offenders = current.collect { case (q, c) if c.cartesians > 0 => q }
+    assert(offenders.isEmpty, s"CartesianProduct in: ${offenders.mkString(", ")}")
+  }
+
+  test("positive control: an injected unpartitioned window IS detected") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val bad = Seq(1L, 2L).toDF("v")
+      .withColumn("r", row_number().over(Window.orderBy(col("v"))))
+    assert(PlanShape.counts(bad).unpartitionedWindows == 1)
+    val good = Seq((1L, 1L)).toDF("g", "v")
+      .withColumn("r", row_number().over(Window.partitionBy(col("g")).orderBy(col("v"))))
+    assert(PlanShape.counts(good).unpartitionedWindows == 0)
+  }
+}
