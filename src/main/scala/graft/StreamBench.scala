@@ -193,7 +193,7 @@ object StreamBench {
         val stream = spark.readStream.schema(schema)
           .option("maxFilesPerTrigger", "1").parquet(src)
         val q = graft.streaming.StreamingScorer
-          .writer(stream, "text", graft.streaming.StreamingScorer.gate(model), acceptedPath)
+          .writer(stream, "text", graft.streaming.StreamingScorer.gate(model, dim), acceptedPath)
           .option("checkpointLocation", s"$work/b17_ck").start()
         q.awaitTermination()
       }
@@ -248,8 +248,14 @@ object StreamBench {
         q.awaitTermination()
       }
       val stateRows = store.read(spark).map(_.count()).getOrElse(0L)
+      // numInputRows over-counts here: foreachBatch re-reads the batch
+      // source once per action inside applyBatch (emptiness probe,
+      // match, merge, store write), so the summarize() rows field is
+      // reads, not updates — report true update throughput separately
+      val trueUpdates = 50000L
+      val totalMs = stats.map(_.ms).sum.max(1L)
       results += summarize("b3_rt_server_loop", stats, dirBytes(s"$work/b3_state")) +
-        s""","b3_state_rows":$stateRows"""
+        s""","b3_state_rows":$stateRows,"b3_updates_per_sec":${trueUpdates * 1000 / totalMs}"""
     }
 
     val json = s"""{"metric":"stream_bench","sf":"$sfDir","n_batches":$nBatches,""" +
