@@ -52,10 +52,20 @@ object Bench {
     Tables.registerViews(spark, sfDir)
     SparkEntry.queries("q1_pricing_summary")(spark, sfDir).count()
 
-    def timeOnce(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // A failed query must be LOUD: the r11 sf10 sweep OOM'd mid-run
+    // (fork at the default -Xmx8g), the context shut down, and the
+    // remaining ~50 queries each "completed" in 5 ms — the old
+    // swallow-and-time-anyway shape recorded them as if they ran, and
+    // the corrupt artifact was only caught by eyeballing the tail.
+    val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    def timeOnce(name: String)(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+      catch {
+        case t: Throwable =>
+          failed.getOrElseUpdate(name, String.valueOf(t).replaceAll("[\"\\n\\r]", " ").take(200))
+          -1.0
+      }
     }
 
     // optional comma-separated allowlist for local iteration
@@ -75,7 +85,9 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) && !skip.contains(name) }
       .map { case (name, fn) =>
-        name -> (0 until math.max(1, passes)).map(_ => timeOnce(fn)).min
+        val times = (0 until math.max(1, passes)).map(_ => timeOnce(name)(fn))
+        // min over SUCCESSFUL passes; -1.0 only if every pass failed
+        name -> times.filter(_ >= 0.0).reduceOption(_ min _).getOrElse(-1.0)
       }
     // HARD plan-shape gate (post-timing: every cache is warm, so the
     // re-build is plan-cost only): an unpartitioned WindowExec outside
@@ -101,7 +113,11 @@ object Bench {
     // (r5 verdict note) — 0.1 ms resolution loses nothing measurable
     val qs = results.map { case (k, v) => "\"" + k + "\":" + d4(v) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // total over successful queries only — a -1.0 failure marker must
+    // not silently shrink (or inflate) the headline number
+    val total = results.collect { case (_, v) if v >= 0.0 => v }.sum
+    val errsJson = failed.map { case (k, m) => "\"" + k + "\":\"" + m + "\"" }
+      .mkString("{", ",", "}")
     val loadAfter = loadAvg1m()
     // Full artifact (with the per-query map) goes to the results FILE;
     // stdout carries only a SHORT summary line. The r7 and r8 captures
@@ -111,8 +127,8 @@ object Bench {
     // with the captured tail starting mid-map. The short line (total +
     // artifact path, ~200 bytes) always fits; the map is read from
     // SPARK_GRAFT_BENCH_OUT.
-    val fullJson = s"""{"metric":"total","value":${d4(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","passes":$passes,"loadavg_before":${d4(loadBefore)},"loadavg_after":${d4(loadAfter)}}"""
-    val shortJson = s"""{"metric":"total","value":${d4(total)},"unit":"sec","sf":"$sfDir","passes":$passes,"n_queries":${results.size},"out":"$outFile","loadavg_before":${d4(loadBefore)},"loadavg_after":${d4(loadAfter)}}"""
+    val fullJson = s"""{"metric":"total","value":${d4(total)},"unit":"sec","queries":$qs,"n_failed":${failed.size},"errors":$errsJson,"sf":"$sfDir","passes":$passes,"loadavg_before":${d4(loadBefore)},"loadavg_after":${d4(loadAfter)}}"""
+    val shortJson = s"""{"metric":"total","value":${d4(total)},"unit":"sec","sf":"$sfDir","passes":$passes,"n_queries":${results.size},"n_failed":${failed.size},"out":"$outFile","loadavg_before":${d4(loadBefore)},"loadavg_after":${d4(loadAfter)}}"""
     try {
       val f = new java.io.File(outFile)
       Option(f.getParentFile).foreach(_.mkdirs()) // cwd-relative default needs docs/
@@ -138,5 +154,9 @@ object Bench {
     System.out.flush()
     println(shortJson)
     System.out.flush()
+    if (failed.nonEmpty) {
+      failed.foreach { case (k, m) => System.err.println(s"graft.Bench: FAILED $k: $m") }
+      sys.exit(3) // a partially-failed sweep must never look green
+    }
   }
 }

@@ -35,11 +35,20 @@ object RankFusion {
       df.select(col("query_id").cast("bigint").as("query_id"),
         col("doc_id").cast("bigint").as("doc_id"),
         col("rank").cast("bigint").as(rankName))
+    // Union + max-groupBy, NOT a full-outer join: (query_id, doc_id)
+    // is unique within each ranked list, so max() recovers exactly
+    // the join's coalesce semantics (absent side stays 0) — while the
+    // plan drops the join's broadcast exchange, which at bench scale
+    // is a whole extra Spark job serialized before the fusion stage
+    // and at real scale would ship one full ranked list to every
+    // executor (|queries| × k rows can be millions of rows when the
+    // query set is itself a corpus, e.g. margin-based bitext mining).
     val fused = norm(lexical, "lex_rank")
-      .join(norm(dense, "dense_rank"), Seq("query_id", "doc_id"), "full_outer")
-      .select(col("query_id"), col("doc_id"),
-        coalesce(col("lex_rank"), lit(0L)).as("lex_rank"),
-        coalesce(col("dense_rank"), lit(0L)).as("dense_rank"))
+      .withColumn("dense_rank", lit(0L))
+      .unionByName(norm(dense, "dense_rank").withColumn("lex_rank", lit(0L)))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(max(col("lex_rank")).as("lex_rank"),
+        max(col("dense_rank")).as("dense_rank"))
       .withColumn("rrf_score",
         when(col("lex_rank") > 0, floor(lit(Scale) / (col("lex_rank") + k0)).cast("bigint"))
           .otherwise(lit(0L)) +
