@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 
-import graft.plans.{BloomContainsExpr, BloomSketch, BloomSketchAgg, BloomUnionAgg, CharEntropyExpr, CmsQueryExpr, CmsSketch, CmsSketchAgg, CmsUnionAgg, CosineSimilarityExpr, DeflateRatioExpr, FreqSketch, FreqSketchAgg, HllEstimateExpr, HllSketch, HllSketchAgg, HllUnionAgg, QuantileEstimateExpr, QuantileSketch, QuantileSketchAgg, QuantileUnionAgg, QualityScoreExpr, RepetitionStatsExpr, SimHashExpr, TermCountsExpr, ThetaEstimateExpr, ThetaIntersectExpr, ThetaSketch, ThetaSketchAgg, ThetaUnionAgg, TopKAgg, TopKAggExpr, WordpieceCountExpr, WordpieceTokensExpr, WordShinglesExpr}
+import graft.plans.{BloomContainsExpr, BloomSketch, BloomSketchAgg, BloomUnionAgg, CanonicalTextExpr, CharEntropyExpr, CmsQueryExpr, CmsSketch, CmsSketchAgg, CmsUnionAgg, CosineSimilarityExpr, DeflateRatioExpr, FreqSketch, FreqSketchAgg, HllEstimateExpr, HllSketch, HllSketchAgg, HllUnionAgg, QuantileEstimateExpr, QuantileSketch, QuantileSketchAgg, QuantileUnionAgg, QualityScoreExpr, RepetitionStatsExpr, SimHashExpr, TermCountsExpr, ThetaEstimateExpr, ThetaIntersectExpr, ThetaSketch, ThetaSketchAgg, ThetaUnionAgg, TopKAgg, TopKAggExpr, WordpieceCountExpr, WordpieceTokensExpr, WordShinglesExpr}
 
 /** SQL registration for graft's native expressions, so
   * `spark.sql("SELECT graft_cosine(a, b) ...")` works wherever the
@@ -115,6 +115,10 @@ object GraftFunctions {
     registry.createOrReplaceTempFunction(
       "graft_char_entropy",
       exprs => CharEntropyExpr(exprs.head),
+      "built-in")
+    registry.createOrReplaceTempFunction(
+      "graft_canonical_text",
+      exprs => CanonicalTextExpr(exprs.head),
       "built-in")
     registry.createOrReplaceTempFunction(
       "graft_deflate_ratio",

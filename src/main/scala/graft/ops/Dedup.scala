@@ -53,9 +53,15 @@ object Dedup {
     * trim. Kills the punctuation/casing/spacing jitter that defeats
     * whole-body hashing (the CCNet/MassiveText "normalized exact"
     * step between [[exact]] and MinHash).
+    *
+    * Backed by the [[graft.plans.CanonicalTextExpr]] codegen kernel:
+    * the equivalent two-regexp_replace composition is java-regex
+    * bound at ~9 MB/s/thread and was 98% of q_normalized_dedup's
+    * sf10 wall time (26 of 27 s); the kernel's single byte scan
+    * removes it (parity spec: CanonicalTextExprSpec).
     */
   def normalizedForm(text: Column): Column =
-    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9\\s]", ""), "\\s+", " "))
+    graft.plans.CanonicalTextExprOps.canonical(text)
 
   /** Normalized exact dedup: group on the md5 of [[normalizedForm]],
     * keep the min id. Same scale shape as [[exact]] — the 16-byte key
