@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 
-import graft.plans.{BloomContainsExpr, BloomSketch, BloomSketchAgg, BloomUnionAgg, CanonicalTextExpr, CharEntropyExpr, CmsQueryExpr, CmsSketch, CmsSketchAgg, CmsUnionAgg, CosineSimilarityExpr, DeflateRatioExpr, FreqSketch, FreqSketchAgg, HllEstimateExpr, HllSketch, HllSketchAgg, HllUnionAgg, QuantileEstimateExpr, QuantileSketch, QuantileSketchAgg, QuantileUnionAgg, QualityScoreExpr, RepetitionStatsExpr, SimHashExpr, TermCountsExpr, ThetaEstimateExpr, ThetaIntersectExpr, ThetaSketch, ThetaSketchAgg, ThetaUnionAgg, TopKAgg, TopKAggExpr, WordpieceCountExpr, WordpieceTokensExpr, WordShinglesExpr}
+import graft.plans.{BloomContainsExpr, BloomSketch, BloomSketchAgg, BloomUnionAgg, CanonicalTextExpr, CharEntropyExpr, SpanHashesExpr, CmsQueryExpr, CmsSketch, CmsSketchAgg, CmsUnionAgg, CosineSimilarityExpr, DeflateRatioExpr, FreqSketch, FreqSketchAgg, HllEstimateExpr, HllSketch, HllSketchAgg, HllUnionAgg, QuantileEstimateExpr, QuantileSketch, QuantileSketchAgg, QuantileUnionAgg, QualityScoreExpr, RepetitionStatsExpr, SimHashExpr, TermCountsExpr, ThetaEstimateExpr, ThetaIntersectExpr, ThetaSketch, ThetaSketchAgg, ThetaUnionAgg, TopKAgg, TopKAggExpr, WordpieceCountExpr, WordpieceTokensExpr, WordShinglesExpr}
 
 /** SQL registration for graft's native expressions, so
   * `spark.sql("SELECT graft_cosine(a, b) ...")` works wherever the
@@ -119,6 +119,11 @@ object GraftFunctions {
     registry.createOrReplaceTempFunction(
       "graft_canonical_text",
       exprs => CanonicalTextExpr(exprs.head),
+      "built-in")
+    registry.createOrReplaceTempFunction(
+      "graft_span_hashes",
+      exprs => SpanHashesExpr(exprs(0),
+        exprs(1).eval().asInstanceOf[Int]),
       "built-in")
     registry.createOrReplaceTempFunction(
       "graft_deflate_ratio",

@@ -83,18 +83,29 @@ object Decontaminate {
       eval: DataFrame, evalId: Column, evalText: Column,
       k: Int): DataFrame = {
     require(k >= 2, s"span width must be >= 2 tokens, got $k")
-    def spans(df: DataFrame, idc: Column, tc: Column): DataFrame =
-      df.select(idc.cast("bigint").as("__id"),
-          split(trim(lower(tc)), "\\s+").as("toks"))
-        .filter(size(col("toks")) >= k)
-        .select(col("__id"), posexplode(
-          transform(sequence(lit(1), size(col("toks")) - (k - 1)),
-            p => Dedup.md5Hash60(array_join(slice(col("toks"), p, lit(k)), " ")))))
-        .select(col("__id"), (col("pos") + 1).cast("bigint").as("p"),
-          col("col").as("shash"))
-    val evalSpans = spans(eval, evalId, evalText)
-      .select(col("shash"), col("__id").as("eval_id")).distinct()
-    spans(train, id, text)
+    // eval side: one-pass positional span hashing (SpanHashesExpr —
+    // bit-identical md5Hash60 values to the HOF slice/array_join
+    // composition it replaced, which evaluated interpreted per
+    // position at ~13 us/span)
+    val evalSpans = eval
+      .select(evalId.cast("bigint").as("eval_id"),
+        graft.plans.SpanHashesExpr.spanHashes(evalText, k).as("shs"))
+      .select(col("eval_id"), explode(col("shs")).as("shash"))
+      .select(col("shash"), col("eval_id")).distinct()
+    // train side: bloom-gated INSIDE the span array (SpanHitsExpr),
+    // so only witness candidates ever become rows — at sf10 the
+    // ungated shape paid ~6 s just posexploding 24 M spans that the
+    // join then discarded (99.4%). C61's probe-then-confirm: the
+    // bloom rides in as a scalar subquery (no plan-time collect, no
+    // cross-join for the optimizer to rearrange), and the exact
+    // confirm join below kills its false positives, so the result
+    // equals the ungated join's row for row.
+    val bloom = evalSpans
+      .agg(graft.plans.BloomSketch.sketch(col("shash")).as("__bloom")).scalar()
+    train
+      .select(id.cast("bigint").as("__id"),
+        explode(graft.plans.SpanHitsExpr.spanHits(text, bloom, k)).as("hit"))
+      .select(col("__id"), col("hit.p").as("p"), col("hit.shash").as("shash"))
       .join(broadcast(evalSpans), Seq("shash"))
       .select(col("__id").as("doc_id"), col("p").as("pos"), col("eval_id"))
   }
