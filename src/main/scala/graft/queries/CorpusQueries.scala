@@ -31,14 +31,12 @@ object CorpusQueries {
     * documents are single-line, so lines are materialized from fixed
     * token windows).
     */
-  private def linedText(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val toks = split(trim(text), "\\s+")
-    val nLines = ceil(size(toks) / lit(LineTokens.toDouble)).cast("int")
-    array_join(
-      transform(sequence(lit(0), nLines - 1),
-        g => array_join(slice(toks, g * LineTokens + 1, lit(LineTokens)), " ")),
-      "\n")
-  }
+  private def linedText(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    // TokenLinesExpr kernel — equality with the HOF
+    // transform(slice/array_join) composition is pinned in
+    // TokenLinesExprSpec; the interpreted form was 11 of
+    // q_boilerplate's 11.2 s at sf10 (the operator itself is 0.4 s)
+    graft.plans.TokenLinesExpr.tokenLines(text, LineTokens, "\n")
 
   private val linedTextSql: String =
     s"""array_to_string(list_transform(

@@ -196,9 +196,11 @@ object DedupQueries {
     // re-evaluates it per paragraph (~80 re-tokenizations per doc,
     // 5.8 s -> 0.3 s at sf1; the C30 defect class).
     "q_paragraph_dedup" -> { (s, dir) =>
-      val norm = regexp_replace(trim(col("text")), "\\s+", " ")
-      val chunked = regexp_replace(norm,
-        s"((?:[^ ]+ ){${ParaTokens - 1}}[^ ]+) ", "$1\n\n")
+      // TokenLinesExpr kernel replaces the normalize + backtracking
+      // group-capture regexp_replace paragraph synthesizer (equality
+      // spec-pinned in TokenLinesExprSpec, trailing-whitespace edges
+      // included)
+      val chunked = graft.plans.TokenLinesExpr.tokenLines(col("text"), ParaTokens, "\n\n")
       val aug = t(s, dir, "documents").select(col("doc_id"),
         concat(chunked, lit("\n\n"), lit(ParaFooter)).as("ptext"))
       ParagraphDedup.dedup(aug, col("doc_id"), col("ptext"))
