@@ -11,31 +11,39 @@ import org.apache.spark.sql.functions._
   * on every shard of a 100 TB corpus because the bucket is a pure
   * function of the token bytes.
   *
-  * Scale shape: one tokenize + explode, then a partial-agg count on
-  * the fixed-width (doc_id, bucket) key — map-side combine collapses
-  * each document's repeated tokens before the shuffle. The dense
-  * assembly is a per-doc map lookup over a `dim`-length sequence, a
-  * narrow map after the count.
+  * Scale shape: the whole histogram is computed IN-ROW by the
+  * [[graft.plans.HashedBowExpr]] kernel (the grouping key of the
+  * explode+groupBy formulation contained the row's own doc id, so
+  * its exchange could never combine across rows — pure overhead);
+  * sparse output is an explode of ≤ min(tokens, dim)-entry arrays,
+  * dense output a per-doc map lookup over a `dim`-length sequence.
+  * Nothing shuffles at any corpus size.
   */
 object Features {
 
-  private def tokens(text: Column): Column =
-    filter(split(trim(lower(text)), "\\s+"), t => length(t) > 0)
-
-  /** Sparse hashed counts: (doc_id, bucket, cnt), bucket in [0, dim). */
+  /** Sparse hashed counts: (doc_id, bucket, cnt), bucket in [0, dim).
+    *
+    * In-row histogram (HashedBowExpr kernel) + explode — ZERO
+    * shuffles. The grouped composition this replaces exchanged the
+    * corpus token stream on (doc_id, bucket), a key containing the
+    * row's own id: no cross-row combine can ever happen, so the
+    * exchange was pure overhead on every classifier consumer
+    * (bucket/cnt values bit-identical; HashedBowExprSpec pins it).
+    */
   def hashedBow(df: DataFrame, id: Column, text: Column, dim: Int): DataFrame =
-    df.select(id.cast("bigint").as("doc_id"), explode(tokens(text)).as("tok"))
-      .select(col("doc_id"), (Dedup.md5Hash60(col("tok")) % dim).as("bucket"))
-      .groupBy(col("doc_id"), col("bucket"))
-      .agg(count(lit(1)).as("cnt"))
+    df.select(id.cast("bigint").as("doc_id"),
+        explode(graft.plans.HashedBowExpr.hashedBow(text, dim)).as("e"))
+      .select(col("doc_id"), col("e.bucket").as("bucket"), col("e.cnt").as("cnt"))
 
   /** Dense per-doc feature vector: (doc_id, fvec array<bigint>) of
-    * length `dim`, zeros for empty buckets.
+    * length `dim`, zeros for empty buckets — one narrow map off the
+    * same in-row histogram (no groupBy: the entries are already
+    * per-document).
     */
   def hashedBowVec(df: DataFrame, id: Column, text: Column, dim: Int): DataFrame =
-    hashedBow(df, id, text, dim)
-      .groupBy(col("doc_id"))
-      .agg(map_from_entries(collect_list(struct(col("bucket"), col("cnt")))).as("m"))
+    df.select(id.cast("bigint").as("doc_id"),
+        map_from_entries(graft.plans.HashedBowExpr.hashedBow(text, dim)).as("m"))
+      .filter(size(map_keys(col("m"))) > 0) // token-less docs were absent before (explode dropped them)
       .select(col("doc_id"),
         transform(sequence(lit(0), lit(dim - 1)),
           i => coalesce(element_at(col("m"), i.cast("bigint")), lit(0L))).as("fvec"))
