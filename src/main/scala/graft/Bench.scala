@@ -86,8 +86,15 @@ object Bench {
       .filter { case (name, _) => only.forall(_.contains(name)) && !skip.contains(name) }
       .map { case (name, fn) =>
         val times = (0 until math.max(1, passes)).map(_ => timeOnce(name)(fn))
-        // min over SUCCESSFUL passes; -1.0 only if every pass failed
-        name -> times.filter(_ >= 0.0).reduceOption(_ min _).getOrElse(-1.0)
+        val best = times.filter(_ >= 0.0).reduceOption(_ min _)
+        // only a query with NO successful pass is fatal; a one-pass
+        // blip still produced a real min, so keep its number and the
+        // stderr trace, but don't fail a sweep that measured
+        // everything (the exit-3 contract is "this artifact is
+        // missing data", not "something was retried")
+        if (best.isDefined) failed.remove(name).foreach(m =>
+          System.err.println(s"graft.Bench: FLAKY pass on $name (kept min of successes): $m"))
+        name -> best.getOrElse(-1.0)
       }
     // HARD plan-shape gate (post-timing: every cache is warm, so the
     // re-build is plan-cost only): an unpartitioned WindowExec outside
