@@ -86,4 +86,79 @@ object Splits {
       .select(col("doc_id"), col("stratum"),
         (col("rank") % k).cast("int").as("fold"))
   }
+
+  /** Temporal leakage-safe split: train strictly before an embargo
+    * gap, test strictly after the cutoff, the gap itself quarantined.
+    * Time-ordered corpora (news, code commits, market data, RT feeds)
+    * leak through plain random splits — a test document's near-twin
+    * published minutes earlier lands in train. The standard fix is a
+    * time cutoff PLUS an embargo buffer wide enough to absorb
+    * publication lag / duplicate propagation, exactly as in financial
+    * purged cross-validation.
+    *
+    * Boundaries are derived from the observed span in integer
+    * microseconds: cutoff = min + span·trainPermille/1000,
+    * embargo width = span·embargoPermille/1000 (integer division —
+    * bit-exact across engines). Row rule, in event-time micros t:
+    * train: t < cutoff − embargo; embargo: cutoff − embargo ≤ t <
+    * cutoff; test: t ≥ cutoff. Disjoint and exhaustive by
+    * construction.
+    *
+    * Scale shape: ONE min/max aggregate produces a 1-row scalar
+    * (broadcast), assignment is a narrow expression, no shuffle
+    * beyond the final bounded summary agg.
+    *
+    * @return one row per (split, group): (split, group, n,
+    *         min_ts_us, max_ts_us)
+    */
+  def timeSplit(
+      df: DataFrame,
+      ts: Column,
+      group: Column,
+      trainPermille: Int = 800,
+      embargoPermille: Int = 50): DataFrame = {
+    require(trainPermille > 0 && trainPermille < 1000, "trainPermille in (0,1000)")
+    require(embargoPermille >= 0 && embargoPermille < trainPermille,
+      "embargo must fit inside the train span")
+    val t = unix_micros(ts)
+    val span = df.agg(min(t).as("__min_us"), max(t).as("__max_us"))
+    df.select(t.as("t_us"), group.as("group"))
+      .crossJoin(broadcast(span))
+      // `div` (integer division), never `/`: Spark's `/` on longs is
+      // DOUBLE division, and span·permille can exceed 2^53
+      .withColumn("__cutoff",
+        expr(s"__min_us + (__max_us - __min_us) * $trainPermille div 1000"))
+      .withColumn("__gap",
+        expr(s"(__max_us - __min_us) * $embargoPermille div 1000"))
+      .withColumn("split",
+        when(col("t_us") < col("__cutoff") - col("__gap"), "train")
+          .when(col("t_us") < col("__cutoff"), "embargo")
+          .otherwise("test"))
+      .groupBy(col("split"), col("group"))
+      .agg(count(lit(1)).as("n"),
+        min(col("t_us")).as("min_ts_us"),
+        max(col("t_us")).as("max_ts_us"))
+  }
+
+  /** DuckDB twin of [[timeSplit]] over `events(ts, event_type)`.
+    * Integer division in DuckDB is `//`; epoch_us(ts) is Spark's
+    * unix_micros.
+    */
+  def timeSplitSql(
+      trainPermille: Int = 800,
+      embargoPermille: Int = 50): String =
+    s"""WITH sp AS (SELECT min(epoch_us(ts)) AS mn, max(epoch_us(ts)) AS mx FROM events),
+       |a AS (SELECT epoch_us(ts) AS t_us, event_type AS "group",
+       |        sp.mn + (sp.mx - sp.mn) * $trainPermille // 1000 AS cutoff,
+       |        (sp.mx - sp.mn) * $embargoPermille // 1000 AS gap
+       |      FROM events CROSS JOIN sp),
+       |b AS (SELECT CASE WHEN t_us < cutoff - gap THEN 'train'
+       |                  WHEN t_us < cutoff THEN 'embargo'
+       |                  ELSE 'test' END AS split,
+       |        "group", t_us
+       |      FROM a)
+       |SELECT split, "group", count(*) AS n,
+       |  min(t_us) AS min_ts_us, max(t_us) AS max_ts_us
+       |FROM b GROUP BY split, "group"
+       |ORDER BY split, "group"""".stripMargin
 }

@@ -116,6 +116,22 @@ object CorpusQueries {
         .orderBy(col("source"))
     },
 
+    // C128: pairwise source-overlap matrix — exact shingle Jaccard +
+    // the mergeable per-source MinHash estimate side by side, for
+    // every source pair. Hash-keyed self-join, text never shuffles.
+    "q_source_overlap" -> { (s, dir) =>
+      graft.ops.SourceOverlap.matrix(t(s, dir, "documents"),
+        col("text"), col("source"), shingleK = 3, numHashes = 16)
+    },
+
+    // C131: corpus n-gram fingerprint — top-25 trigrams with
+    // multiplicity + corpus share (boilerplate/template radar).
+    // Grams stay in-row until ONE explode; top-k is TakeOrdered.
+    "q_top_ngrams" -> { (s, dir) =>
+      graft.ops.NgramStats.topNgrams(t(s, dir, "documents"), col("text"),
+        n = 3, k = 25)
+    },
+
     // C44: integer PageRank over the customer<->supplier trade graph
     // (the link-centrality quality prior), 3 fixed iterations.
     "q_pagerank" -> { (s, dir) =>
@@ -387,6 +403,11 @@ object CorpusQueries {
       s"""WITH ${CorpusStats.sourceDriftSql("documents")}
          |SELECT source, n_distinct_terms, n_tokens, entropy, kl_vs_corpus
          |FROM drift ORDER BY source""".stripMargin,
+
+    "q_source_overlap" ->
+      graft.ops.SourceOverlap.matrixSql(shingleK = 3, numHashes = 16),
+
+    "q_top_ngrams" -> graft.ops.NgramStats.topNgramsSql(n = 3, k = 25),
 
     "q_pagerank" -> {
       val edgeSql =

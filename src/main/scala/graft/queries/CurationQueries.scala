@@ -36,6 +36,11 @@ object CurationQueries {
 
   val SplitFractions: Seq[(String, Double)] =
     Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1)
+
+  /** C126 temporal split: 80% of the span trains, a 5%-of-span
+    * embargo gap precedes the test cutoff. */
+  val TimeSplitTrain = 800
+  val TimeSplitEmbargo = 50
   val TokenBudget = 20000L
   val PpsK = 40L
   val ShuffleEpochs: Seq[Int] = Seq(0, 1)
@@ -83,6 +88,15 @@ object CurationQueries {
         .select(col("id_a"), col("id_b"))
       Splits.clusterSplit(corpus, col("doc_id"), pairs, SplitFractions)
         .orderBy(col("doc_id"))
+    },
+
+    // C126: temporal leakage-safe split — time cutoff + embargo gap
+    // over the events stream, per event_type. One scalar min/max agg
+    // broadcast, narrow assignment, bounded summary.
+    "q_time_split" -> { (s, dir) =>
+      Splits.timeSplit(t(s, dir, "events"), col("ts"), col("event_type"),
+          trainPermille = TimeSplitTrain, embargoPermille = TimeSplitEmbargo)
+        .orderBy(col("split"), col("group"))
     },
 
     // C60: token-budget selection — best-quality-first greedy fill,
@@ -220,6 +234,9 @@ object CurationQueries {
       s"""WITH ${ImportanceWeights.weightsSql("documents", "doc_id", "text",
             "source = 'src0'", IwBuckets)}
          |SELECT doc_id, n_tokens, weight_micro FROM iw ORDER BY doc_id""".stripMargin,
+
+    "q_time_split" ->
+      Splits.timeSplitSql(TimeSplitTrain, TimeSplitEmbargo),
 
     "q_cluster_split" -> {
       val splitCase = graft.ops.Sampling.assignSplitSql(

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{KCenter, KCore, TriangleCount}
+import graft.ops.{KCenter, KCore, LabelProp, TriangleCount}
 
 /** Dup-candidate-graph analytics: per-node triangle counts /
   * clustering coefficients (C105), k-core decomposition (C109), and
@@ -22,6 +22,9 @@ object GraphQueries {
 
   /** Coreset size for the k-center traversal. */
   val KCenters = 8
+
+  /** Synchronous label-propagation rounds (C129). */
+  val LpIters = 3
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -46,6 +49,15 @@ object GraphQueries {
     "q_kcenter" -> { (s, dir) =>
       KCenter.select(t(s, dir, "embeddings"), col("vec_id"), col("embedding"),
         k = KCenters)
+    },
+
+    // C129: label-propagation communities over the rare-shingle
+    // candidate graph — denser than q_dup_clusters' components (a
+    // bridge edge can't glue two dup families), 3 synchronous rounds.
+    "q_label_prop" -> { (s, dir) =>
+      val edges = TriangleCount.anchorEdges(t(s, dir, "documents"),
+        col("doc_id"), col("text"), shingleK = 3, maxDf = 10)
+      LabelProp.communities(edges, iters = LpIters).orderBy(col("node"))
     }
   )
 
@@ -127,6 +139,11 @@ object GraphQueries {
          |GROUP BY f.node HAVING count(*) >= $CoreK
          |ORDER BY f.node""".stripMargin,
 
-    "q_kcenter" -> KCenter.selectSql(KCenters)
+    "q_kcenter" -> KCenter.selectSql(KCenters),
+
+    "q_label_prop" ->
+      s"""WITH $edgesCte,
+         |${LabelProp.communitiesCtes(LpIters)}
+         |SELECT node, label AS community FROM lp$LpIters ORDER BY node""".stripMargin
   )
 }

@@ -133,6 +133,14 @@ object TextKernelQueries {
     "q_zipf_fit" -> { (s, dir) =>
       ZipfFit.fit(t(s, dir, "documents"), col("source"), col("text"))
         .orderBy(col("source"))
+    },
+
+    // C130: Heaps vocabulary-growth fit — V(n) ~ K·n^beta over 8
+    // id-range checkpoints, closed-form integer bucketing (no global
+    // window, no per-checkpoint rescan), C90's exact moment device.
+    "q_heaps_fit" -> { (s, dir) =>
+      graft.ops.HeapsFit.fit(t(s, dir, "documents"), col("doc_id"), col("text"),
+        nCheckpoints = 8)
     }
   )
 
@@ -205,6 +213,8 @@ object TextKernelQueries {
     "q_zipf_fit" ->
       s"""WITH ${ZipfFit.fitSql("documents")}
          |SELECT source, n_terms, n_tokens, slope, corr
-         |FROM zipf ORDER BY source""".stripMargin
+         |FROM zipf ORDER BY source""".stripMargin,
+
+    "q_heaps_fit" -> graft.ops.HeapsFit.fitSql(nCheckpoints = 8)
   )
 }

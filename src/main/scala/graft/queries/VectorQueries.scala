@@ -104,6 +104,33 @@ object VectorQueries {
         .orderBy(col("vec_id"))
     },
 
+    // C127: per-group embedding pooling — per-label element-wise mean
+    // + renormalized prototype. dim SUM aggregates (partial-agg
+    // citizens), no posexplode row blowup.
+    "q_embed_centroids" -> { (s, dir) =>
+      graft.ops.EmbeddingPool.groupCentroids(emb(s, dir), col("label"),
+          col("embedding"), dim = 64)
+        .orderBy(col("group"))
+    },
+
+    // C132: per-group semantic dispersion — mean pairwise cosine
+    // from ONE aggregation pass (||sum||^2 identity), no n^2 join.
+    "q_embed_dispersion" -> { (s, dir) =>
+      graft.ops.EmbeddingPool.dispersion(emb(s, dir), col("label"),
+          col("embedding"), dim = 64)
+        .orderBy(col("group"))
+    },
+
+    // C125: cluster-prototype selection — the 5 most central vectors
+    // of each of 8 integer-portable k-means cells (density-typical
+    // exemplars, the complement of q_kcenter's spread picks). Narrow
+    // argmin assignment + bounded TopKAgg heap — no per-cell window.
+    "q_cluster_prototypes" -> { (s, dir) =>
+      graft.ops.Prototypes.select(
+        emb(s, dir).filter(col("vec_id") =!= 0),
+        col("vec_id"), col("embedding"), k = 8, iters = 3, m = 5)
+    },
+
     // C12: multimodal plumbing — binary payloads through the
     // per-partition batch extractor; n_bytes oracled via octet_length.
     "q_multimodal_meta" -> { (s, dir) =>
@@ -137,6 +164,15 @@ object VectorQueries {
 
   val oracles: Map[String, String] = Map(
     "q_ann_ivf" -> IvfIndex.integerIvfSql(k = 8, iters = 3, nProbe = 4, topK = 50),
+
+    "q_cluster_prototypes" ->
+      graft.ops.Prototypes.selectSql(k = 8, iters = 3, m = 5),
+
+    "q_embed_centroids" ->
+      graft.ops.EmbeddingPool.groupCentroidsSql(dim = 64),
+
+    "q_embed_dispersion" ->
+      graft.ops.EmbeddingPool.dispersionSql(dim = 64),
 
     "q_project" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
