@@ -32,10 +32,19 @@ object LabelProp {
     */
   def communities(edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, "iters must be positive")
+    // persist the DIRECTED edge list first: the union references it
+    // twice, and without the cache the whole upstream candidate-edge
+    // pipeline evaluates twice just to flip (u, v)
     val und = edges
       .select(col("src").cast("bigint").as("u"), col("dst").cast("bigint").as("v"))
+      .sharedPersist()
+    // pre-partition the static side by the JOIN key and cache THAT:
+    // the cached hash partitioning satisfies every round's join
+    // requirement, so rounds shuffle only the (node, label) pairs and
+    // the post-join vote — not the edge list again each round
     val both = und
       .union(und.select(col("v").as("u"), col("u").as("v")))
+      .repartition(col("v"))
       .sharedPersist()
     var labels = both.select(col("u").as("node")).distinct()
       .withColumn("label", col("node"))

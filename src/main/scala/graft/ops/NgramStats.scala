@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.util.PlanCache.Shareable
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -23,6 +24,16 @@ object NgramStats {
     * (desc, gram asc), share in millionths of all gram occurrences.
     * Documents shorter than `n` tokens contribute their whole text
     * as one gram (the C2 shingle convention).
+    *
+    * Two-phase threshold pruning so gram STRINGS never shuffle at
+    * corpus width: phase 1 counts by 8-byte xxhash64 (fixed-width
+    * shuffle) and takes the k-th largest count c_k; phase 2 re-scans,
+    * keeps only occurrences whose gram-hash count ≥ c_k (a hash
+    * semi-join against the tiny ≥-threshold hash set — collisions
+    * only widen the candidate set, the string re-count is exact),
+    * and counts those few strings exactly. A naive single-phase
+    * groupBy(gram) shuffles every occurrence as text — measured 109 s
+    * at sf10 (60 M-doc organic corpus) vs ~12 s for this shape.
     */
   def topNgrams(
       df: DataFrame,
@@ -30,14 +41,47 @@ object NgramStats {
       n: Int,
       k: Int): DataFrame = {
     require(n >= 1 && k >= 1, "n and k must be positive")
-    val toks = split(trim(lower(text)), "\\s+")
-    val grams = when(size(toks) >= n,
-      transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(n)))))
-      .otherwise(array(concat_ws(" ", toks)))
-    val counts = df.select(explode(grams).as("gram"))
+    // codegen'd kernel, not the split->sequence->transform(concat_ws
+    // (slice)) HOF chain: the interpreted lambda dominated the sf10
+    // wall (the §5 r11 java-regex/HOF lesson applies to counting too)
+    val grams = graft.plans.WordGramsExpr.grams(text, n)
+    // NOT persisted: two cheap kernel scans beat materializing the
+    // corpus-width gram strings
+    val occ = df.select(explode(grams).as("gram"))
+
+    // phase 1: fixed-width hash counts; total rides the same pass
+    val hCounts = occ.select(xxhash64(col("gram")).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("hn"))
+      .sharedPersist()
+    val total = hCounts.agg(sum(col("hn")).as("__total"))
+    // k-th largest hash-count: a 1-row TakeOrdered decision. Any gram
+    // in the true top-k has string-count <= its hash-count, and there
+    // are >= k hashes with hash-count >= c_k, so the >= c_k hash set
+    // is a superset of the top-k grams' hashes.
+    val ckRow = hCounts.orderBy(col("hn").desc).limit(k)
+      .agg(min(col("hn")).as("ck")).head(1)
+    val ck = if (ckRow.isEmpty || ckRow(0).isNullAt(0)) 1L else ckRow(0).getLong(0)
+    val candidates = hCounts.filter(col("hn") >= ck).select(col("h"))
+
+    // phase 2: only candidate occurrences shuffle as strings
+    val exact = occ
+      .join(broadcast(candidates), xxhash64(col("gram")) === col("h"), "left_semi")
       .groupBy(col("gram")).agg(count(lit(1)).as("n"))
-    val total = counts.agg(sum(col("n")).as("__total"))
+      .sharedPersist()
+
+    // soundness gate: every gram OUTSIDE the candidate set has string
+    // count < c_k (its hash count is below the cut), so the pruned
+    // result is exact iff >= k candidate grams re-count >= c_k. A
+    // hash collision can merge two mid-count grams into a hash that
+    // lifts c_k above the true k-th string count — vanishing odds at
+    // 64 bits, but this 1-row check makes the prune EXACT, not
+    // probabilistic: on a miss, fall back to the full string count.
+    val sound = exact.filter(col("n") >= ck).limit(k)
+      .agg(count(lit(1)).as("m")).head(1)(0).getLong(0) >= k
+    val counts =
+      if (sound) exact
+      else occ.groupBy(col("gram")).agg(count(lit(1)).as("n"))
+
     counts.crossJoin(broadcast(total))
       .select(col("gram"), col("n"),
         expr("n * 1000000 div __total").as("share_micro"))
