@@ -89,6 +89,75 @@ object NgramStats {
       .limit(k)
   }
 
+  /** Per-source text predictability: conditional bigram entropy
+    * H(w₂|w₁) = H(bigrams) − H(unigrams), in exact micro-nats (the
+    * C42 floor(−p·ln p·1e6) device). Low H(w₂|w₁) relative to H(w₁)
+    * = the next token is largely determined by the previous one —
+    * template/boilerplate text that unigram entropy alone misses
+    * (same vocabulary, rigid order). Two kernel-gram passes, each a
+    * (source, gram)-keyed partial agg; everything after is
+    * per-source rows.
+    *
+    * @return (source, n_tokens, n_bigrams, h_unigram_micro,
+    *         h_bigram_micro, h_cond_micro)
+    */
+  def conditionalEntropy(
+      df: DataFrame,
+      source: Column,
+      text: Column): DataFrame = {
+    def entropy(k: Int, totalName: String, entName: String): DataFrame = {
+      val counts = df.select(source.cast("string").as("source"),
+          explode(graft.plans.WordGramsExpr.grams(text, k)).as("g"))
+        .groupBy(col("source"), col("g")).agg(count(lit(1)).as("c"))
+      val totals = counts.groupBy(col("source")).agg(sum(col("c")).as("ts"))
+      val p = col("c").cast("double") / col("ts")
+      counts.join(totals, Seq("source"))
+        .select(col("source"), col("c"),
+          floor(-p * log(p) * 1e6).cast("bigint").as("e"))
+        .groupBy(col("source"))
+        .agg(sum(col("c")).as(totalName), sum(col("e")).as(entName))
+    }
+    entropy(1, "n_tokens", "h_unigram_micro")
+      .join(entropy(2, "n_bigrams", "h_bigram_micro"), Seq("source"))
+      .select(col("source"), col("n_tokens"), col("n_bigrams"),
+        col("h_unigram_micro"), col("h_bigram_micro"),
+        (col("h_bigram_micro") - col("h_unigram_micro")).as("h_cond_micro"))
+  }
+
+  /** DuckDB twin of [[conditionalEntropy]] over
+    * `documents(source, text)`.
+    */
+  def conditionalEntropySql(): String = {
+    def gramCase(n: Int): String = {
+      val gram = (0 until n).map(j => s"toks[i${if (j == 0) "" else s" + $j"}]")
+        .mkString(" || ' ' || ")
+      s"""CASE WHEN len(toks) >= $n
+         |          THEN list_transform(range(1, len(toks) - ${n - 1} + 1), i -> $gram)
+         |          ELSE [array_to_string(toks, ' ')] END""".stripMargin
+    }
+    def chain(n: Int): String =
+      s"""cg$n AS (SELECT source, u.g AS g
+       |        FROM (SELECT source, ${gramCase(n)} AS grams FROM cet) x,
+       |             unnest(grams) AS u(g)),
+       |cc$n AS (SELECT source, g, count(*) AS c FROM cg$n GROUP BY 1, 2),
+       |ct$n AS (SELECT source, sum(c) AS ts FROM cc$n GROUP BY 1),
+       |ce$n AS (SELECT c.source, CAST(sum(c.c) AS BIGINT) AS tot,
+       |          sum(CAST(floor(-(CAST(c.c AS DOUBLE) / t.ts)
+       |              * ln(CAST(c.c AS DOUBLE) / t.ts) * 1e6) AS BIGINT)) AS ent
+       |        FROM cc$n c JOIN ct$n t USING (source) GROUP BY c.source)""".stripMargin
+    s"""WITH cet AS (SELECT CAST(source AS VARCHAR) AS source,
+       |              string_split_regex(trim(lower(text)), '\\s+') AS toks
+       |            FROM documents),
+       |${chain(1)},
+       |${chain(2)}
+       |SELECT ce1.source, ce1.tot AS n_tokens, ce2.tot AS n_bigrams,
+       |  CAST(ce1.ent AS BIGINT) AS h_unigram_micro,
+       |  CAST(ce2.ent AS BIGINT) AS h_bigram_micro,
+       |  CAST(ce2.ent - ce1.ent AS BIGINT) AS h_cond_micro
+       |FROM ce1 JOIN ce2 USING (source)
+       |ORDER BY ce1.source""".stripMargin
+  }
+
   /** DuckDB twin over `documents(text)`. */
   def topNgramsSql(n: Int, k: Int): String = {
     val gram = (0 until n).map(j => s"toks[i${if (j == 0) "" else s" + $j"}]")

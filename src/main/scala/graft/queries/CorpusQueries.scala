@@ -124,6 +124,15 @@ object CorpusQueries {
         col("text"), col("source"), shingleK = 3, numHashes = 16)
     },
 
+    // C135: per-source conditional bigram entropy — the
+    // predictability gauge that catches rigid-order boilerplate
+    // unigram entropy misses. Two kernel-gram partial-agg passes.
+    "q_cond_entropy" -> { (s, dir) =>
+      graft.ops.NgramStats.conditionalEntropy(t(s, dir, "documents"),
+          col("source"), col("text"))
+        .orderBy(col("source"))
+    },
+
     // C131: corpus n-gram fingerprint — top-25 trigrams with
     // multiplicity + corpus share (boilerplate/template radar).
     // Grams stay in-row until ONE explode; top-k is TakeOrdered.
@@ -408,6 +417,8 @@ object CorpusQueries {
       graft.ops.SourceOverlap.matrixSql(shingleK = 3, numHashes = 16),
 
     "q_top_ngrams" -> graft.ops.NgramStats.topNgramsSql(n = 3, k = 25),
+
+    "q_cond_entropy" -> graft.ops.NgramStats.conditionalEntropySql(),
 
     "q_pagerank" -> {
       val edgeSql =

@@ -48,6 +48,9 @@ object DedupQueries {
   val OphBins = 16
   val OphBands = 4
   val OphThreshold = 0.5
+  /** Winnowing window (C133): fingerprints guarantee any shared run
+    * of >= w+k-1 = 6 tokens. */
+  val WinnowW = 4
   /** Span width for contamination localization (q_dup_spans' k). */
   val ContamK = 5
   /** Eval split for span localization: every 20th doc plays eval. */
@@ -156,6 +159,16 @@ object DedupQueries {
           shingleK = 3, maxDf = 10, threshold = 0.8)
         .select(col("id_a"), col("id_b"), col("n_common"), col("size_a"),
           col("size_b"), round(col("containment"), 4).as("containment"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // C133: winnowing (MOSS) fingerprint candidates — deterministic
+    // local-run guarantee (any shared >= w+k-1 token run shares a
+    // fingerprint), kernel-selected window minima, rare-df anchoring.
+    "q_winnow_pairs" -> { (s, dir) =>
+      graft.ops.Winnowing.candidatePairs(
+          TextQueries.docsWithPlantedDups(s, dir), col("doc_id"), col("text"),
+          k = 3, w = WinnowW, maxDf = 10, minShared = 2)
         .orderBy(col("id_a"), col("id_b"))
     },
 
@@ -320,6 +333,12 @@ object DedupQueries {
   }
 
   val oracles: Map[String, String] = Map(
+
+    "q_winnow_pairs" ->
+      s"""WITH ${TextQueries.allDocsCte},
+         |${graft.ops.Winnowing.candidatePairsSql(k = 3, w = WinnowW,
+             maxDf = 10, minShared = 2)}
+         |SELECT id_a, id_b, n_shared FROM wpr ORDER BY id_a, id_b""".stripMargin,
 
     "q_prefix_dedup" ->
       s"""WITH pp AS (SELECT doc_id,

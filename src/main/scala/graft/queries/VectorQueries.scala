@@ -113,6 +113,16 @@ object VectorQueries {
         .orderBy(col("group"))
     },
 
+    // C134: MMR diversified selection — 8 relevant-but-non-redundant
+    // picks vs the vec_id=0 query; per-round one distributed argmax
+    // combiner, selected vectors ride as closure literals.
+    "q_mmr_select" -> { (s, dir) =>
+      val e = emb(s, dir)
+      val query = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      graft.ops.Mmr.select(e.filter(col("vec_id") =!= 0),
+        col("vec_id"), col("embedding"), query, k = 8, lambdaMilli = 700)
+    },
+
     // C132: per-group semantic dispersion — mean pairwise cosine
     // from ONE aggregation pass (||sum||^2 identity), no n^2 join.
     "q_embed_dispersion" -> { (s, dir) =>
@@ -173,6 +183,9 @@ object VectorQueries {
 
     "q_embed_dispersion" ->
       graft.ops.EmbeddingPool.dispersionSql(dim = 64),
+
+    "q_mmr_select" ->
+      graft.ops.Mmr.selectSql(k = 8, lambdaMilli = 700),
 
     "q_project" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
