@@ -50,6 +50,9 @@ object AnnQueries {
   val RrfDepth = 20
   val RrfTopK = 10
 
+  /** RBO persistence for C136 agreement (p = 0.9: top-heavy). */
+  val RboPMilli = 900
+
   /** Hybrid queries: (query_id, lexical terms); the dense side uses
     * the embedding of vec_id = query_id.
     */
@@ -193,26 +196,45 @@ object AnnQueries {
     // C106: reciprocal-rank fusion of BM25 (lexical) and brute-force
     // cosine (dense) top-20 lists, top-10 fused per query.
     "q_rrf_fusion" -> { (s, dir) =>
-      import s.implicits._
-      val queryIds = HybridQueries.map(_._1).distinct
-      val docs = t(s, dir, "documents").filter(!col("doc_id").isin(queryIds: _*))
-      val emb = t(s, dir, "embeddings")
-      val lex = Bm25.topK(docs, col("doc_id"), col("text"),
-          HybridQueries.toDF("query_id", "term"), topK = RrfDepth)
-        .select(col("query_id"), col("doc_id"), col("rk").as("rank"))
-      val denseQ = emb.filter(col("vec_id").isin(queryIds: _*))
-        .select(col("vec_id").cast("bigint").as("query_id"), col("embedding").as("qv"))
-      val wD = Window.partitionBy(col("query_id"))
-        .orderBy(col("cos_sim").desc, col("vec_id"))
-      val dense = Similarity.bruteForceTopKBatch(
-          emb.filter(!col("vec_id").isin(queryIds: _*)),
-          col("vec_id"), col("embedding"), denseQ, k = RrfDepth)
-        .withColumn("rank", row_number().over(wD).cast("bigint"))
-        .select(col("query_id"), col("vec_id").as("doc_id"), col("rank"))
+      val (lex, dense) = hybridArms(s, dir)
       RankFusion.fuse(lex, dense, k0 = RrfK0, topK = RrfTopK)
         .orderBy(col("query_id"), col("rk"))
+    },
+
+    // C136: ranking agreement between the SAME two arms C106 fuses —
+    // overlap@k, Kendall tau over common items, top-weighted RBO
+    // (pre-quantized geometric weights: pow() never evaluates in
+    // either engine).
+    "q_rank_agreement" -> { (s, dir) =>
+      val (lex, dense) = hybridArms(s, dir)
+      graft.ops.RankAgreement.agreement(lex, dense, k = RrfDepth,
+          pMilli = RboPMilli)
+        .orderBy(col("query_id"))
     }
   )
+
+  /** The shared lexical/dense ranked arms (query_id, doc_id, rank)
+    * consumed by C106 fusion and C136 agreement.
+    */
+  private def hybridArms(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    import s.implicits._
+    val queryIds = HybridQueries.map(_._1).distinct
+    val docs = t(s, dir, "documents").filter(!col("doc_id").isin(queryIds: _*))
+    val emb = t(s, dir, "embeddings")
+    val lex = Bm25.topK(docs, col("doc_id"), col("text"),
+        HybridQueries.toDF("query_id", "term"), topK = RrfDepth)
+      .select(col("query_id"), col("doc_id"), col("rk").as("rank"))
+    val denseQ = emb.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").cast("bigint").as("query_id"), col("embedding").as("qv"))
+    val wD = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    val dense = Similarity.bruteForceTopKBatch(
+        emb.filter(!col("vec_id").isin(queryIds: _*)),
+        col("vec_id"), col("embedding"), denseQ, k = RrfDepth)
+      .withColumn("rank", row_number().over(wD).cast("bigint"))
+      .select(col("query_id"), col("vec_id").as("doc_id"), col("rank"))
+    (lex, dense)
+  }
 
   val oracles: Map[String, String] = Map(
 
@@ -334,11 +356,49 @@ object AnnQueries {
          |${graft.ops.AnnEval.pqRecallSql(PqTopK, EmbDim)}
          |SELECT top_k, n_approx, n_hit, recall_milli FROM pqrec""".stripMargin,
 
-    "q_rrf_fusion" -> {
-      val values = HybridQueries.map { case (q, tm) => s"($q, '$tm')" }.mkString(", ")
-      val qids = HybridQueries.map(_._1).distinct.mkString(", ")
-      s"""WITH q(query_id, term) AS (VALUES $values),
-         |d AS (SELECT doc_id, text FROM documents WHERE doc_id NOT IN ($qids)),
+    "q_rrf_fusion" ->
+      s"""WITH $hybridArmsCtes,
+         |fused AS (
+         |  SELECT coalesce(lex.query_id, dense.query_id) AS query_id,
+         |         coalesce(lex.doc_id, dense.doc_id) AS doc_id,
+         |         coalesce(lex.lex_rank, 0) AS lex_rank,
+         |         coalesce(dense.dense_rank, 0) AS dense_rank
+         |  FROM lex FULL OUTER JOIN dense
+         |    ON lex.query_id = dense.query_id AND lex.doc_id = dense.doc_id),
+         |scored AS (
+         |  SELECT query_id, doc_id,
+         |         CAST(lex_rank AS BIGINT) AS lex_rank,
+         |         CAST(dense_rank AS BIGINT) AS dense_rank,
+         |         CAST(CASE WHEN lex_rank > 0
+         |                THEN ${RankFusion.Scale} // (lex_rank + $RrfK0) ELSE 0 END
+         |              + CASE WHEN dense_rank > 0
+         |                THEN ${RankFusion.Scale} // (dense_rank + $RrfK0) ELSE 0 END
+         |           AS BIGINT) AS rrf_score
+         |  FROM fused)
+         |SELECT query_id, doc_id, lex_rank, dense_rank, rrf_score,
+         |  CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY rrf_score DESC, doc_id) AS BIGINT) AS rk
+         |FROM scored QUALIFY rk <= $RrfTopK
+         |ORDER BY query_id, rk""".stripMargin,
+
+    "q_rank_agreement" ->
+      s"""WITH $hybridArmsCtes,
+         |rla AS (SELECT query_id, doc_id, lex_rank AS rank FROM lex),
+         |rlb AS (SELECT query_id, doc_id, dense_rank AS rank FROM dense),
+         |${graft.ops.RankAgreement.agreementSqlTail(RrfDepth, RboPMilli)}
+         |SELECT query_id, n_common, overlap_k_milli, tau_milli, rbo_micro
+         |FROM ragr ORDER BY query_id""".stripMargin
+  )
+
+  /** Shared arm CTEs of the q_rrf_fusion / q_rank_agreement twins:
+    * final relations `lex(query_id, doc_id, lex_rank)` and
+    * `dense(query_id, doc_id, dense_rank)`.
+    */
+  private def hybridArmsCtes: String = {
+    val values = HybridQueries.map { case (q, tm) => s"($q, '$tm')" }.mkString(", ")
+    val qids = HybridQueries.map(_._1).distinct.mkString(", ")
+    s"""q(query_id, term) AS (VALUES $values),
+       |d AS (SELECT doc_id, text FROM documents WHERE doc_id NOT IN ($qids)),
          |toks AS (SELECT doc_id, u.term
          |         FROM d, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS u(term)),
          |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
@@ -371,29 +431,6 @@ object AnnQueries {
          |dense AS (SELECT query_id, doc_id,
          |            CAST(row_number() OVER (PARTITION BY query_id
          |              ORDER BY cos_sim DESC, doc_id) AS BIGINT) AS dense_rank
-         |          FROM ds QUALIFY dense_rank <= $RrfDepth),
-         |fused AS (
-         |  SELECT coalesce(lex.query_id, dense.query_id) AS query_id,
-         |         coalesce(lex.doc_id, dense.doc_id) AS doc_id,
-         |         coalesce(lex.lex_rank, 0) AS lex_rank,
-         |         coalesce(dense.dense_rank, 0) AS dense_rank
-         |  FROM lex FULL OUTER JOIN dense
-         |    ON lex.query_id = dense.query_id AND lex.doc_id = dense.doc_id),
-         |scored AS (
-         |  SELECT query_id, doc_id,
-         |         CAST(lex_rank AS BIGINT) AS lex_rank,
-         |         CAST(dense_rank AS BIGINT) AS dense_rank,
-         |         CAST(CASE WHEN lex_rank > 0
-         |                THEN ${RankFusion.Scale} // (lex_rank + $RrfK0) ELSE 0 END
-         |              + CASE WHEN dense_rank > 0
-         |                THEN ${RankFusion.Scale} // (dense_rank + $RrfK0) ELSE 0 END
-         |           AS BIGINT) AS rrf_score
-         |  FROM fused)
-         |SELECT query_id, doc_id, lex_rank, dense_rank, rrf_score,
-         |  CAST(row_number() OVER (PARTITION BY query_id
-         |    ORDER BY rrf_score DESC, doc_id) AS BIGINT) AS rk
-         |FROM scored QUALIFY rk <= $RrfTopK
-         |ORDER BY query_id, rk""".stripMargin
-    }
-  )
+         |          FROM ds QUALIFY dense_rank <= $RrfDepth)""".stripMargin
+  }
 }
