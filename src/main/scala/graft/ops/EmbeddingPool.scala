@@ -83,8 +83,9 @@ object EmbeddingPool {
       vec: Column,
       dim: Int): DataFrame = {
     require(dim >= 1, "dim must be positive")
-    val unit = graft.functions.VectorFunctions.l2Normalize(vec)
-    val qv = transform(unit, x => floor(x * 10000L).cast("bigint"))
+    // codegen'd unit-quantization kernel (parity-spec'd against the
+    // l2Normalize+floor composition it replaces)
+    val qv = graft.plans.UnitQuantExpr.unitQuant(vec)
     val dec = "decimal(38,0)"
     val sums = (0 until dim).map(i =>
       sum(element_at(col("__qv"), i + 1)).as(s"__s$i"))

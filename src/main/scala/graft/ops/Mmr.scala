@@ -47,9 +47,10 @@ object Mmr {
     val spark = corpus.sparkSession
     import spark.implicits._
     val lam = lambdaMilli.toLong
-    def unitQ(c: Column): Column =
-      transform(graft.functions.VectorFunctions.l2Normalize(c),
-        x => floor(x * 10000L).cast("bigint"))
+    // codegen'd unit-quantization (parity-spec'd against the
+    // l2Normalize+floor composition): the corpus-wide pass was ~20 of
+    // the 28 s at sf10 when it ran as two interpreted HOFs
+    def unitQ(c: Column): Column = graft.plans.UnitQuantExpr.unitQuant(c)
 
     val qRows = query.select(unitQ(col("qv"))).head(2)
     require(qRows.length == 1, s"Mmr.select expects exactly one query row, got ${qRows.length}")
@@ -104,6 +105,73 @@ object Mmr {
       .map { case ((vid, rel, _, score), i) => (i + 1L, vid, rel, score) }
       .toSeq.toDF("sel_rank", "vec_id", "rel_q", "mmr_q")
       .orderBy(col("sel_rank"))
+  }
+
+  /** The scale path: restrict the MMR loop to the `candN` most
+    * RELEVANT candidates first (one corpus pass, bounded TopKAgg —
+    * the shuffle carries ≤ candN pairs per task), then run the exact
+    * k-round loop on that candN-row subset. This is how MMR deploys
+    * everywhere at scale (rerank a retrieval shortlist, never the
+    * corpus): each round's scan drops from |corpus| to candN. The
+    * approximation surface is explicit — an item OUTSIDE the top
+    * candN by relevance can never be picked even if maximally
+    * diverse; with λ ≥ 0.5 and candN ≫ k the exact and prefiltered
+    * picks coincide in practice (spec-pinned equal on the fixture
+    * when candN covers the corpus).
+    */
+  def selectPrefiltered(
+      corpus: DataFrame,
+      id: Column,
+      vec: Column,
+      query: DataFrame,
+      k: Int,
+      lambdaMilli: Int = 700,
+      candN: Int = 1024): DataFrame = {
+    require(candN >= k, "candN must be >= k")
+    val spark = corpus.sparkSession
+    val qRows = query.select(col("qv").cast("array<double>")).head(2)
+    require(qRows.length == 1,
+      s"selectPrefiltered expects exactly one query row, got ${qRows.length}")
+    def unitQ(c: Column): Column = graft.plans.UnitQuantExpr.unitQuant(c)
+    // shortlist by quantized-unit DISTANCE to the query (both the
+    // quantization and the distance are codegen kernels — an
+    // interpreted HOF pass here would rebuild the q_top_ngrams wall
+    // corpus-wide); for unit vectors distance order is cosine order
+    // up to the 1e-4 quantization, and the twin mirrors the same
+    // integer order exactly. The query quantizes through the SAME
+    // expression chain the per-row side uses.
+    val qUnit: Seq[Long] =
+      query.select(unitQ(col("qv")).as("u")).head(1)(0).getSeq[Long](0)
+    val dist = graft.plans.SqDistLongExpr.sqDist(unitQ(vec), typedLit(qUnit))
+    val shortlist = corpus
+      .select(id.cast("bigint").as("__vid"), dist.as("__d"))
+      .agg(graft.plans.TopKAgg.topK(-col("__d"), col("__vid"), candN).as("top"))
+      .select(explode(col("top")).as("p"))
+      .select(col("p.id").as("__vid"))
+    val candidates = corpus.join(
+      broadcast(shortlist), id.cast("bigint") === col("__vid"), "left_semi")
+    select(candidates, id, vec, query, k, lambdaMilli)
+  }
+
+  /** DuckDB twin of [[selectPrefiltered]]: the same top-candN
+    * relevance shortlist CTE prepended to the unrolled rounds.
+    */
+  def selectPrefilteredSql(
+      k: Int,
+      lambdaMilli: Int = 700,
+      candN: Int = 1024,
+      dim: Int = 64): String = {
+    val base = selectSql(k, lambdaMilli, dim)
+    // splice a shortlist filter between the corpus CTE and the rounds
+    base.replace(
+      "mrel AS MATERIALIZED (SELECT c.vid, c.uv,",
+      s"""msl AS MATERIALIZED (SELECT vid FROM (
+         |  SELECT c.vid, list_aggregate(list_transform(range(1, ${dim + 1}),
+         |    i -> (c.uv[i] - r.qv[i]) * (c.uv[i] - r.qv[i])), 'sum') AS dq
+         |  FROM mcp c, mqr r) ORDER BY dq, vid LIMIT $candN),
+         |mrel AS MATERIALIZED (SELECT c.vid, c.uv,""".stripMargin)
+      .replace("FROM mcp c, mqr r),",
+        "FROM mcp c JOIN msl USING (vid), mqr r),")
   }
 
   /** DuckDB twin over `embeddings` (query = vec_id 0, corpus the

@@ -123,6 +123,18 @@ object VectorQueries {
         col("vec_id"), col("embedding"), query, k = 8, lambdaMilli = 700)
     },
 
+    // C134 scale path: MMR over the 64 nearest candidates only — one
+    // kernel-distance corpus pass + bounded TopKAgg shortlist, then
+    // the same exact loop on 64 rows (rerank-a-shortlist, the way
+    // MMR deploys at corpus scale).
+    "q_mmr_topn" -> { (s, dir) =>
+      val e = emb(s, dir)
+      val query = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      graft.ops.Mmr.selectPrefiltered(e.filter(col("vec_id") =!= 0),
+        col("vec_id"), col("embedding"), query, k = 8, lambdaMilli = 700,
+        candN = 64)
+    },
+
     // C132: per-group semantic dispersion — mean pairwise cosine
     // from ONE aggregation pass (||sum||^2 identity), no n^2 join.
     "q_embed_dispersion" -> { (s, dir) =>
@@ -186,6 +198,9 @@ object VectorQueries {
 
     "q_mmr_select" ->
       graft.ops.Mmr.selectSql(k = 8, lambdaMilli = 700),
+
+    "q_mmr_topn" ->
+      graft.ops.Mmr.selectPrefilteredSql(k = 8, lambdaMilli = 700, candN = 64),
 
     "q_project" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)

@@ -50,6 +50,24 @@ class MmrSpec extends AnyFunSuite with SparkTestBase {
     assert(r.getLong(3) === 700L * r.getLong(2))
   }
 
+  test("prefiltered == exact when the shortlist covers the corpus") {
+    val exact = Mmr.select(fixture, col("vec_id"), col("embedding"), query,
+      k = 3, lambdaMilli = 500).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val pre = Mmr.selectPrefiltered(fixture, col("vec_id"), col("embedding"),
+      query, k = 3, lambdaMilli = 500, candN = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pre === exact)
+  }
+
+  test("prefiltered restricts picks to the nearest candidates") {
+    // candN = 2 keeps only the two query-nearest vectors (1, 2):
+    // the diverse 3 can no longer be picked
+    val pre = Mmr.selectPrefiltered(fixture, col("vec_id"), col("embedding"),
+      query, k = 2, lambdaMilli = 500, candN = 2)
+      .collect().map(_.getLong(1)).toSet
+    assert(pre === Set(1L, 2L))
+  }
+
   test("guards: k beyond corpus and a multi-row query are rejected") {
     intercept[IllegalArgumentException] {
       Mmr.select(fixture, col("vec_id"), col("embedding"), query, k = 5)
