@@ -87,17 +87,23 @@ object EmbeddingPool {
     // l2Normalize+floor composition it replaces)
     val qv = graft.plans.UnitQuantExpr.unitQuant(vec)
     val dec = "decimal(38,0)"
+    // accumulate in decimal(38,0), not BIGINT: per-row __q2 is up to
+    // dim·1e8 (~6.4e9 at dim 64), so a BIGINT sum wraps silently past
+    // ~1.4e9 rows per group under Spark's non-ANSI arithmetic while
+    // the DuckDB twin's HUGEINT keeps going — the cast must sit on the
+    // aggregate INPUT. Per-dim sums (|qv[i]| ≤ 1e4) get the same
+    // treatment so groups beyond ~9e14 rows stay exact too.
     val sums = (0 until dim).map(i =>
-      sum(element_at(col("__qv"), i + 1)).as(s"__s$i"))
+      sum(element_at(col("__qv"), i + 1).cast(dec)).as(s"__s$i"))
     val q2 = aggregate(col("__qv"), lit(0L), (a, x) => a + x * x)
     val s2 = (0 until dim)
-      .map(i => col(s"__s$i").cast(dec) * col(s"__s$i").cast(dec))
+      .map(i => col(s"__s$i") * col(s"__s$i"))
       .reduce(_ + _)
     df.select(group.as("group"), qv.as("__qv"))
       .select(col("group"), col("__qv"), q2.as("__q2"))
       .groupBy(col("group"))
       .agg(count(lit(1)).as("__n"),
-        (sum(col("__q2")).cast(dec).as("__sq2") +: sums): _*)
+        (sum(col("__q2").cast(dec)).as("__sq2") +: sums): _*)
       .select(col("group"), col("__n").as("n"),
         when(col("__n") >= 2L,
           floor((s2 - col("__sq2")).cast("double") * 1e6 /
@@ -108,15 +114,24 @@ object EmbeddingPool {
   }
 
   /** DuckDB twin of [[dispersion]] over `embeddings(label,
-    * embedding)`. The unit-vector chain mirrors q_vector_norm's.
+    * embedding)`. The unit-vector chain mirrors q_vector_norm's,
+    * with the zero-norm guard the Spark kernel gets for free:
+    * UnitQuantExpr maps an all-zero vector to zeros (floor(0/0)=NaN,
+    * NaN.toLong==0) while DuckDB's CAST(NaN AS BIGINT) ERRORS — so
+    * the twin must short-circuit norm=0 to 0 or one degenerate
+    * embedding aborts the oracle while Spark succeeds.
     */
   def dispersionSql(dim: Int): String =
-    s"""WITH ue AS (SELECT label AS "group",
-       |             list_transform(CAST(embedding AS DOUBLE[]), x ->
-       |               CAST(floor(x / sqrt(list_aggregate(
-       |                 list_transform(CAST(embedding AS DOUBLE[]), y -> y * y),
-       |                 'sum')) * 10000) AS BIGINT)) AS qv
+    s"""WITH nr AS (SELECT label AS "group",
+       |             CAST(embedding AS DOUBLE[]) AS ev,
+       |             list_aggregate(list_transform(CAST(embedding AS DOUBLE[]),
+       |                                           y -> y * y), 'sum') AS nrm2
        |           FROM embeddings),
+       |ue AS (SELECT "group",
+       |         list_transform(ev, x ->
+       |           CAST(CASE WHEN nrm2 = 0 THEN 0
+       |                ELSE floor(x / sqrt(nrm2) * 10000) END AS BIGINT)) AS qv
+       |       FROM nr),
        |rq AS (SELECT "group", qv,
        |         list_aggregate(list_transform(qv, x -> x * x), 'sum') AS q2
        |       FROM ue),

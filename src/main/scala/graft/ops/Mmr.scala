@@ -179,10 +179,15 @@ object Mmr {
     */
   def selectSql(k: Int, lambdaMilli: Int = 700, dim: Int = 64): String = {
     val lam = lambdaMilli
+    // zero-norm guard mirrors UnitQuantExpr: Spark's kernel maps an
+    // all-zero vector to zeros (NaN.toLong == 0) but DuckDB's
+    // CAST(NaN AS BIGINT) errors, so the twin short-circuits norm=0
     def unitQ(v: String) =
       s"""list_transform($v, x ->
-         |      CAST(floor(x / sqrt(list_aggregate(list_transform($v, y -> y * y), 'sum'))
-         |           * 10000) AS BIGINT))""".stripMargin
+         |      CAST(CASE WHEN list_aggregate(list_transform($v, y -> y * y), 'sum') = 0
+         |           THEN 0
+         |           ELSE floor(x / sqrt(list_aggregate(list_transform($v, y -> y * y), 'sum'))
+         |                * 10000) END AS BIGINT))""".stripMargin
     def dot(a: String, b: String) =
       s"list_aggregate(list_transform(range(1, ${dim + 1}), i -> $a[i]*$b[i]), 'sum')"
     val sb = new StringBuilder
@@ -195,7 +200,7 @@ object Mmr {
          |  FROM mcp c, mqr r),
          |ms1 AS MATERIALIZED (SELECT 1 AS rk, vid, rel, uv,
          |    CAST($lam * rel AS BIGINT) AS score
-         |  FROM mrel ORDER BY rel DESC, vid LIMIT 1),
+         |  FROM mrel ORDER BY score DESC, vid LIMIT 1),
          |""".stripMargin)
     for (j <- 2 to k) {
       val selPrev = (1 until j).map(i => s"SELECT rk, vid, rel, uv, score FROM ms$i")

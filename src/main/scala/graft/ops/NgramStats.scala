@@ -63,24 +63,39 @@ object NgramStats {
     val ck = if (ckRow.isEmpty || ckRow(0).isNullAt(0)) 1L else ckRow(0).getLong(0)
     val candidates = hCounts.filter(col("hn") >= ck).select(col("h"))
 
-    // phase 2: only candidate occurrences shuffle as strings
-    val exact = occ
-      .join(broadcast(candidates), xxhash64(col("gram")) === col("h"), "left_semi")
-      .groupBy(col("gram")).agg(count(lit(1)).as("n"))
-      .sharedPersist()
+    // The broadcast is only legal if the candidate set is actually
+    // small. On a flat count distribution (c_k near 1 — a dedup'd or
+    // boilerplate-free corpus) "hash count >= c_k" keeps essentially
+    // EVERY distinct gram hash, and a forced broadcast of an unbounded
+    // relation blows the 8 GB broadcast limit / driver heap at sf10+.
+    // The prune buys nothing there anyway (it filters no occurrences),
+    // so: count the candidates first (a cheap scan of the persisted
+    // hash counts) and fall back to the plain string groupBy when the
+    // set exceeds the broadcast budget (8M hashes ~ 64 MB of longs).
+    val maxBroadcastCand = 8L * 1000 * 1000
+    val nCand = candidates.limit((maxBroadcastCand + 1).toInt)
+      .agg(count(lit(1)).as("c")).head(1)(0).getLong(0)
+    val counts = if (ck <= 1L || nCand > maxBroadcastCand) {
+      occ.groupBy(col("gram")).agg(count(lit(1)).as("n"))
+    } else {
+      // phase 2: only candidate occurrences shuffle as strings
+      val exact = occ
+        .join(broadcast(candidates), xxhash64(col("gram")) === col("h"), "left_semi")
+        .groupBy(col("gram")).agg(count(lit(1)).as("n"))
+        .sharedPersist()
 
-    // soundness gate: every gram OUTSIDE the candidate set has string
-    // count < c_k (its hash count is below the cut), so the pruned
-    // result is exact iff >= k candidate grams re-count >= c_k. A
-    // hash collision can merge two mid-count grams into a hash that
-    // lifts c_k above the true k-th string count — vanishing odds at
-    // 64 bits, but this 1-row check makes the prune EXACT, not
-    // probabilistic: on a miss, fall back to the full string count.
-    val sound = exact.filter(col("n") >= ck).limit(k)
-      .agg(count(lit(1)).as("m")).head(1)(0).getLong(0) >= k
-    val counts =
+      // soundness gate: every gram OUTSIDE the candidate set has string
+      // count < c_k (its hash count is below the cut), so the pruned
+      // result is exact iff >= k candidate grams re-count >= c_k. A
+      // hash collision can merge two mid-count grams into a hash that
+      // lifts c_k above the true k-th string count — vanishing odds at
+      // 64 bits, but this 1-row check makes the prune EXACT, not
+      // probabilistic: on a miss, fall back to the full string count.
+      val sound = exact.filter(col("n") >= ck).limit(k)
+        .agg(count(lit(1)).as("m")).head(1)(0).getLong(0) >= k
       if (sound) exact
       else occ.groupBy(col("gram")).agg(count(lit(1)).as("n"))
+    }
 
     counts.crossJoin(broadcast(total))
       .select(col("gram"), col("n"),
