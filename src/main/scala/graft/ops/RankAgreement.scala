@@ -1,7 +1,6 @@
 package graft.ops
 
-import graft.util.PlanCache.Shareable
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Ranking-agreement metrics between two retrieval arms (lexical vs
@@ -51,45 +50,46 @@ object RankAgreement {
     require(k >= 1 && pMilli > 0 && pMilli < 1000, "k>=1, pMilli in (0,1000)")
     val ra = a.select(col("query_id"), col("doc_id"), col("rank").as("ra"))
     val rb = b.select(col("query_id"), col("doc_id"), col("rank").as("rb"))
-    val common = ra.join(rb, Seq("query_id", "doc_id")).sharedPersist()
+    val common = ra.join(rb, Seq("query_id", "doc_id"))
 
-    // overlap + tau over common items
-    val basic = common.groupBy(col("query_id")).agg(count(lit(1)).as("n_common"))
-    val pairs = common.alias("x")
-      .join(common.alias("y"),
-        col("x.query_id") === col("y.query_id") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.query_id").as("query_id"),
-        (((col("x.ra") - col("y.ra")) * (col("x.rb") - col("y.rb"))) > 0)
-          .cast("int").as("conc"))
-      .groupBy(col("query_id"))
-      .agg(count(lit(1)).as("np"), sum(col("conc")).as("nc"))
-      .select(col("query_id"),
-        expr("(2 * nc - np) * 1000 div np").as("tau_milli"))
-
-    // RBO_min: per common item m = max(ra, rb); overlap_d = count of
-    // m <= d; rbo = sum_d floor(w_d * overlap_d / d)
+    // ONE aggregation computes all three metrics: the common set is
+    // ≤ k items per query BY CONSTRUCTION (each arm emits ranks
+    // 1..k), so a per-query rank-pair array is bounded at k structs
+    // and the tau pair loop at k² in-row ops — the former
+    // join-per-metric tail (pair self-join + depth join + three
+    // groupBys + two left joins) was six sequential shuffle stages
+    // over ≤ k·|queries| rows, pure scheduling floor at any SF.
+    //
+    // Determinism: every expression below is a symmetric function of
+    // the array MULTISET (tau counts ordered pairs x≠y and the
+    // concordance test is order-symmetric; RBO sums a per-element
+    // predicate), so collect_list's nondeterministic order cannot
+    // leak into the output.
     val weights = rboWeightsMicro(k, pMilli)
-    val depths = a.sparkSession.range(1, k + 1L).select(col("id").as("d"))
-      .withColumn("w",
-        element_at(typedLit(weights), col("d").cast("int")))
-    val rbo = common
-      .select(col("query_id"), greatest(col("ra"), col("rb")).as("m"))
-      .groupBy(col("query_id"), col("m")).agg(count(lit(1)).as("nm"))
-      .join(broadcast(depths), col("m") <= col("d"))
-      .groupBy(col("query_id"), col("d"), col("w"))
-      .agg(sum(col("nm")).as("ov"))
-      .select(col("query_id"), expr("w * ov div d").as("term"))
+    val wArr = weights.map(w => s"${w}L").mkString("array(", ", ", ")")
+    // ordered concordant pairs (x ≠ y; x = y contributes 0): 2·nc
+    val conc2 =
+      """aggregate(pr, 0L, (acc, x) ->
+        |  acc + aggregate(pr, 0L, (a2, y) ->
+        |    a2 + if((x.ra - y.ra) * (x.rb - y.rb) > 0, 1L, 0L)))""".stripMargin
+    // np = n(n-1)/2 unordered pairs; tau = (2nc − np)·1000 div np
+    val np = "((cast(size(pr) as bigint) * (size(pr) - 1)) div 2)"
+    common
       .groupBy(col("query_id"))
-      .agg(sum(col("term")).as("rbo_micro"))
-
-    basic
-      .join(pairs, Seq("query_id"), "left")
-      .join(rbo, Seq("query_id"), "left")
-      .select(col("query_id"), col("n_common"),
-        expr(s"n_common * 1000 div $k").as("overlap_k_milli"),
-        col("tau_milli"),
-        coalesce(col("rbo_micro"), lit(0L)).as("rbo_micro"))
+      .agg(collect_list(struct(col("ra"), col("rb"))).as("pr"))
+      .select(col("query_id"),
+        size(col("pr")).cast("bigint").as("n_common"),
+        expr(s"cast(size(pr) as bigint) * 1000 div $k").as("overlap_k_milli"),
+        when(size(col("pr")) >= 2,
+          expr(s"(($conc2) - $np) * 1000 div $np")).as("tau_milli"),
+        // RBO_min: overlap_d = |{m = max(ra, rb) <= d}|;
+        // rbo = sum_d floor(w_d·overlap_d / d) — w_d pre-quantized
+        // micro literals, embedded identically in the SQL twin
+        expr(
+          s"""aggregate(sequence(1, $k), 0L, (acc, d) ->
+             |  acc + (element_at($wArr, d) *
+             |    size(filter(pr, x -> greatest(x.ra, x.rb) <= d))) div d)""".stripMargin)
+          .as("rbo_micro"))
   }
 
   /** DuckDB twin tail: expects `rla(query_id, doc_id, rank)` and

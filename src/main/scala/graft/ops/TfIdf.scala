@@ -65,14 +65,18 @@ object TfIdf {
     // n_docs as a DRIVER literal (one bounded 1-row fetch off the
     // cached arrays — the model-literal device): both idf sites then
     // fold the corpus size into the expression instead of each paying
-    // a broadcast-subquery job per pass. scala math.log IS Spark's
-    // log (both java.lang.Math.log), so the arithmetic is unchanged.
+    // a broadcast-subquery job per pass. The 1-row count frame is
+    // itself shared-persisted so REBUILDING the op (a second bench
+    // pass, a plan explain) pays a cache hit, not a corpus scan.
+    // scala math.log IS Spark's log (both java.lang.Math.log), so the
+    // arithmetic is unchanged.
     // CONTRACT: this makes the op EAGER — building (or explaining)
     // the returned frame runs one Spark job, and the corpus size is
     // frozen into the plan as a literal at build time. Callers that
     // need a fully-lazy frame over a still-mutating corpus should
     // re-call this op after the corpus settles.
-    val nDocs = docArrays.agg(count(lit(1))).collect()(0).getLong(0)
+    val nDocs = docArrays.agg(count(lit(1)).as("__n")).sharedPersist()
+      .collect()(0).getLong(0)
 
     // df only for shingles SHARED by >= 2 docs. The df = 1 mass —
     // most of an organic corpus — never enters a join at all: every
@@ -101,26 +105,38 @@ object TfIdf {
         sum(when(col("df") <= maxDf, col("idf") * col("idf"))
           .otherwise(lit(0L))).as("nsq_shared"))
     val idf1 = lit(math.floor(math.log((nDocs + 1L).toDouble / 2.0) * 1000.0).toLong)
+    // persisted: the norm table is read TWICE (the id_a and id_b
+    // sides of the final join) — unpersisted, each side re-ran the
+    // sharedAgg aggregation and the docArrays join; cached it is one
+    // 8-byte-pair row per doc, and small enough that AQE broadcasts
+    // both join sides
     val normsq = docArrays
       .join(sharedAgg, Seq("doc_id"), "left")
       .select(col("doc_id"),
         ((col("sz") - coalesce(col("n_shared"), lit(0L))) * idf1 * idf1
           + coalesce(col("nsq_shared"), lit(0L))).as("nsq"))
+      .sharedPersist()
 
-    // posting self-join, df in [2, maxDf] only; fan-out ≤ maxDf²/2
-    // per shingle. pairable filters the CACHED wShared (already
-    // hash-partitioned by h from the df join), so the self-join on h
-    // reuses that partitioning with no pre-exchange; norms join the
-    // AGGREGATED pair set, which is orders of magnitude smaller than
-    // the posting stream — attaching norms to postings BEFORE pairing
-    // was measured 2× slower at sf10 (it re-exchanges the full
-    // pairable stream by doc_id and back by h).
+    // pair emission via bounded per-hash grouping (the C66 device, df
+    // in [2, maxDf] only): ONE shuffle keyed on h builds per-shingle
+    // arrays of ≤ maxDf (doc, idf) entries, and the i<j pairs emit
+    // IN-ROW from that array — fan-out ≤ maxDf²/2 per shingle BY
+    // CONSTRUCTION, with none of the self-join's second exchange +
+    // join machinery (the SetSimJoin array-form lesson applied to the
+    // dot-product stage). Norms join the AGGREGATED pair set, which
+    // is orders of magnitude smaller than the posting stream —
+    // attaching norms to postings BEFORE pairing was measured 2×
+    // slower at sf10 (it re-exchanges the full pairable stream by
+    // doc_id and back by h).
     val pairable = wShared.filter(col("df") <= maxDf)
-    val dots = pairable.as("a")
-      .join(pairable.as("b"),
-        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .agg(sum(col("a.idf") * col("b.idf")).as("dot_milli2"))
+    val dots = pairable
+      .groupBy(col("h"))
+      .agg(collect_list(struct(col("doc_id").as("d"), col("idf").as("w"))).as("ps"))
+      .select(explode(expr(
+        "flatten(transform(ps, x -> transform(filter(ps, y -> y.d > x.d), " +
+          "y -> named_struct('id_a', x.d, 'id_b', y.d, 'p', x.w * y.w))))")).as("pr"))
+      .groupBy(col("pr.id_a").as("id_a"), col("pr.id_b").as("id_b"))
+      .agg(sum(col("pr.p")).as("dot_milli2"))
 
     val na = normsq.select(col("doc_id").as("id_a"), col("nsq").as("nsq_a"))
     val nb = normsq.select(col("doc_id").as("id_b"), col("nsq").as("nsq_b"))

@@ -214,16 +214,46 @@ object AnnQueries {
   )
 
   /** The shared lexical/dense ranked arms (query_id, doc_id, rank)
-    * consumed by C106 fusion and C136 agreement.
+    * consumed by C106 fusion and C136 agreement. Both arms are
+    * shared-CHECKPOINTED (each is ≤ RrfDepth rows per query BY
+    * CONSTRUCTION): the BM25 + brute-force build — the dominant
+    * multi-job cost of both queries — runs once per session, and
+    * consumers compile against a one-line LogicalRDD scan instead of
+    * re-optimizing the ~200-line arm lineage on every rebuild. The
+    * memo key is (session, dir), so a rebuild doesn't even pay the
+    * arm-plan ANALYSIS (the residual ~1 s of a warm rebuild was pure
+    * analyzer + canonicalization work on the deep arm plans);
+    * stopped-session entries are swept on each access, mirroring
+    * PlanCache.
+    *
+    * CONTRACT: the memo freezes the arms for a (session, dir) at
+    * first build — correct here because the bench fixture tables are
+    * immutable for a session's lifetime; a caller pattern over a
+    * mutating corpus would rebuild via buildHybridArms directly.
     */
+  private val armsMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (DataFrame, DataFrame)]
+
+  // a PlanCache.clear frees the arms' checkpoint blocks — the memoized
+  // frames have no lineage to rebuild from and must drop with them
+  graft.util.PlanCache.onClear(s =>
+    armsMemo.keys.filter(_._1 eq s).foreach(armsMemo.remove))
+
   private def hybridArms(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    armsMemo.keys.filter(_._1.sparkContext.isStopped).foreach(armsMemo.remove)
+    armsMemo.getOrElseUpdate((s, dir), buildHybridArms(s, dir))
+  }
+
+  private def buildHybridArms(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import s.implicits._
+    import graft.util.PlanCache.Shareable
     val queryIds = HybridQueries.map(_._1).distinct
     val docs = t(s, dir, "documents").filter(!col("doc_id").isin(queryIds: _*))
     val emb = t(s, dir, "embeddings")
     val lex = Bm25.topK(docs, col("doc_id"), col("text"),
         HybridQueries.toDF("query_id", "term"), topK = RrfDepth)
       .select(col("query_id"), col("doc_id"), col("rk").as("rank"))
+      .sharedCheckpoint()
     val denseQ = emb.filter(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").cast("bigint").as("query_id"), col("embedding").as("qv"))
     val wD = Window.partitionBy(col("query_id"))
@@ -233,6 +263,7 @@ object AnnQueries {
         col("vec_id"), col("embedding"), denseQ, k = RrfDepth)
       .withColumn("rank", row_number().over(wD).cast("bigint"))
       .select(col("query_id"), col("vec_id").as("doc_id"), col("rank"))
+      .sharedCheckpoint()
     (lex, dense)
   }
 

@@ -68,6 +68,40 @@ object PlanCache {
     })
   }
 
+  /** Like [[persist]] but the shared handle is a LOCAL CHECKPOINT:
+    * the first caller materializes the frame eagerly and every later
+    * call with an equivalent plan gets the SAME checkpointed frame
+    * back. The payoff over persist is compile time, not IO — a
+    * persisted frame still carries its full build lineage into every
+    * consumer plan (analyzer + optimizer + AQE walk it on each
+    * rebuild; the warm-pass floor of the hybrid-arm queries was ~0.8 s
+    * of pure plan compilation over a 194-line cached lineage), while a
+    * checkpointed frame enters consumers as a one-line LogicalRDD
+    * scan.
+    *
+    * Use ONLY for intermediates that are ROW-BOUNDED BY CONSTRUCTION
+    * (ranked arms ≤ k·|queries|, shortlists, model tables): the frame
+    * materializes on first touch, and its blocks are freed on
+    * [[clear]] via the tracked RDD handle.
+    */
+  def checkpointShared(df: DataFrame): DataFrame = {
+    cache.keys.filter(_._1.sparkContext.isStopped).foreach(cache.remove)
+    ensureAutoClear(df.sparkSession)
+    val key = (df.sparkSession,
+      (df.schema, df.queryExecution.analyzed.canonicalized))
+    cache.get(key).getOrElse(registerLock.synchronized {
+      cache.getOrElseUpdate(key, {
+        val ck = df.localCheckpoint(true)
+        ckRdds.put((df.sparkSession, ck), ck.queryExecution.toRdd)
+        ck
+      })
+    })
+  }
+
+  private val ckRdds =
+    TrieMap.empty[(org.apache.spark.sql.SparkSession, DataFrame),
+      org.apache.spark.rdd.RDD[_]]
+
   private val registerLock = new Object
   private val autoCleared = TrieMap.empty[org.apache.spark.sql.SparkSession, Unit]
 
@@ -102,7 +136,25 @@ object PlanCache {
   implicit class Shareable(private val df: DataFrame) extends AnyVal {
     def sharedPersist(level: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame =
       PlanCache.persist(df, level)
+
+    /** `df.sharedCheckpoint()` — the bounded-intermediate variant:
+      * see [[PlanCache.checkpointShared]].
+      */
+    def sharedCheckpoint(): DataFrame = PlanCache.checkpointShared(df)
   }
+
+  /** Hook for OTHER caches holding handles to frames this class
+    * materialized (e.g. a query-layer memo of checkpointed frames):
+    * a [[clear]] frees the underlying blocks, so any such handle
+    * becomes unusable (a local checkpoint has no lineage to rebuild
+    * from) and must be dropped in the same breath.
+    */
+  def onClear(f: org.apache.spark.sql.SparkSession => Unit): Unit =
+    clearListeners.synchronized { clearListeners += f }
+
+  private val clearListeners =
+    scala.collection.mutable.ArrayBuffer
+      .empty[org.apache.spark.sql.SparkSession => Unit]
 
   /** Unpersist and drop every handle registered for `spark`. */
   def clear(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -111,5 +163,11 @@ object PlanCache {
       cache.remove(k).foreach(df =>
         try df.unpersist(blocking = false) catch { case _: Throwable => () })
     }
+    ckRdds.keys.filter(_._1 eq spark).foreach { k =>
+      ckRdds.remove(k).foreach(rdd =>
+        try rdd.unpersist(blocking = false) catch { case _: Throwable => () })
+    }
+    clearListeners.synchronized { clearListeners.toList }
+      .foreach(f => try f(spark) catch { case _: Throwable => () })
   }
 }
