@@ -28,6 +28,7 @@ object Compaction {
     */
   def compact(spark: SparkSession, path: String, targetFileBytes: Long): (Int, Int) = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
+    recover(path)
     val dataFiles = listDataFiles(path)
     val before = dataFiles.size
     val totalBytes = dataFiles.map(_._2).sum
@@ -47,6 +48,16 @@ object Compaction {
     StoreFs.deleteRecursively(old)
     (before, listDataFiles(path).size)
   }
+
+  /** Heal the one non-atomic window in the swap: a compaction that
+    * died between its two renames leaves the table at `path + ".old"`
+    * and nothing at `path`. Restoring is a single rename; callers
+    * that read the table directly should route through this first
+    * (compact itself always does).
+    */
+  def recover(path: String): Unit =
+    if (!StoreFs.exists(path) && StoreFs.exists(path + ".old"))
+      StoreFs.rename(path + ".old", path)
 
   private def listDataFiles(dir: String): Seq[(String, Long)] =
     StoreFs.listFilesRecursive(dir).filter(_._1.endsWith(".parquet"))

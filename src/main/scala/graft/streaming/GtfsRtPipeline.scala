@@ -39,7 +39,22 @@ object GtfsRtPipeline {
     * merged but unmarked, which would double-merge on foreachBatch
     * replay).
     */
-  final class ParquetStateStore(val dir: String) {
+  /** @param compactEvery every Nth version is COALESCED to
+    *        ~`targetFileBytes` files before publishing (inside the
+    *        staging dir, so the compaction commits atomically with
+    *        the version + applied tag — a reader never sees it);
+    *        a long-running ingest otherwise accumulates one file per
+    *        input partition per version. 0 disables.
+    * @param keepVersions committed versions retained after a publish
+    *        (pruned oldest-first); bounds the store's TOTAL file
+    *        count, which otherwise grows with every batch even
+    *        though readers only ever touch the latest version.
+    */
+  final class ParquetStateStore(val dir: String,
+      val compactEvery: Int = 8,
+      val targetFileBytes: Long = 32L * 1024 * 1024,
+      val keepVersions: Int = 4) {
+    require(keepVersions >= 1, "keepVersions must retain the latest version")
     StoreFs.mkdirs(dir)
 
     def latestVersion: Option[Long] = {
@@ -61,8 +76,20 @@ object GtfsRtPipeline {
       val staging = s"$dir/.staging-v$next"
       StoreFs.deleteRecursively(staging)
       df.write.mode("overwrite").parquet(staging)
+      // compaction runs on the STAGING dir: the published version is
+      // already compacted, and the tag lands after the rewrite so the
+      // two commit together in the publishing rename
+      if (compactEvery > 0 && next % compactEvery == 0)
+        graft.ops.Compaction.compact(df.sparkSession, staging, targetFileBytes)
       appliedTag.foreach(t => StoreFs.touch(s"$staging/_applied_tag_$t"))
       StoreFs.rename(staging, s"$dir/v=$next")
+      // retention: readers only ever resolve the latest committed
+      // version, so pruning the tail bounds the store's file count
+      StoreFs.listNames(dir)
+        .filter(_.startsWith("v="))
+        .map(_.stripPrefix("v=").toLong)
+        .filter(_ <= next - keepVersions)
+        .foreach(v => StoreFs.deleteRecursively(s"$dir/v=$v"))
     }
 
     /** The applied tag the latest committed version carries, if any. */

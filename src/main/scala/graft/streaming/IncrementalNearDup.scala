@@ -40,7 +40,9 @@ object IncrementalNearDup {
   def ingestBatch(batch: DataFrame, idCol: String, textCol: String,
       sigStoreDir: String, bandStoreDir: String, acceptedPath: String,
       shingleK: Int = 3, numHashes: Int = 16, bands: Int = 4,
-      estThreshold: Double = 0.5): Unit = {
+      estThreshold: Double = 0.5,
+      maxStoreFiles: Int = 64,
+      targetFileBytes: Long = 32L * 1024 * 1024): Unit = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rows = numHashes / bands
     val spark = batch.sparkSession
@@ -89,8 +91,31 @@ object IncrementalNearDup {
         bandsOf(acceptedSigs, bands, rows).write.mode("append").parquet(bandStoreDir)
       } finally accepted.unpersist()
       bandRows.unpersist()
+      // store maintenance: the appends above add one file set per
+      // batch, so a long-running ingest grows the stores without
+      // bound in FILE COUNT even though the bytes stay linear —
+      // compact (D5) whenever a store crosses the file budget. The
+      // trigger is self-regulating (file count, not a batch counter),
+      // so a crash-replayed batch converges to the same bound, and
+      // the compaction itself is the atomic two-rename swap.
+      compactIfNeeded(spark, sigStoreDir, maxStoreFiles, targetFileBytes)
+      compactIfNeeded(spark, bandStoreDir, maxStoreFiles, targetFileBytes)
     } finally sigs.unpersist()
   }
+
+  private def compactIfNeeded(spark: SparkSession, dir: String,
+      maxFiles: Int, targetFileBytes: Long): Unit =
+    if (maxFiles > 0 && graft.util.StoreFs.exists(dir) &&
+        graft.util.StoreFs.listFilesRecursive(dir)
+          .count(_._1.endsWith(".parquet")) > maxFiles) {
+      // target sizing alone can keep MORE files than the budget when
+      // the store is large; the budget wins (fewer, bigger files)
+      graft.ops.Compaction.compact(spark, dir, targetFileBytes) match {
+        case (_, after) if after > maxFiles =>
+          graft.ops.Compaction.compact(spark, dir, Long.MaxValue)
+        case _ => ()
+      }
+    }
 
   /** (doc_id, band, band_key) rows of a signature table. */
   private def bandsOf(sigTable: DataFrame, bands: Int, rows: Int): DataFrame =
@@ -116,6 +141,8 @@ object IncrementalNearDup {
           lit(0), (acc: Column, x: Column) => acc + x).cast("double") / numHashes)
       .filter(col("est_jaccard") >= estThreshold)
 
-  private def readStore(spark: SparkSession, dir: String): Option[DataFrame] =
+  private def readStore(spark: SparkSession, dir: String): Option[DataFrame] = {
+    graft.ops.Compaction.recover(dir) // heal a compaction that died mid-swap
     if (graft.util.StoreFs.exists(dir)) Some(spark.read.parquet(dir)) else None
+  }
 }
