@@ -72,11 +72,14 @@ object StreamBench {
     val ms = stats.map(_.ms).sum.max(1L)
     val latencies = stats.map(_.ms).sorted
     val p50 = if (latencies.isEmpty) 0L else latencies(latencies.size / 2)
+    val p95 = if (latencies.isEmpty) 0L
+      else latencies(math.min(latencies.size - 1, latencies.size * 95 / 100))
     val pMax = if (latencies.isEmpty) 0L else latencies.last
     val stateRows = stats.lastOption.map(_.stateRows).getOrElse(0L)
     val stateBytes = stats.map(_.stateBytes).maxOption.getOrElse(0L).max(extraStateBytes)
     s""""$name":{"batches":${stats.size},"rows":$rows,"events_per_sec":${rows * 1000 / ms},""" +
-      s""""batch_ms_p50":$p50,"batch_ms_max":$pMax,"state_rows":$stateRows,"state_bytes":$stateBytes}"""
+      s""""batch_ms_p50":$p50,"batch_ms_p95":$p95,"batch_ms_max":$pMax,""" +
+      s""""state_rows":$stateRows,"state_bytes":$stateBytes}"""
   }
 
   /** Stage `df` as `n` single-file parquet batches under `dir`/b###. */
@@ -200,6 +203,100 @@ object StreamBench {
       val accepted = spark.read.parquet(acceptedPath).count()
       results += summarize("b17_classifier_gate", stats) +
         s""","b17_accepted_rows":$accepted"""
+    }
+
+    // ---- B10: incremental NEAR-dup ingest (the most state-heavy
+    // path: signature + band stores probed and appended per batch).
+    // Run twice — compaction on (default budget) and off — so the
+    // compaction pause is a measured row, not an assertion.
+    Seq(("b10_incremental_neardup", 64), ("b10_neardup_nocompact", 0)).foreach {
+      case (name, maxFiles) =>
+        val src = s"$work/${name}_src"
+        val docs = Tables.read(spark, sfDir, "documents")
+          .select(col("doc_id"), col("text"))
+        val nearDups = docs.filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(col("text"), lit(" graftdup")).as("text"))
+        stage(docs.union(nearDups), "doc_id", nBatches, s"$work/${name}_stage")
+        flatten(s"$work/${name}_stage", nBatches, src)
+        val schema = StructType(Seq(
+          StructField("doc_id", LongType), StructField("text", StringType)))
+        val sigDir = s"$work/${name}_sig"
+        val bandDir = s"$work/${name}_band"
+        val acceptedPath = s"$work/${name}_accepted"
+        val (stats, _) = scenario(spark, name) {
+          val stream = spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").parquet(src)
+          val q = stream.writeStream.trigger(Trigger.AvailableNow())
+            .option("checkpointLocation", s"$work/${name}_ck")
+            .foreachBatch { (batch: DataFrame, _: Long) =>
+              graft.streaming.IncrementalNearDup.ingestBatch(batch, "doc_id", "text",
+                sigDir, bandDir, acceptedPath, maxStoreFiles = maxFiles)
+            }.start()
+          q.awaitTermination()
+        }
+        val accepted = spark.read.parquet(acceptedPath).count()
+        val storeFiles = Seq(sigDir, bandDir).map(d =>
+          graft.util.StoreFs.listFilesRecursive(d).count(_._1.endsWith(".parquet"))).sum
+        results += summarize(name, stats, dirBytes(sigDir) + dirBytes(bandDir)) +
+          s""","${name}_accepted_rows":$accepted,"${name}_store_files":$storeFiles"""
+    }
+
+    // ---- B15: streaming decontamination gate ------------------------
+    locally {
+      val src = s"$work/b15_src"
+      val docs = Tables.read(spark, sfDir, "documents")
+        .select(col("doc_id"), col("text"))
+      stage(docs, "doc_id", nBatches, s"$work/b15_stage")
+      flatten(s"$work/b15_stage", nBatches, src)
+      // eval set = 5% of the corpus: those docs (and any shingle
+      // overlap) must be rejected by every batch; k=6 so incidental
+      // 3-gram vocabulary overlap in the synthetic corpus doesn't
+      // reject everything — the contaminated 5% is what must go
+      val gate = graft.streaming.StreamingDecon.gate(
+        docs.filter(col("doc_id") % 20 === 0), col("text"), shingleK = 6)
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType)))
+      val acceptedPath = s"$work/b15_accepted"
+      val (stats, _) = scenario(spark, "b15") {
+        val stream = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(src)
+        val q = graft.streaming.StreamingDecon
+          .writer(stream, "doc_id", "text", gate, acceptedPath)
+          .option("checkpointLocation", s"$work/b15_ck").start()
+        q.awaitTermination()
+      }
+      gate.release()
+      val accepted = spark.read.parquet(acceptedPath).count()
+      results += summarize("b15_decon_gate", stats) +
+        s""","b15_accepted_rows":$accepted"""
+    }
+
+    // ---- B16: streaming IVF layout monitor --------------------------
+    locally {
+      val src = s"$work/b16_src"
+      val emb = Tables.read(spark, sfDir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val cents = graft.ops.IvfIndex.fitIntegerPortable(
+        emb, col("vec_id"), col("embedding"), k = 8, iters = 2, scale = 1000L)
+      stage(emb, "vec_id", nBatches, s"$work/b16_stage")
+      flatten(s"$work/b16_stage", nBatches, src)
+      val store = new graft.streaming.GtfsRtPipeline.ParquetStateStore(s"$work/b16_state")
+      val schema = StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType))))
+      val outPath = s"$work/b16_out"
+      val (stats, _) = scenario(spark, "b16") {
+        val stream = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(src)
+        val q = graft.streaming.IvfBalanceMonitor
+          .writer(stream, "embedding", store, cents, outPath)
+          .option("checkpointLocation", s"$work/b16_ck").start()
+        q.awaitTermination()
+      }
+      val stateRows = store.read(spark).map(_.count()).getOrElse(0L)
+      results += summarize("b16_ivf_monitor", stats, dirBytes(s"$work/b16_state")) +
+        s""","b16_state_cells":$stateRows"""
     }
 
     // ---- B3: full RT server loop (match -> latest-state -> TTL) ----
