@@ -84,6 +84,12 @@ def main():
     threads = os.environ.get("SELFCHECK_DUCKDB_THREADS")
     if threads:
         con.sql(f"SET threads={int(threads)}")
+    # spill room for the large-SF oracles (an in-memory connection has
+    # no temp dir by default, so big aggregates/joins can't spill)
+    tmpdir = os.environ.get("SELFCHECK_DUCKDB_TEMPDIR")
+    if tmpdir:
+        os.makedirs(tmpdir, exist_ok=True)
+        con.sql(f"SET temp_directory='{tmpdir}'")
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     with open(os.path.join(out_dir, "oracle_sql.json")) as f:

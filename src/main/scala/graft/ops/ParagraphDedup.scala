@@ -66,26 +66,53 @@ object ParagraphDedup {
     * is fine); final relation `pdd(doc_id, n_paras, n_kept,
     * kept_md5)` — the text compared by md5, the C51 device. Pass the
     * same separator regex / output separator.
+    *
+    * `shards` hash-range-partitions the ownership aggregate AND the
+    * ownership join (the C128 union-of-bounded-sub-queries device):
+    * grouping/joining on `pkey` is key-local, so a K-way
+    * `hash(pkey) % K` split computes identical results while each
+    * sub-aggregate's hash table and each sub-join's build side hold
+    * 1/K of the keys — this is what lets the single-node oracle run
+    * the 41 M-paragraph sf10 corpus inside a memory cap instead of
+    * OOMing (the pre-r12 exemption). `pdk` is MATERIALIZED so the
+    * shards re-scan the paragraph table instead of re-running the
+    * split per shard. shards=1 degenerates to the unsharded plan.
     */
   def dedupSql(rel: String, sepRegex: String = "\\n\\n",
-      sepOut: String = "\\n\\n"): String =
+      sepOut: String = "\\n\\n", shards: Int = 1): String = {
+    require(shards >= 1, "shards must be >= 1")
+    val shardJoins = (0 until shards).map { s =>
+      val pred =
+        if (shards == 1) "TRUE"
+        else s"hash(pkey) % $shards = $s"
+      s"""pj$s AS (
+         |  SELECT k.doc_id, k.pos, k.para,
+         |    CASE WHEN k.doc_id = (o.own).doc_id AND k.pos = (o.own).pos
+         |      THEN 1 ELSE 0 END AS kept
+         |  FROM (SELECT * FROM pdk WHERE $pred) k
+         |  JOIN (SELECT pkey, min(struct_pack(doc_id := doc_id, pos := pos)) AS own
+         |        FROM pdk WHERE $pred GROUP BY pkey) o
+         |  USING (pkey))""".stripMargin
+    }
+    val unionAll = (0 until shards)
+      .map(s => s"SELECT doc_id, pos, para, kept FROM pj$s")
+      .mkString("\n  UNION ALL\n  ")
     s"""pdp AS (
        |  SELECT doc_id, CAST(g.i - 1 AS BIGINT) AS pos,
        |    trim(ps[CAST(g.i AS INT)]) AS para
        |  FROM (SELECT doc_id, string_split_regex(ptext, '$sepRegex') AS ps FROM $rel),
        |    unnest(range(1, len(ps) + 1)) AS g(i)
        |  WHERE len(trim(ps[CAST(g.i AS INT)])) > 0),
-       |pdk AS (SELECT doc_id, pos, para, md5(para) AS pkey FROM pdp),
-       |pdo AS (
-       |  SELECT pkey, min(struct_pack(doc_id := doc_id, pos := pos)) AS own
-       |  FROM pdk GROUP BY pkey),
+       |pdk AS MATERIALIZED (SELECT doc_id, pos, para, md5(para) AS pkey FROM pdp),
+       |${shardJoins.mkString(",\n")},
+       |pju AS (
+       |  $unionAll),
        |pdd AS (
-       |  SELECT k.doc_id, count(*) AS n_paras,
-       |    count(CASE WHEN k.doc_id = (o.own).doc_id AND k.pos = (o.own).pos
-       |      THEN 1 END) AS n_kept,
+       |  SELECT doc_id, count(*) AS n_paras,
+       |    CAST(sum(kept) AS BIGINT) AS n_kept,
        |    md5(coalesce(string_agg(
-       |      CASE WHEN k.doc_id = (o.own).doc_id AND k.pos = (o.own).pos
-       |        THEN k.para END, e'$sepOut' ORDER BY k.pos), '')) AS kept_md5
-       |  FROM pdk k JOIN pdo o USING (pkey)
-       |  GROUP BY k.doc_id)""".stripMargin
+       |      CASE WHEN kept = 1 THEN para END, e'$sepOut' ORDER BY pos), ''))
+       |      AS kept_md5
+       |  FROM pju GROUP BY doc_id)""".stripMargin
+  }
 }

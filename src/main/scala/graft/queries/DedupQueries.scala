@@ -332,6 +332,21 @@ object DedupQueries {
        |           ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id)""".stripMargin
   }
 
+  /** The C82 twin, parameterized on the oracle's hash-range shard
+    * count (a twin-side memory device — results are shard-invariant,
+    * which the fuzz harness exercises; see ParagraphDedup.dedupSql).
+    */
+  def paragraphDedupOracle(shards: Int): String =
+    s"""WITH paug AS (
+       |  SELECT doc_id,
+       |    regexp_replace(regexp_replace(trim(text), '\\s+', ' ', 'g'),
+       |      '((?:[^ ]+ ){${ParaTokens - 1}}[^ ]+) ', '\\1' || e'\\n\\n', 'g')
+       |      || e'\\n\\n' || '$ParaFooter' AS ptext
+       |  FROM documents),
+       |${ParagraphDedup.dedupSql("paug", shards = shards)}
+       |SELECT doc_id, n_paras, n_kept, kept_md5
+       |FROM pdd ORDER BY doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
 
     "q_winnow_pairs" ->
@@ -409,16 +424,7 @@ object DedupQueries {
     // identical output contract to q_dup_clusters — same twin
     "q_dup_clusters_star" -> TextQueries.oracles("q_dup_clusters"),
 
-    "q_paragraph_dedup" ->
-      s"""WITH paug AS (
-         |  SELECT doc_id,
-         |    regexp_replace(regexp_replace(trim(text), '\\s+', ' ', 'g'),
-         |      '((?:[^ ]+ ){${ParaTokens - 1}}[^ ]+) ', '\\1' || e'\\n\\n', 'g')
-         |      || e'\\n\\n' || '$ParaFooter' AS ptext
-         |  FROM documents),
-         |${ParagraphDedup.dedupSql("paug")}
-         |SELECT doc_id, n_paras, n_kept, kept_md5
-         |FROM pdd ORDER BY doc_id""".stripMargin,
+    "q_paragraph_dedup" -> paragraphDedupOracle(shards = 8),
 
     "q_cluster_retention" ->
       s"""WITH RECURSIVE ${TextQueries.allDocsCte},
