@@ -271,10 +271,11 @@ object GtfsFeed {
           // files; the bulk-scale ingest path is GtfsZipCorpus /
           // parquet.
           GtfsLake.alignToSchema(
-            GtfsLake.emptyNotNull(spark.read
-              .option("header", "true")
-              .option("multiLine", "true")
-              .csv(path.toString)),
+            GtfsLake.emptyNotNull(
+              GtfsLake.dedupHeadersLastWins(spark.read
+                .option("header", "true")
+                .option("multiLine", "true")
+                .csv(path.toString), schema)),
             schema)
         else
           spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)

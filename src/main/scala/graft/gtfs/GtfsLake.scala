@@ -79,6 +79,34 @@ object GtfsLake {
     df.select(cols.toIndexedSeq: _*)
   }
 
+  /** Restore duplicated CSV header columns: Spark's CSV reader
+    * de-duplicates a repeated header by renaming every occurrence
+    * with a positional ordinal (`route_short_name` twice becomes
+    * `route_short_name1`, `route_short_name2`), so the schema-aligned
+    * projection would null the column out entirely. Real feed zips DO
+    * ship duplicate headers; apply the DictReader rule (the LAST
+    * occurrence wins) by renaming the highest-ordinal variant back to
+    * the base name — only when the base name itself is absent, so a
+    * well-formed file is untouched.
+    */
+  def dedupHeadersLastWins(df: DataFrame, target: StructType): DataFrame = {
+    val cols = df.columns
+    val renames: Map[String, String] = target.fieldNames.toSet.flatMap { f: String =>
+      if (cols.contains(f)) None
+      else {
+        val variants = cols.filter { c =>
+          val suffix = c.stripPrefix(f)
+          c.startsWith(f) && suffix.nonEmpty && suffix.forall(_.isDigit)
+        }
+        if (variants.isEmpty) None
+        else Some(variants.maxBy(_.stripPrefix(f).toInt) -> f)
+      }
+    }.toMap
+    if (renames.isEmpty) df
+    else df.select(cols.map(c =>
+      renames.get(c).map(n => col(c).as(n)).getOrElse(col(c))).toIndexedSeq: _*)
+  }
+
   /** Coalesce every column of a raw all-string CSV frame to '' — the
     * reference's Python csv.reader never yields NULL for a column
     * present in the file (csvddb.py:36-49), while Spark's CSV reader
