@@ -82,10 +82,22 @@ object Bench {
     // keeps a stress section). At sf0.1 nothing is skipped.
     val skip = sys.env.get("SPARK_GRAFT_BENCH_SKIP")
       .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
+    // Per-query cache ownership (SPARK_GRAFT_BENCH_UNPERSIST=1): drop
+    // every PlanCache handle after each query's passes, so the sweep's
+    // live cache set is ONE query's intermediates plus the warmed base
+    // tables — this is what bounds the sf10 sweep to the default 8 GB
+    // driver heap (the r11 sweep OOM'd at 8 GB because ~180 queries'
+    // shared projections accumulated; a real cluster spreads that
+    // across executors, and this flag PROVES the per-query bound
+    // instead of buying 28 GB of headroom). Off by default at sf0.1:
+    // cross-query fixture sharing is deliberate there.
+    val unpersistPerQuery =
+      sys.env.get("SPARK_GRAFT_BENCH_UNPERSIST").exists(_ == "1")
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) && !skip.contains(name) }
       .map { case (name, fn) =>
         val times = (0 until math.max(1, passes)).map(_ => timeOnce(name)(fn))
+        if (unpersistPerQuery) graft.util.PlanCache.clear(spark)
         val best = times.filter(_ >= 0.0).reduceOption(_ min _)
         // only a query with NO successful pass is fatal; a one-pass
         // blip still produced a real min, so keep its number and the
