@@ -1,0 +1,145 @@
+package graft.ops
+
+import graft.util.PlanCache.Shareable
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Distributed power-iteration PCA (C138): the top principal
+  * component of an embedding corpus — the "dominant semantic axis"
+  * primitive behind embedding whitening, anisotropy diagnosis (is
+  * the space collapsing toward one direction?), ABTT-style
+  * common-component removal, and 1-D curriculum ordering, without
+  * ever materializing a covariance matrix OR an n×dim driver matrix.
+  *
+  * Per iteration, v ← normalize(Σᵢ cᵢ·(cᵢ·v)) needs only ONE
+  * distributed aggregation: the per-row dot (cᵢ·v) is a narrow map
+  * against the iterate riding as a literal, and the dim weighted
+  * sums are partial-agg citizens — the Mmr/KCenter closure-literal
+  * round pattern, O(dim) driver state, no vector shuffle anywhere.
+  *
+  * Determinism (the SURVEY §4 discipline): vectors unit-quantize to
+  * floor(u·1e4) ints (UnitQuantExpr); the mean is truncating integer
+  * division (Scala `/` == DuckDB `//`); centered values, dots, and
+  * weighted sums are EXACT integer arithmetic (decimal(38,0) sums —
+  * HUGEINT on the twin — since Σ c·dot reaches ~5e19 at 2e5 rows);
+  * normalization happens once per round on the 64 exact sums via
+  * exactly-rounded IEEE ops in a FIXED left-to-right order, mirrored
+  * literally by the twin's unrolled round CTEs. Sign is pinned by
+  * the fixed all-positive start iterate.
+  */
+object Pca {
+
+  /** Top principal component after `iters` power iterations.
+    * @return (d, mu_q, pc1_e4): 1-based dimension index, the per-dim
+    *         mean of the unit-quantized corpus (the centering
+    *         vector), and the component in 1e-4 units.
+    */
+  def topComponent(
+      df: DataFrame,
+      vec: Column,
+      dim: Int,
+      iters: Int = 3): DataFrame = {
+    require(dim >= 1 && iters >= 1, "dim and iters must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val dec = "decimal(38,0)"
+
+    val units = df.select(graft.plans.UnitQuantExpr.unitQuant(vec).as("__u"))
+      .sharedPersist()
+
+    // per-dim mean, exact integers: sums are bigint-safe (1e4·rows)
+    val muRow = units.agg(
+      count(lit(1)).as("__n"),
+      (0 until dim).map(d => sum(element_at(col("__u"), d + 1)).as(s"s$d")): _*)
+      .head()
+    val n = muRow.getLong(0)
+    require(n > 0, "empty corpus")
+    val mu: Array[Long] = (0 until dim).map(d => muRow.getLong(d + 1) / n).toArray
+
+    val centered = units
+      .select(zip_with(col("__u"), typedLit(mu.toSeq), (a, b) => a - b).as("__c"))
+      .sharedPersist()
+
+    // fixed all-positive start: floor(1e4/sqrt(dim)) per dim
+    var v: Array[Long] =
+      Array.fill(dim)(math.floor(10000.0 / math.sqrt(dim.toDouble)).toLong)
+    for (_ <- 1 to iters) {
+      val dot = aggregate(
+        zip_with(col("__c"), typedLit(v.toSeq), (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x)
+      val wRow: Row = centered.select(col("__c"), dot.as("__dot"))
+        .agg(
+          sum((element_at(col("__c"), 1) * col("__dot")).cast(dec)).as("w0"),
+          (1 until dim).map(d =>
+            sum((element_at(col("__c"), d + 1) * col("__dot")).cast(dec)).as(s"w$d")): _*)
+        .head()
+      // exact decimals -> doubles (correctly-rounded casts), then the
+      // fixed-order norm chain the twin unrolls identically
+      val wD: Array[Double] =
+        (0 until dim).map(d => wRow.getDecimal(d).doubleValue()).toArray
+      val norm2 = wD.foldLeft(0.0)((acc, x) => acc + x * x)
+      v =
+        if (norm2 == 0.0) Array.fill(dim)(0L)
+        else wD.map(x => math.floor(x / math.sqrt(norm2) * 10000.0).toLong)
+    }
+
+    (1 to dim).map(d => (d.toLong, mu(d - 1), v(d - 1)))
+      .toDF("d", "mu_q", "pc1_e4")
+  }
+
+  /** DuckDB twin over `embeddings(embedding)`, `iters` unrolled
+    * rounds; mirrors [[topComponent]] arithmetic literally.
+    */
+  def topComponentSql(dim: Int, iters: Int = 3): String = {
+    val unitQ =
+      s"""list_transform(CAST(embedding AS DOUBLE[]), x ->
+         |      CAST(CASE WHEN list_aggregate(list_transform(CAST(embedding AS DOUBLE[]),
+         |                                                   y -> y * y), 'sum') = 0
+         |           THEN 0
+         |           ELSE floor(x / sqrt(list_aggregate(list_transform(
+         |                  CAST(embedding AS DOUBLE[]), y -> y * y), 'sum')) * 10000)
+         |           END AS BIGINT))""".stripMargin
+    val v0 = math.floor(10000.0 / math.sqrt(dim.toDouble)).toLong
+    val sb = new StringBuilder
+    sb.append(
+      s"""pus AS MATERIALIZED (SELECT $unitQ AS u FROM embeddings),
+         |pmd AS MATERIALIZED (SELECT g.i AS d,
+         |         sum(u[CAST(g.i AS INT)]) // count(*) AS mu
+         |       FROM pus, unnest(range(1, ${dim + 1})) AS g(i)
+         |       GROUP BY g.i),
+         |pml AS (SELECT list(mu ORDER BY d) AS mu FROM pmd),
+         |pcv AS MATERIALIZED (SELECT list_transform(range(1, ${dim + 1}),
+         |         j -> u[CAST(j AS INT)] - mu[CAST(j AS INT)]) AS c
+         |       FROM pus, pml),
+         |prv0 AS (SELECT ${(0 until dim).map(_ => s"CAST($v0 AS BIGINT)")
+              .mkString("list_value(", ", ", ")")} AS v),
+         |""".stripMargin)
+    for (r <- 1 to iters) {
+      val wCols = (0 until dim)
+        .map(d => s"CAST(sum(c[${d + 1}] * dot) AS HUGEINT) AS w$d")
+        .mkString(",\n         ")
+      val norm2 = (0 until dim)
+        .map(d => s"CAST(w$d AS DOUBLE) * CAST(w$d AS DOUBLE)")
+        .mkString(" + ")
+      val vCols = (0 until dim).map(d =>
+        s"CAST(CASE WHEN pn$r.norm2 = 0 THEN 0 ELSE floor(CAST(w$d AS DOUBLE) " +
+          s"/ sqrt(pn$r.norm2) * 10000) END AS BIGINT)")
+        .mkString("list_value(", ", ", ")")
+      sb.append(
+        s"""prw$r AS MATERIALIZED (
+           |  SELECT $wCols
+           |  FROM (SELECT c, list_aggregate(list_transform(range(1, ${dim + 1}),
+           |          j -> c[CAST(j AS INT)] * v[CAST(j AS INT)]), 'sum') AS dot
+           |        FROM pcv, prv${r - 1})),
+           |pn$r AS (SELECT $norm2 AS norm2 FROM prw$r),
+           |prv$r AS (SELECT $vCols AS v FROM prw$r, pn$r),
+           |""".stripMargin)
+    }
+    sb.append(
+      s"""pfin AS (SELECT CAST(pmd.d AS BIGINT) AS d,
+         |           CAST(pmd.mu AS BIGINT) AS mu_q,
+         |           CAST(v[CAST(pmd.d AS INT)] AS BIGINT) AS pc1_e4
+         |         FROM pmd, prv$iters)""".stripMargin)
+    sb.toString
+  }
+}

@@ -60,6 +60,85 @@ object TextCleaner {
       counts.map(_._2).reduce(_ + _).gt(lit(0)).cast("int"))
   }
 
+  /** Candidate primary-account-number runs: maximal contiguous digit
+    * runs of 13–19 digits (the ISO/IEC 7812 length range). Extraction
+    * takes WHOLE runs then filters by length — a bare {13,19} regex
+    * would clip the first 19 digits out of a longer run (and RE2, the
+    * DuckDB engine, has no lookbehind to anchor with).
+    */
+  val DigitRunAllPattern = "[0-9]+"
+
+  /** Luhn mod-10 checksum over a digit-string column — pure HOF
+    * integer arithmetic (reverse → double every second digit →
+    * subtract 9 past 9 → sum % 10), identical in the DuckDB twin.
+    */
+  def luhnOk(c: Column): Column = {
+    val rev = reverse(c)
+    val sum = aggregate(sequence(lit(1), length(c)), lit(0L), (acc, i) => {
+      val d = (ascii(rev.substr(i, lit(1))) - lit(48)).cast("long")
+      val add = when(pmod(i, lit(2)) === 0,
+        when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+      acc + add
+    })
+    pmod(sum, lit(10L)) === 0L
+  }
+
+  /** Luhn-VALIDATED PAN audit (C137): the checksum layer C32's raw
+    * digit-run counts lack — a random 16-digit run passes the length
+    * test ~always but Luhn only 1 time in 10, so validation is what
+    * separates "document contains a number" from "document leaks a
+    * card number". Per doc: candidate count, Luhn-valid count, an
+    * any-valid flag, and the first valid PAN masked to its last four
+    * (the redaction preview). Zero-shuffle narrow map; every step is
+    * exact integer/string arithmetic cross-engine.
+    */
+  def luhnPanAudit(df: org.apache.spark.sql.DataFrame,
+      id: Column, text: Column): org.apache.spark.sql.DataFrame =
+    df.select(id.as("doc_id"), text.as("__t"))
+      .withColumn("__cands",
+        filter(regexp_extract_all(col("__t"), lit(DigitRunAllPattern), lit(0)),
+          c => length(c).between(13, 19)))
+      .withColumn("__valid", filter(col("__cands"), c => luhnOk(c)))
+      .select(col("doc_id"),
+        size(col("__cands")).cast("bigint").as("n_pan_candidates"),
+        size(col("__valid")).cast("bigint").as("n_pan_valid"),
+        (size(col("__valid")) > 0).cast("int").as("has_valid_pan"),
+        expr("""CASE WHEN size(__valid) > 0 THEN
+                  concat(repeat('*', length(element_at(__valid, 1)) - 4),
+                         substr(element_at(__valid, 1),
+                                length(element_at(__valid, 1)) - 3, 4))
+                END""").as("first_pan_masked"))
+
+  /** DuckDB twin of [[luhnPanAudit]]: expects a relation
+    * `pana(doc_id, t)` in scope; final relation `panr`.
+    */
+  def luhnPanAuditSqlTail: String = {
+    val digit = "ascii(substr(reverse(c), CAST(i AS INT), 1)) - 48"
+    s"""pnc AS (SELECT doc_id,
+       |          list_filter(regexp_extract_all(t, '$DigitRunAllPattern'),
+       |                      c -> length(c) BETWEEN 13 AND 19) AS cands
+       |        FROM pana),
+       |pnv AS (SELECT doc_id, cands,
+       |          list_filter(cands, c ->
+       |            (list_aggregate(list_transform(range(1, length(c) + 1), i ->
+       |               CASE WHEN i % 2 = 0 THEN
+       |                 CASE WHEN 2 * ($digit) > 9
+       |                      THEN 2 * ($digit) - 9
+       |                      ELSE 2 * ($digit) END
+       |               ELSE $digit END), 'sum') % 10 = 0)) AS valid
+       |        FROM pnc),
+       |panr AS (SELECT doc_id,
+       |           CAST(len(cands) AS BIGINT) AS n_pan_candidates,
+       |           CAST(len(valid) AS BIGINT) AS n_pan_valid,
+       |           CAST(CASE WHEN len(valid) > 0 THEN 1 ELSE 0 END AS INTEGER)
+       |             AS has_valid_pan,
+       |           CASE WHEN len(valid) > 0 THEN
+       |             repeat('*', length(valid[1]) - 4) ||
+       |               substr(valid[1], length(valid[1]) - 3, 4)
+       |           END AS first_pan_masked
+       |         FROM pnv)""".stripMargin
+  }
+
   /** DuckDB twin of [[piiCounts]] as (alias, expression) pairs. */
   def piiCountsSql(text: String): Seq[(String, String)] = {
     val patterns = Seq(

@@ -105,6 +105,18 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     },
 
+    // C137: Luhn-validated PAN audit — planted construction: every
+    // 50th doc carries a checksum-VALID test PAN, every 70th a
+    // near-miss (same digits, last one off), so the audit must
+    // separate them by arithmetic, not by pattern shape.
+    "q_pan_audit" -> { (s, dir) =>
+      val planted = concat(col("text"),
+        when(col("doc_id") % 50 === 0, lit(" 4111111111111111")).otherwise(lit("")),
+        when(col("doc_id") % 70 === 0, lit(" 4111111111111112")).otherwise(lit("")))
+      TextCleaner.luhnPanAudit(t(s, dir, "documents"), col("doc_id"), planted)
+        .orderBy(col("doc_id"))
+    },
+
     // A36: per-key regular-grid resample with forward fill (daily
     // value-as-of per user over the events stream).
     "q_resample" -> { (s, dir) =>
@@ -304,6 +316,19 @@ object PipelineQueries {
       s"""SELECT doc_id, $exprs
          |FROM documents ORDER BY doc_id""".stripMargin
     },
+
+    "q_pan_audit" ->
+      s"""WITH pana AS (SELECT doc_id,
+         |                text ||
+         |                  CASE WHEN doc_id % 50 = 0
+         |                       THEN ' 4111111111111111' ELSE '' END ||
+         |                  CASE WHEN doc_id % 70 = 0
+         |                       THEN ' 4111111111111112' ELSE '' END AS t
+         |              FROM documents),
+         |${TextCleaner.luhnPanAuditSqlTail}
+         |SELECT doc_id, n_pan_candidates, n_pan_valid, has_valid_pan,
+         |  first_pan_masked
+         |FROM panr ORDER BY doc_id""".stripMargin,
 
     "q_resample" ->
       """WITH obs AS (

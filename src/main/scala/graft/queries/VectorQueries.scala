@@ -123,6 +123,15 @@ object VectorQueries {
         col("vec_id"), col("embedding"), query, k = 8, lambdaMilli = 700)
     },
 
+    // C138: power-iteration PCA — the corpus's dominant semantic
+    // axis from one distributed aggregation per round (closure-
+    // literal iterate, exact integer sums, no covariance matrix).
+    "q_pca_power" -> { (s, dir) =>
+      graft.ops.Pca.topComponent(emb(s, dir), col("embedding"),
+          dim = 64, iters = 3)
+        .orderBy(col("d"))
+    },
+
     // C134 scale path: MMR over the 64 nearest candidates only — one
     // kernel-distance corpus pass + bounded TopKAgg shortlist, then
     // the same exact loop on 64 rows (rerank-a-shortlist, the way
@@ -201,6 +210,10 @@ object VectorQueries {
 
     "q_mmr_topn" ->
       graft.ops.Mmr.selectPrefilteredSql(k = 8, lambdaMilli = 700, candN = 64),
+
+    "q_pca_power" ->
+      s"""WITH ${graft.ops.Pca.topComponentSql(dim = 64, iters = 3)}
+         |SELECT d, mu_q, pc1_e4 FROM pfin ORDER BY d""".stripMargin,
 
     "q_project" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
