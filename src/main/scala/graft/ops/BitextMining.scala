@@ -3,6 +3,8 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.util.PlanCache.Shareable
+
 /** Margin-based parallel-pair mining (the CCMatrix/LASER pipeline
   * step, Artetxe & Schwenk 2019's ratio margin): given two embedding
   * corpora (source/target languages, or two snapshots to align),
@@ -33,17 +35,67 @@ object BitextMining {
       tgt: DataFrame, tgtId: Column, tgtVec: Column,
       k: Int, marginMilli: Long): DataFrame = {
     require(k >= 1, s"need k >= 1, got $k")
+    val spark = src.sparkSession
     val srcC = src.select(srcId.cast("bigint").as("vec_id"),
       srcVec.cast("array<double>").as("v"))
     val tgtC = tgt.select(tgtId.cast("bigint").as("vec_id"),
       tgtVec.cast("array<double>").as("v"))
-    val srcQ = srcC.select(col("vec_id").as("query_id"), col("v").as("qv"))
-    val tgtQ = tgtC.select(col("vec_id").as("query_id"), col("v").as("qv"))
 
-    val fwd = Similarity.bruteForceTopKBatch(tgtC, col("vec_id"), col("v"), srcQ, k)
+    // every (src, tgt) cosine is needed by BOTH direction rankings —
+    // score the quadratic pass ONCE (the LSH sibling's trick applied
+    // to the exact path; the former two bruteForceTopKBatch calls
+    // recomputed all |src|·|tgt| cosines a second time), persist the
+    // fixed-width (id, id, cos) rows, and run the bounded top-k
+    // combiner over them in each direction
+    val cores = spark.sparkContext.defaultParallelism
+    val spreadSrc =
+      if (srcC.rdd.getNumPartitions < cores) srcC.repartition(cores) else srcC
+    val scored = spreadSrc.alias("s")
+      .crossJoin(broadcast(tgtC.select(col("vec_id").as("t_id"), col("v").as("tv"))))
+      .select(col("s.vec_id").as("s_id"), col("t_id"),
+        graft.functions.VectorFunctions.cosineSimilarity(col("s.v"), col("tv"))
+          .as("cos_sim"))
+      .sharedPersist()
+
+    // BOTH directions' bounded top-k partials from ONE combiner pass
+    // over the scored rows (each row feeds the src→tgt heap AND the
+    // tgt→src heap), then one ranked window per (direction, query) —
+    // two topKPerQuery calls would scan the cached pair set twice.
+    import spark.implicits._
+    val ord: Ordering[(Long, Long, Double)] =
+      new Ordering[(Long, Long, Double)] {
+        def compare(a: (Long, Long, Double), b: (Long, Long, Double)): Int = {
+          val bySim = java.lang.Double.compare(b._3, a._3)
+          if (bySim != 0) bySim else java.lang.Long.compare(a._2, b._2)
+        }
+      }
+    val partial = scored.as[(Long, Long, Double)].mapPartitions { rows =>
+      def heapMap() = scala.collection.mutable.LongMap
+        .empty[scala.collection.mutable.PriorityQueue[(Long, Long, Double)]]
+      val fw = heapMap(); val bw = heapMap()
+      def add(m: scala.collection.mutable.LongMap[scala.collection.mutable.PriorityQueue[(Long, Long, Double)]],
+          q: Long, t: (Long, Long, Double)): Unit = {
+        val h = m.getOrElseUpdate(q, scala.collection.mutable.PriorityQueue.empty(ord))
+        if (h.size < k) h += t
+        else if (ord.lt(t, h.head)) { h.dequeue(); h += t }
+      }
+      rows.foreach { case (s, t, c) =>
+        add(fw, s, (s, t, c))
+        add(bw, t, (t, s, c))
+      }
+      fw.valuesIterator.flatMap(_.iterator).map { case (q, v, c) => (0, q, v, c) } ++
+        bw.valuesIterator.flatMap(_.iterator).map { case (q, v, c) => (1, q, v, c) }
+    }.toDF("dir", "query_id", "vec_id", "cos_sim")
+      .sharedPersist()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("dir"), col("query_id"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+    val ranked = partial.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+    val fwd = ranked.filter(col("dir") === 0)
       .select(col("query_id").as("src_id"), col("vec_id").as("tgt_id"),
         floor(col("cos_sim") * 1e6).cast("bigint").as("cm"))
-    val bwd = Similarity.bruteForceTopKBatch(srcC, col("vec_id"), col("v"), tgtQ, k)
+    val bwd = ranked.filter(col("dir") === 1)
       .select(col("query_id").as("tgt_id"), col("vec_id").as("src_id"),
         floor(col("cos_sim") * 1e6).cast("bigint").as("cm"))
     marginTail(fwd, bwd, k, marginMilli)

@@ -47,23 +47,57 @@ object Pca {
     val units = df.select(graft.plans.UnitQuantExpr.unitQuant(vec).as("__u"))
       .sharedPersist()
 
-    // per-dim mean, exact integers: sums are bigint-safe (1e4·rows)
-    val muRow = units.agg(
-      count(lit(1)).as("__n"),
-      (0 until dim).map(d => sum(element_at(col("__u"), d + 1)).as(s"s$d")): _*)
+    // fixed all-positive start: floor(1e4/sqrt(dim)) per dim
+    val v0: Array[Long] =
+      Array.fill(dim)(math.floor(10000.0 / math.sqrt(dim.toDouble)).toLong)
+
+    // FUSED mean + round 1 — one corpus pass instead of two. With
+    // c = u − mu and dot = u·v0 − mu·v0, round 1's weighted sums
+    // expand to the exact integer identity
+    //   w1_d = Σ u_d(u·v0) − p·Σu_d − mu_d·Σ(u·v0) + n·mu_d·p
+    // (p = mu·v0), so n, Σu_d, Σ(u·v0), and Σ u_d(u·v0) — all
+    // partial-agg sums over the SAME scan — determine both the
+    // centering vector and the first iterate. The twin keeps the
+    // sequential mean→center→round form; the identity guarantees
+    // identical integers.
+    val dot0 = aggregate(
+      zip_with(col("__u"), typedLit(v0.toSeq), (a, b) => a * b),
+      lit(0L), (acc, x) => acc + x)
+    val fusedCols: Seq[Column] =
+      sum(col("__d0").cast(dec)).as("t") +:
+        (0 until dim).flatMap(d => Seq(
+          sum(element_at(col("__u"), d + 1)).as(s"s$d"),
+          sum((element_at(col("__u"), d + 1) * col("__d0")).cast(dec)).as(s"a$d")))
+    val fused: Row = units.select(col("__u"), dot0.as("__d0"))
+      .agg(count(lit(1)).as("__n"), fusedCols: _*)
       .head()
-    val n = muRow.getLong(0)
+    val n = fused.getLong(0)
     require(n > 0, "empty corpus")
-    val mu: Array[Long] = (0 until dim).map(d => muRow.getLong(d + 1) / n).toArray
+    val t = BigInt(fused.getDecimal(1).toBigInteger)
+    val sArr = (0 until dim).map(d => fused.getLong(2 + 2 * d)).toArray
+    val aArr = (0 until dim).map(d =>
+      BigInt(fused.getDecimal(3 + 2 * d).toBigInteger)).toArray
+    val mu: Array[Long] = sArr.map(_ / n)
+    val p: Long = (0 until dim).map(d => mu(d) * v0(d)).sum
+
+    // normalization: exact sums -> correctly-rounded doubles -> the
+    // fixed-order IEEE fold the twin unrolls identically
+    def normalize(w: Array[BigInt]): Array[Long] = {
+      val wD = w.map(_.toDouble)
+      val norm2 = wD.foldLeft(0.0)((acc, x) => acc + x * x)
+      if (norm2 == 0.0) Array.fill(dim)(0L)
+      else wD.map(x => math.floor(x / math.sqrt(norm2) * 10000.0).toLong)
+    }
+
+    var v: Array[Long] = normalize(
+      (0 until dim).map(d =>
+        aArr(d) - BigInt(p) * sArr(d) - BigInt(mu(d)) * t +
+          BigInt(n) * mu(d) * p).toArray)
 
     val centered = units
       .select(zip_with(col("__u"), typedLit(mu.toSeq), (a, b) => a - b).as("__c"))
       .sharedPersist()
-
-    // fixed all-positive start: floor(1e4/sqrt(dim)) per dim
-    var v: Array[Long] =
-      Array.fill(dim)(math.floor(10000.0 / math.sqrt(dim.toDouble)).toLong)
-    for (_ <- 1 to iters) {
+    for (_ <- 2 to iters) {
       val dot = aggregate(
         zip_with(col("__c"), typedLit(v.toSeq), (a, b) => a * b),
         lit(0L), (acc, x) => acc + x)
@@ -73,14 +107,8 @@ object Pca {
           (1 until dim).map(d =>
             sum((element_at(col("__c"), d + 1) * col("__dot")).cast(dec)).as(s"w$d")): _*)
         .head()
-      // exact decimals -> doubles (correctly-rounded casts), then the
-      // fixed-order norm chain the twin unrolls identically
-      val wD: Array[Double] =
-        (0 until dim).map(d => wRow.getDecimal(d).doubleValue()).toArray
-      val norm2 = wD.foldLeft(0.0)((acc, x) => acc + x * x)
-      v =
-        if (norm2 == 0.0) Array.fill(dim)(0L)
-        else wD.map(x => math.floor(x / math.sqrt(norm2) * 10000.0).toLong)
+      v = normalize((0 until dim).map(d =>
+        BigInt(wRow.getDecimal(d).toBigInteger)).toArray)
     }
 
     (1 to dim).map(d => (d.toLong, mu(d - 1), v(d - 1)))

@@ -65,7 +65,20 @@ object Similarity {
       .crossJoin(broadcast(queries.select(col("query_id").cast("bigint"), col("qv"))))
       .select(col("query_id"), col("vec_id"),
         VectorFunctions.cosineSimilarity(col("v"), col("qv")).as("cos_sim"))
-      .as[(Long, Long, Double)]
+    topKPerQuery(scored, k)
+  }
+
+  /** Bounded per-query top-k over an already-scored
+    * (query_id, vec_id, cos_sim) stream — the combiner half of
+    * [[bruteForceTopKBatch]], exposed so callers that can score each
+    * pair ONCE (e.g. margin mining, where every corpus row is also a
+    * query in the other direction) reuse the scored set for both
+    * rankings instead of recomputing the quadratic cosine pass.
+    */
+  def topKPerQuery(scoredDf: DataFrame, k: Int): DataFrame = {
+    val spark = scoredDf.sparkSession
+    import spark.implicits._
+    val scored = scoredDf.as[(Long, Long, Double)]
 
     // partial top-k per (partition, query): a bounded ordered buffer
     // per query id — the map-side combine Spark's window can't do.
