@@ -115,15 +115,22 @@ def selftest():
 # rendered beside any weak-table entry so a boundary crossing carries
 # its scale story instead of looking like an unexplained regression.
 WEAK_NOTES = {
-    "q_rank_agreement": (
-        "flat at sf10 (1.02 s sf0.1 -> 1.15 s at 100x data, isolated "
-        "2-pass min) - pure multi-job floor of the shared BM25+dense "
-        "arm build, the q_rrf_fusion story; the fused sibling reuses "
-        "the arms via PlanCache in the same session"),
-    "q_tfidf_pairs": (
-        "boundary hoverer since r9 (0.72-1.25 s band across committed "
-        "pairs, same plan); sf10 isolated 10.8-11.4 s = parity with "
-        "its own r10 closure evidence"),
+    # r11's two entries (q_rank_agreement, q_tfidf_pairs) were CLEARED
+    # in r12 (1.06->0.16 s and 1.22->0.73 s); the r12 entries below
+    # are box-condition crossings with committed A/B evidence.
+    "q_bitext_margin": (
+        "box-condition crossing (docs/AB_NOISE_R12.md): twin flat at "
+        "0.27-0.30 s, spark 0.80-1.22 s across same-code runs (under "
+        "its r11b 0.89 s in one); declared stress query, r12 halved "
+        "its scoring (cosine computed once for both directions)"),
+    "q_bpe_train": (
+        "box-condition crossing (docs/AB_NOISE_R12.md): twin flat "
+        "0.57-0.66 s, spark 0.83 (r11b) -> 1.32-1.41 s with no code "
+        "or plan change; re-measure next round"),
+    "q_domain_reweight": (
+        "box-condition crossing (docs/AB_NOISE_R12.md): twin flat "
+        "0.25 s, spark churned 0.96-2.80 s across same-code runs "
+        "with no code or plan change; re-measure next round"),
 }
 
 
