@@ -22,23 +22,41 @@ import re
 import sys
 
 
-def previous_weak_set(out_path):
-    """Query names in the weak-set table of the PREVIOUS out.md — the
-    git-committed version when out.md lives in a repo (a failing run
-    rewrites the working copy, which must not self-exempt the next
-    run), falling back to the on-disk file outside git."""
-    body = None
+def _in_git_repo(d):
     try:
         import subprocess
-        d = os.path.dirname(os.path.abspath(out_path)) or "."
-        rel = os.path.basename(out_path)
+        r = subprocess.run(["git", "-C", d, "rev-parse", "--is-inside-work-tree"],
+                           capture_output=True, text=True)
+        return r.returncode == 0 and r.stdout.strip() == "true"
+    except Exception:
+        return False
+
+
+def _git_show(d, rel):
+    try:
+        import subprocess
         r = subprocess.run(["git", "-C", d, "show", f"HEAD:./{rel}"],
                            capture_output=True, text=True)
-        if r.returncode == 0:
-            body = r.stdout
+        return r.stdout if r.returncode == 0 else None
     except Exception:
-        pass
-    if body is None:
+        return None
+
+
+def previous_weak_set(out_path):
+    """Query names in the weak-set table of the PREVIOUS out.md — the
+    git-COMMITTED version when out.md lives in a repo (a failing run
+    rewrites the working copy, which must not self-exempt the next
+    run). Inside a repo, an untracked or unreadable out.md counts as
+    an EMPTY previous weak set — never the on-disk copy, which the
+    just-failed run itself may have rewritten. The disk fallback only
+    applies outside git entirely."""
+    d = os.path.dirname(os.path.abspath(out_path)) or "."
+    rel = os.path.basename(out_path)
+    if _in_git_repo(d):
+        body = _git_show(d, rel)
+        if body is None:
+            return set()
+    else:
         if not os.path.exists(out_path):
             return set()
         body = open(out_path).read()
@@ -55,8 +73,27 @@ def previous_weak_set(out_path):
 
 
 def ab_note_queries(docs_dir="docs"):
-    """Queries with a committed A/B note (docs/AB_*.md mentioning them)."""
+    """Queries with a COMMITTED A/B note (git HEAD's docs/AB_*.md).
+    Inside a git repo only HEAD content counts — an uncommitted or
+    working-tree-only note must not self-exempt the run that needs it
+    (the exemption contract is written evidence that survived review).
+    Outside git (the selftest's tempdir), the on-disk glob applies."""
     noted = set()
+    if _in_git_repo(docs_dir if os.path.isdir(docs_dir) else "."):
+        try:
+            import subprocess
+            r = subprocess.run(["git", "-C", docs_dir, "ls-tree",
+                                "--name-only", "HEAD", "."],
+                               capture_output=True, text=True)
+            names = [n for n in r.stdout.splitlines()
+                     if re.fullmatch(r"AB_\w+\.md", os.path.basename(n))]
+            for n in names:
+                body = _git_show(docs_dir, os.path.basename(n))
+                if body:
+                    noted.update(re.findall(r"\bq_\w+", body))
+        except Exception:
+            pass
+        return noted
     for p in glob.glob(os.path.join(docs_dir, "AB_*.md")):
         body = open(p).read()
         noted.update(re.findall(r"\bq_\w+", body))
@@ -109,7 +146,53 @@ def selftest():
                             "--allow-new-weak", "q_newly_slow"],
                            capture_output=True, text=True, cwd=td)
         assert r.returncode == 0, (r.returncode, r.stdout, r.stderr)
-    print("bench_compare selftest: 5/5 tripwire cases pass")
+    # 6+7: inside a GIT REPO the committed state is the only evidence:
+    # an untracked out.md (even one a previous failing run rewrote) is
+    # an EMPTY previous weak set, and an uncommitted AB note does not
+    # exempt — both must exit 4 until actually committed; after a
+    # commit both admit.
+    with tempfile.TemporaryDirectory() as td:
+        subprocess.run(["git", "-C", td, "init", "-q"], check=True)
+        subprocess.run(["git", "-C", td, "-c", "user.email=t@t",
+                        "-c", "user.name=t", "commit", "-q",
+                        "--allow-empty", "-m", "seed"], check=True)
+        sp, dp = os.path.join(td, "s.json"), os.path.join(td, "d.json")
+        out = os.path.join(td, "cmp.md")
+        meta = {"passes": 2, "loadavg_before": 0.0, "loadavg_after": 0.0}
+        json.dump({"queries": {"q_slow": 3.0}, **meta}, open(sp, "w"))
+        json.dump({"queries": {"q_slow": 0.5}, **meta}, open(dp, "w"))
+        # first run writes out.md (untracked) and fails; the SECOND run
+        # must STILL fail — the untracked out.md is not evidence
+        for _ in range(2):
+            r = subprocess.run([sys.executable, me, sp, dp, out],
+                               capture_output=True, text=True, cwd=td)
+            assert r.returncode == 4, (r.returncode, r.stdout, r.stderr)
+        # an uncommitted AB note + flag still fails
+        os.makedirs(os.path.join(td, "docs"), exist_ok=True)
+        with open(os.path.join(td, "docs", "AB_X.md"), "w") as f:
+            f.write("q_slow: band evidence\n")
+        r = subprocess.run([sys.executable, me, sp, dp, out,
+                            "--allow-new-weak", "q_slow"],
+                           capture_output=True, text=True, cwd=td)
+        assert r.returncode == 4, (r.returncode, r.stdout, r.stderr)
+        # committing the note admits it
+        subprocess.run(["git", "-C", td, "add", "docs/AB_X.md"], check=True)
+        subprocess.run(["git", "-C", td, "-c", "user.email=t@t",
+                        "-c", "user.name=t", "commit", "-q", "-m", "note"],
+                       check=True)
+        r = subprocess.run([sys.executable, me, sp, dp, out,
+                            "--allow-new-weak", "q_slow"],
+                           capture_output=True, text=True, cwd=td)
+        assert r.returncode == 0, (r.returncode, r.stdout, r.stderr)
+        # ... and committing out.md's weak table makes q_slow known
+        subprocess.run(["git", "-C", td, "add", "cmp.md"], check=True)
+        subprocess.run(["git", "-C", td, "-c", "user.email=t@t",
+                        "-c", "user.name=t", "commit", "-q", "-m", "out"],
+                       check=True)
+        r = subprocess.run([sys.executable, me, sp, dp, out],
+                           capture_output=True, text=True, cwd=td)
+        assert r.returncode == 0, (r.returncode, r.stdout, r.stderr)
+    print("bench_compare selftest: 7/7 tripwire cases pass")
 
 # Committed evidence notes for queries that sit at the weak boundary:
 # rendered beside any weak-table entry so a boundary crossing carries

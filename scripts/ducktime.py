@@ -1,7 +1,7 @@
 #!/usr/bin/env python3
 """Time every oracle SQL in DuckDB over a testdata SF dir — the
 single-node baseline half of the per-query Spark-vs-DuckDB
-comparison. Mirrors graft.Bench: N passes (default 2), min per
+comparison. Mirrors graft.Bench: N passes (default 3), min per
 query, one JSON line with loadavg before/after.
 
 Usage: python3 scripts/ducktime.py <sfDir> <oracle_sql.json> [outFile]
@@ -20,7 +20,7 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 def main():
     sf_dir, oracle_path = sys.argv[1], sys.argv[2]
     out = sys.argv[3] if len(sys.argv) > 3 else "/tmp/duck_bench_latest.json"
-    passes = int(os.environ.get("DUCK_BENCH_PASSES", "2"))
+    passes = int(os.environ.get("DUCK_BENCH_PASSES", "3"))  # min-of-3, symmetric with graft.Bench
     la0 = os.getloadavg()[0]
     con = duckdb.connect()
     for t in TABLES:

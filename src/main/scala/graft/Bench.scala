@@ -30,7 +30,24 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
+    // best-of-3 by default (r12 lesson: the 2-pass driver artifact
+    // landed 1.6x outside the same-code evidence band under load —
+    // one extra pass buys the min real steady-state headroom)
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+    // Loadavg gate: a bench started under concurrent machine load
+    // measures the box, not the engine (BENCH_r12 landed at 118.6 s
+    // under loadavg 6.9 vs a 72.6 s committed pair on the same code).
+    // Wait for the 1-min load to drop below the gate before starting,
+    // bounded so a permanently-busy box still produces an artifact —
+    // the wait and the load at start are recorded in the JSON either
+    // way, so the reader can see whether the gate was satisfied.
+    val loadGate = sys.env.getOrElse("SPARK_GRAFT_BENCH_LOADGATE", "2.0").toDouble
+    val gateMaxWaitSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_LOADGATE_WAIT", "240").toInt
+    var gateWaitedSec = 0
+    while (loadAvg1m() >= loadGate && gateWaitedSec < gateMaxWaitSec) {
+      Thread.sleep(5000)
+      gateWaitedSec += 5
+    }
     // default INSIDE the repo (r9 verdict: /tmp is outside the tree,
     // so the only committed per-query bench was a stale docs/ copy) —
     // the forked JVM's cwd is the project base directory
@@ -146,8 +163,8 @@ object Bench {
     // with the captured tail starting mid-map. The short line (total +
     // artifact path, ~200 bytes) always fits; the map is read from
     // SPARK_GRAFT_BENCH_OUT.
-    val fullJson = s"""{"metric":"total","value":${d4(total)},"unit":"sec","queries":$qs,"n_failed":${failed.size},"errors":$errsJson,"sf":"$sfDir","passes":$passes,"loadavg_before":${d4(loadBefore)},"loadavg_after":${d4(loadAfter)}}"""
-    val shortJson = s"""{"metric":"total","value":${d4(total)},"unit":"sec","sf":"$sfDir","passes":$passes,"n_queries":${results.size},"n_failed":${failed.size},"out":"$outFile","loadavg_before":${d4(loadBefore)},"loadavg_after":${d4(loadAfter)}}"""
+    val fullJson = s"""{"metric":"total","value":${d4(total)},"unit":"sec","queries":$qs,"n_failed":${failed.size},"errors":$errsJson,"sf":"$sfDir","passes":$passes,"load_gate":${d4(loadGate)},"gate_waited_sec":$gateWaitedSec,"loadavg_before":${d4(loadBefore)},"loadavg_after":${d4(loadAfter)}}"""
+    val shortJson = s"""{"metric":"total","value":${d4(total)},"unit":"sec","sf":"$sfDir","passes":$passes,"n_queries":${results.size},"n_failed":${failed.size},"out":"$outFile","load_gate":${d4(loadGate)},"gate_waited_sec":$gateWaitedSec,"loadavg_before":${d4(loadBefore)},"loadavg_after":${d4(loadAfter)}}"""
     try {
       val f = new java.io.File(outFile)
       Option(f.getParentFile).foreach(_.mkdirs()) // cwd-relative default needs docs/

@@ -72,8 +72,11 @@ object StreamBench {
     val ms = stats.map(_.ms).sum.max(1L)
     val latencies = stats.map(_.ms).sorted
     val p50 = if (latencies.isEmpty) 0L else latencies(latencies.size / 2)
+    // nearest-rank percentile: ceil(n*0.95)-1, NOT n*95/100 (which for
+    // n=20 lands on index 19 — the max — and overstates the tail)
     val p95 = if (latencies.isEmpty) 0L
-      else latencies(math.min(latencies.size - 1, latencies.size * 95 / 100))
+      else latencies(math.min(latencies.size - 1,
+        math.ceil(latencies.size * 0.95).toInt - 1))
     val pMax = if (latencies.isEmpty) 0L else latencies.last
     val stateRows = stats.lastOption.map(_.stateRows).getOrElse(0L)
     val stateBytes = stats.map(_.stateBytes).maxOption.getOrElse(0L).max(extraStateBytes)

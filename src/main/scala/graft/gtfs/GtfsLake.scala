@@ -98,7 +98,12 @@ object GtfsLake {
           val suffix = c.stripPrefix(f)
           c.startsWith(f) && suffix.nonEmpty && suffix.forall(_.isDigit)
         }
-        if (variants.isEmpty) None
+        // Spark's dedup rename ALWAYS yields >= 2 ordinal variants (one
+        // per occurrence of the duplicated header); a single suffixed
+        // column is a legitimately-named field (e.g. a feed shipping
+        // `route_short_name2` without the base column) and must NOT be
+        // promoted onto the missing base name.
+        if (variants.length < 2) None
         else Some(variants.maxBy(_.stripPrefix(f).toInt) -> f)
       }
     }.toMap

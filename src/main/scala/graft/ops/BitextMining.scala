@@ -24,6 +24,15 @@ import graft.util.PlanCache.Shareable
   */
 object BitextMining {
 
+  /** Cap on |src|·|tgt| above which [[minePairs]] will NOT cache the
+    * scored cross product: 4e7 pairs ≈ 1 GB of (long, long, double)
+    * rows — comfortably resident for the committed stress fixtures,
+    * a memory/disk blow-up at sf10 where the brute path is the
+    * declared non-production arm anyway (q_bitext_lsh is the scale
+    * path).
+    */
+  val maxPersistedPairs: Long = 40L * 1000 * 1000
+
   /** Mutual-top-1 pairs with ratio margin ≥ marginMilli/1000:
     * (src_id, tgt_id, cos_micro, margin_milli) where cos_micro =
     * floor(1e6·cos) and margin_milli = floor(2000·k·cos_micro /
@@ -46,16 +55,27 @@ object BitextMining {
     // to the exact path; the former two bruteForceTopKBatch calls
     // recomputed all |src|·|tgt| cosines a second time), persist the
     // fixed-width (id, id, cos) rows, and run the bounded top-k
-    // combiner over them in each direction
+    // combiner over them in each direction. The persist is an
+    // O(|src|·|tgt|) cache entry that PlanCache keeps resident for a
+    // whole sweep, so it is SIZE-GUARDED: above maxPersistedPairs the
+    // scored pass stays unpersisted (the single downstream combiner
+    // consumes it once per invocation; cross-pass reuse still covers
+    // the bounded `partial` below). Counting both sides first is two
+    // cheap metadata-or-scan jobs against inputs that are tiny
+    // relative to their cross product.
     val cores = spark.sparkContext.defaultParallelism
     val spreadSrc =
       if (srcC.rdd.getNumPartitions < cores) srcC.repartition(cores) else srcC
-    val scored = spreadSrc.alias("s")
+    val scoredRaw = spreadSrc.alias("s")
       .crossJoin(broadcast(tgtC.select(col("vec_id").as("t_id"), col("v").as("tv"))))
       .select(col("s.vec_id").as("s_id"), col("t_id"),
         graft.functions.VectorFunctions.cosineSimilarity(col("s.v"), col("tv"))
           .as("cos_sim"))
-      .sharedPersist()
+    val nPairs =
+      try math.multiplyExact(srcC.count(), tgtC.count())
+      catch { case _: ArithmeticException => Long.MaxValue }
+    val scored =
+      if (nPairs <= maxPersistedPairs) scoredRaw.sharedPersist() else scoredRaw
 
     // BOTH directions' bounded top-k partials from ONE combiner pass
     // over the scored rows (each row feeds the src→tgt heap AND the

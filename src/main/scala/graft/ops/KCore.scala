@@ -19,15 +19,18 @@ import org.apache.spark.storage.StorageLevel
   * deterministic without any ordering device and the DuckDB twin
   * (a recursive CTE running the same peel) hash-matches.
   *
-  * Scale shape: classic distributed peeling. Per round, one
-  * partial-aggregated degree count over the surviving edge list and
-  * two semi-joins keyed on the 8-byte node id — fixed-width rows
-  * only, no text. Rounds = peel depth of the graph (small for the
-  * bounded-df anchor graphs this consumes; worst case the longest
-  * chain/2). Lineage is truncated with a periodic localCheckpoint so
-  * the plan does not grow with the iteration count; per round the
-  * loop runs one full degree job and one cached anti-join job, and
-  * the converged round's cached degree table doubles as the output.
+  * Scale shape: classic distributed peeling. Per round, ONE job: the
+  * degree count (partial-aggregated), the two drop anti-joins and the
+  * surviving-edge count all run in a single action — convergence is
+  * detected by the edge count reaching a fixpoint (a dropped node
+  * always carries >= 1 edge, so "nothing dropped" and "edge count
+  * unchanged" are the same event), which removed the separate
+  * drop.count() job the r12 loop paid every round. Fixed-width
+  * 8-byte node-id rows only, no text. Rounds = peel depth of the
+  * graph (small for the bounded-df anchor graphs this consumes;
+  * worst case the longest chain/2). Lineage is truncated with a
+  * periodic localCheckpoint so the plan does not grow with the
+  * iteration count.
   */
 object KCore {
 
@@ -38,50 +41,58 @@ object KCore {
     */
   def core(edges: DataFrame, k: Int, maxRounds: Int = 200): DataFrame = {
     require(k >= 1, "k >= 1")
-    // The peel loop keeps the distinct's own shuffle partitioning:
-    // a fixed coalesce here would either be a no-op (target >= the
-    // shuffle-partition count, the local case) or funnel every
-    // degree count and anti-join round of a LARGE candidate graph
-    // through that many tasks at cluster scale — coalesce only ever
-    // reduces partition count. Peel rounds are launch-bound at test
-    // scale either way; at data scale the partitioning must track
-    // the input.
-    var e = edges.select(
+    val e0 = canonical(edges).localCheckpoint()
+    val (e, _) = peelTo(e0, e0.count(), k, maxRounds)
+    degrees(e).select(col("node"), col("degree").as("core_degree"))
+  }
+
+  /** Canonicalize to distinct (a < b) long pairs. The peel loop keeps
+    * the distinct's own shuffle partitioning: a fixed coalesce here
+    * would either be a no-op (target >= the shuffle-partition count,
+    * the local case) or funnel every degree count and anti-join round
+    * of a LARGE candidate graph through that many tasks at cluster
+    * scale — coalesce only ever reduces partition count.
+    */
+  private def canonical(edges: DataFrame): DataFrame =
+    edges.select(
         least(col("src").cast("bigint"), col("dst").cast("bigint")).as("a"),
         greatest(col("src").cast("bigint"), col("dst").cast("bigint")).as("b"))
       .filter(col("a") < col("b"))
       .distinct()
-      .localCheckpoint()
-    // Per round: ONE degree job (count() — never isEmpty/take(1),
-    // which populates the cache only partially and forces the
-    // anti-join to re-run the degree shuffle) + one cheap cached
-    // anti-join job. The converged round's degree table IS the
-    // result — no extra output pass.
+
+  /** Peel `e0` (canonicalized, materialized, `n0` edges) to the
+    * k-core fixpoint. Returns the converged edge set and its count.
+    * One count() action per round — the degree shuffle, the two
+    * anti-joins and the count share the job; never isEmpty/take(1),
+    * which would populate the cache only partially.
+    */
+  private def peelTo(e0: DataFrame, n0: Long, k: Int,
+      maxRounds: Int): (DataFrame, Long) = {
+    var e = e0
+    var n = n0
     var rounds = 0
-    var result: DataFrame = null
-    while (result == null) {
+    while (true) {
       require(rounds <= maxRounds,
         s"k-core peel did not converge within $maxRounds rounds")
-      val deg = degrees(e).persist(StorageLevel.MEMORY_AND_DISK)
-      val drop = deg.filter(col("degree") < k).select(col("node"))
-      if (drop.count() == 0L) {
-        result = deg.select(col("node"), col("degree").as("core_degree"))
-      } else {
-        val ne = e
-          .join(drop.withColumnRenamed("node", "a"), Seq("a"), "left_anti")
-          .join(drop.withColumnRenamed("node", "b"), Seq("b"), "left_anti")
-          .select(col("a"), col("b"))
-        // lineage stays bounded: a real checkpoint copy every 8th
-        // round, a plain persist otherwise
-        val mat = if ((rounds + 1) % 8 == 0) ne.localCheckpoint()
-          else ne.persist(StorageLevel.MEMORY_AND_DISK)
-        mat.count()
-        deg.unpersist()
-        e = mat
-        rounds += 1
+      val drop = degrees(e).filter(col("degree") < k).select(col("node"))
+      val ne = e
+        .join(drop.withColumnRenamed("node", "a"), Seq("a"), "left_anti")
+        .join(drop.withColumnRenamed("node", "b"), Seq("b"), "left_anti")
+        .select(col("a"), col("b"))
+      // lineage stays bounded: a real checkpoint copy every 8th
+      // round, a plain persist otherwise
+      val mat = if ((rounds + 1) % 8 == 0) ne.localCheckpoint()
+        else ne.persist(StorageLevel.MEMORY_AND_DISK)
+      val nn = mat.count()
+      if (nn == n) {           // fixpoint: no node fell below k
+        mat.unpersist()
+        return (e, n)
       }
+      e = mat
+      n = nn
+      rounds += 1
     }
-    result
+    throw new IllegalStateException("unreachable")
   }
 
   private def degrees(e: DataFrame): DataFrame =
@@ -92,16 +103,36 @@ object KCore {
     * and edge count — the density profile of the candidate graph
     * (how fast it erodes under peeling distinguishes clique-heavy
     * from chain-heavy corpora at a glance).
+    *
+    * ONE progressive peel, not kMax restarts: the (k+1)-core is a
+    * subgraph of the k-core, so the peel at threshold k+1 resumes
+    * from the k-core's surviving edge set — the degeneracy ordering
+    * computed incrementally. Total work is the single full peel to
+    * the kMax-core plus one bounded degree-agg job per recorded k
+    * (nodes + edges from the same aggregate), versus the r12 shape
+    * that re-peeled the FULL graph once per k (O(kMax) full passes —
+    * the first plan that worked, not the scale plan).
     */
-  def profile(edges: DataFrame, kMax: Int): DataFrame = {
+  def profile(edges: DataFrame, kMax: Int, maxRounds: Int = 200): DataFrame = {
+    require(kMax >= 1, "kMax >= 1")
     val spark = edges.sparkSession
     import spark.implicits._
-    (1 to kMax).map { k =>
-      val c = core(edges, k).agg(
+    var e = canonical(edges).localCheckpoint()
+    var n = e.count()
+    val rows = Seq.newBuilder[(Int, Long, Long)]
+    (1 to kMax).foreach { k =>
+      val (ek, nk) = peelTo(e, n, k, maxRounds)
+      // nodes + edges of this k-core from ONE aggregate over the
+      // converged edge set (sum(degree)/2 == edge count, asserted by
+      // the running nk); an empty core contributes (k, 0, 0)
+      val c = degrees(ek).agg(
           count(lit(1)).as("n_nodes"),
-          (coalesce(sum(col("core_degree")), lit(0L)) / 2).cast("bigint").as("n_edges"))
+          (coalesce(sum(col("degree")), lit(0L)) / 2).cast("bigint").as("n_edges"))
         .collect()(0)
-      (k, c.getLong(0), c.getLong(1))
-    }.toDF("k", "n_nodes", "n_edges")
+      rows += ((k, c.getLong(0), c.getLong(1)))
+      e = ek
+      n = nk
+    }
+    rows.result().toDF("k", "n_nodes", "n_edges")
   }
 }

@@ -226,4 +226,19 @@ class GtfsFeedSpec extends AnyFunSuite with SparkTestBase {
     assert(fromZip.table("agency").select("agency_id").collect().map(_.getString(0)).toSet ==
       Set("ag1", "ag2"))
   }
+
+  test("dedupHeadersLastWins: >=2 ordinals renamed last-wins; single suffixed column untouched") {
+    import spark.implicits._
+    // Spark-dedup'd duplicated header: route_short_name{1,2} and no base
+    val dup = Seq(("r1", "A", "B")).toDF("route_id", "route_short_name1", "route_short_name2")
+    val fixed = GtfsLake.dedupHeadersLastWins(dup, GtfsSchemas.routes)
+    assert(fixed.columns.contains("route_short_name"))
+    assert(fixed.select("route_short_name").first().getString(0) == "B") // LAST occurrence wins
+    // a feed legitimately shipping ONE suffixed column (no base, no
+    // sibling ordinal) is NOT a Spark dedup artifact — leave it alone
+    val single = Seq(("r1", "X")).toDF("route_id", "route_short_name2")
+    val kept = GtfsLake.dedupHeadersLastWins(single, GtfsSchemas.routes)
+    assert(!kept.columns.contains("route_short_name"))
+    assert(kept.columns.contains("route_short_name2"))
+  }
 }
