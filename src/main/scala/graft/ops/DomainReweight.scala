@@ -37,10 +37,21 @@ object DomainReweight {
   def step(df: DataFrame, source: Column, text: Column,
       etaMilli: Long): DataFrame = {
     require(etaMilli > 0, s"need a positive milli-eta, got $etaMilli")
+    import graft.util.PlanCache.Shareable
+    // The (source, term) count table feeds FIVE downstream branches
+    // (totals, corpus, grand, the ce join, and — transitively — the
+    // min-ce and normalizer scalars): persist it once so the
+    // token-explode scan + count shuffle run a single time instead of
+    // once per scalar-broadcast round (the r12 plan re-ran the
+    // explode ~5x and q_domain_reweight carried 7 BNLJ rounds each
+    // re-deriving it). Size is per-source vocabulary — bounded by
+    // |vocab|·|sources| fixed-width rows, cache-safe at any corpus
+    // scale.
     val st = df
       .select(source.cast("string").as("source"),
         explode(split(trim(lower(text)), "\\s+")).as("w"))
       .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+      .sharedPersist()
     val totals = st.groupBy(col("source")).agg(sum(col("c")).as("ts"))
     val corpus = st.groupBy(col("w")).agg(sum(col("c")).as("cw"))
     val grand = corpus.agg(sum(col("cw")).as("t"))
@@ -56,6 +67,9 @@ object DomainReweight {
         floor(-p * log(q) * 1e6).cast("bigint").as("ce_term"))
       .groupBy(col("source"))
       .agg(first(col("ts")).as("n_tokens"), sum(col("ce_term")).as("ce_micro"))
+      // |sources| rows: the min-ce scalar and the boost projection
+      // both consume it — cache so the vocab join above runs once
+      .sharedPersist()
 
     val minCe = ce.agg(min(col("ce_micro")).as("min_ce"))
     val boosted = ce.crossJoin(broadcast(minCe))

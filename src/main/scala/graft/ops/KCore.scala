@@ -41,9 +41,15 @@ object KCore {
     */
   def core(edges: DataFrame, k: Int, maxRounds: Int = 200): DataFrame = {
     require(k >= 1, "k >= 1")
-    val e0 = canonical(edges).localCheckpoint()
-    val (e, _) = peelTo(e0, e0.count(), k, maxRounds)
-    degrees(e).select(col("node"), col("degree").as("core_degree"))
+    // the canonical edge set is OWNED by PlanCache (shared local
+    // checkpoint): repeated peels over the same graph — bench passes,
+    // core() after profile(), k-sweeps — start from the materialized
+    // distinct edges instead of re-running the candidate self-join;
+    // footprint is identical to the former per-call localCheckpoint,
+    // ownership + cross-call reuse are what change
+    val e0 = graft.util.PlanCache.checkpointShared(canonical(edges))
+    val (deg, _, _) = peelTo(e0, e0.count(), k, maxRounds)
+    deg.select(col("node"), col("degree").as("core_degree"))
   }
 
   /** Canonicalize to distinct (a < b) long pairs. The peel loop keeps
@@ -61,20 +67,25 @@ object KCore {
       .distinct()
 
   /** Peel `e0` (canonicalized, materialized, `n0` edges) to the
-    * k-core fixpoint. Returns the converged edge set and its count.
-    * One count() action per round — the degree shuffle, the two
-    * anti-joins and the count share the job; never isEmpty/take(1),
-    * which would populate the cache only partially.
+    * k-core fixpoint. Returns (converged persisted degree table,
+    * converged edge set, edge count). ONE count() action per round:
+    * the degree shuffle materializes into its persist handle as a
+    * side effect of the new-edge count (both anti-join branches read
+    * the same InMemoryRelation, so degrees compute once), and the
+    * converged round's cached degree table IS core()'s output —
+    * never isEmpty/take(1), which would populate the cache only
+    * partially.
     */
   private def peelTo(e0: DataFrame, n0: Long, k: Int,
-      maxRounds: Int): (DataFrame, Long) = {
+      maxRounds: Int): (DataFrame, DataFrame, Long) = {
     var e = e0
     var n = n0
     var rounds = 0
     while (true) {
       require(rounds <= maxRounds,
         s"k-core peel did not converge within $maxRounds rounds")
-      val drop = degrees(e).filter(col("degree") < k).select(col("node"))
+      val deg = degrees(e).persist(StorageLevel.MEMORY_AND_DISK)
+      val drop = deg.filter(col("degree") < k).select(col("node"))
       val ne = e
         .join(drop.withColumnRenamed("node", "a"), Seq("a"), "left_anti")
         .join(drop.withColumnRenamed("node", "b"), Seq("b"), "left_anti")
@@ -86,8 +97,14 @@ object KCore {
       val nn = mat.count()
       if (nn == n) {           // fixpoint: no node fell below k
         mat.unpersist()
-        return (e, n)
+        return (deg, e, n)
       }
+      deg.unpersist()
+      // drop the replaced round's cache once the new one is fully
+      // materialized (the count above): live residency stays at two
+      // edge frames + one degree table regardless of peel depth. The
+      // shared e0 checkpoint is PlanCache-owned — never dropped here.
+      if (rounds > 0) e.unpersist()
       e = mat
       n = nn
       rounds += 1
@@ -117,20 +134,23 @@ object KCore {
     require(kMax >= 1, "kMax >= 1")
     val spark = edges.sparkSession
     import spark.implicits._
-    var e = canonical(edges).localCheckpoint()
+    var e = graft.util.PlanCache.checkpointShared(canonical(edges))
     var n = e.count()
     val rows = Seq.newBuilder[(Int, Long, Long)]
+    val e0 = e
     (1 to kMax).foreach { k =>
-      val (ek, nk) = peelTo(e, n, k, maxRounds)
-      // nodes + edges of this k-core from ONE aggregate over the
-      // converged edge set (sum(degree)/2 == edge count, asserted by
-      // the running nk); an empty core contributes (k, 0, 0)
-      val c = degrees(ek).agg(
-          count(lit(1)).as("n_nodes"),
-          (coalesce(sum(col("degree")), lit(0L)) / 2).cast("bigint").as("n_edges"))
-        .collect()(0)
-      rows += ((k, c.getLong(0), c.getLong(1)))
-      e = ek
+      val (deg, ek, nk) = peelTo(e, n, k, maxRounds)
+      // nodes from one tiny job over the converged CACHED degree
+      // table; edges are the running count the peel already knows.
+      // An empty core contributes (k, 0, 0).
+      rows += ((k, deg.count(), nk))
+      deg.unpersist()
+      if (!(ek eq e)) {
+        // this k's peel produced a smaller core: release the previous
+        // k's frame (never the PlanCache-owned starting checkpoint)
+        if (!(e eq e0)) e.unpersist()
+        e = ek
+      }
       n = nk
     }
     rows.result().toDF("k", "n_nodes", "n_edges")

@@ -23,6 +23,6 @@ class BenchCompareTripwireSpec extends AnyFunSuite {
     val code = p.waitFor()
     assume(!out.contains("No such file or directory"), "python3 unavailable")
     assert(code == 0, s"selftest failed (exit $code):\n$out")
-    assert(out.contains("5/5 tripwire cases pass"), out)
+    assert(out.contains("7/7 tripwire cases pass"), out)
   }
 }

@@ -56,6 +56,46 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
     assert(offenders.isEmpty, s"CartesianProduct in: ${offenders.mkString(", ")}")
   }
 
+  test("bounded-window whitelist is backed by MEASURED cardinality, not comments") {
+    // A window never changes cardinality, so after execution each
+    // unpartitioned WindowExec's own numOutputRows metric IS the row
+    // count that serialized through the single task. Each whitelisted
+    // query's windows must stay within the bound its whitelist entry
+    // documents (PlanShape.BoundedWindowQueries) — the r12 audit
+    // asserted these bounds in prose only.
+    import org.apache.spark.sql.execution.window.WindowExec
+    val bounds = Map(
+      // EquiDepth coarse-offset device: <= 64 bucket rows
+      // (EquiDepth.scala:93,136; docs/EQUIDEPTH.md)
+      "q_equidepth" -> 64L, "q_conformal" -> 64L, "q_roc_points" -> 64L,
+      "q_stump" -> 64L, "q_auc_global" -> 64L, "q_chi2_features" -> 64L,
+      "q_psi" -> 64L, "q_ppl_buckets" -> 64L,
+      // keySkew: <= topN winners + the distinct-group-size prefix sum
+      // (O(sqrt(rows)) sizes; Diagnostics.scala:60-72)
+      "q_key_skew" -> 256L,
+      // liftTable: <= bands band rows (RankEval.scala:169-174)
+      "q_lift" -> 64L,
+      // coarse-range offsets: <= ScoreRanges (Selection.scala:34) /
+      // HashRanges (SystematicSampling.scala:42) bucket rows; the
+      // Hamilton pass runs over <= strata rows (Allocation)
+      "q_token_budget" -> 512L, "q_systematic_sample" -> 512L,
+      "q_proportional_sample" -> 64L,
+      // one assembled GTFS-RT feed snapshot: entity_pos over the
+      // single bounded message (CoreQueries.scala:254)
+      "q_feed_assembly" -> 4096L)
+    assert(bounds.keySet == PlanShape.BoundedWindowQueries,
+      "every whitelist entry needs a measured bound (and vice versa)")
+    val violations = bounds.toSeq.sortBy(_._1).flatMap { case (q, bound) =>
+      val df = graft.SparkEntry.queries(q)(spark, graft.PlanShapeDump.SfDir)
+      df.collect() // execute so metrics carry real row counts
+      PlanShape.walk(df.queryExecution.executedPlan).collect {
+        case w: WindowExec if w.partitionSpec.isEmpty =>
+          w.metrics.get("numOutputRows").map(_.value).getOrElse(0L)
+      }.toVector.filter(_ > bound).map(rows => s"$q: window saw $rows rows > bound $bound")
+    }
+    assert(violations.isEmpty, violations.mkString("\n"))
+  }
+
   test("positive control: an injected unpartitioned window IS detected") {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
