@@ -156,8 +156,59 @@ object FuzzVerify {
         graft.ops.PqIndex.pqSql(dim, m, kc, iters, topK))
     }
 
+    def winnow(i: Int): Config = {
+      val k = 2 + rnd.nextInt(3)
+      val w = 1 + rnd.nextInt(6)
+      val maxDf = 2 + rnd.nextInt(12)
+      val minShared = 1 + rnd.nextInt(3)
+      Config(f"fz$i%02d_winnow_k${k}_w${w}_d${maxDf}_s$minShared",
+        (s, dir) => graft.ops.Winnowing.candidatePairs(
+            graft.queries.TextQueries.docsWithPlantedDups(s, dir),
+            col("doc_id"), col("text"), k, w, maxDf, minShared)
+          .orderBy(col("id_a"), col("id_b")),
+        s"""WITH ${graft.queries.TextQueries.allDocsCte},
+           |${graft.ops.Winnowing.candidatePairsSql(k, w, maxDf, minShared)}
+           |SELECT id_a, id_b, n_shared FROM wpr ORDER BY id_a, id_b""".stripMargin)
+    }
+
+    def pca(i: Int): Config = {
+      val iters = 1 + rnd.nextInt(4)
+      Config(f"fz$i%02d_pca_i$iters",
+        (s, dir) => graft.ops.Pca.topComponent(emb(s, dir), col("embedding"),
+            dim = 64, iters = iters)
+          .orderBy(col("d")),
+        s"""WITH ${graft.ops.Pca.topComponentSql(dim = 64, iters = iters)}
+           |SELECT d, mu_q, pc1_e4 FROM pfin ORDER BY d""".stripMargin)
+    }
+
+    def luhn(i: Int): Config = {
+      val minLen = 8 + rnd.nextInt(9)              // 8..16
+      val maxLen = minLen + rnd.nextInt(20 - minLen) // minLen..19
+      Config(f"fz$i%02d_luhn_l${minLen}_u$maxLen",
+        (s, dir) => {
+          val planted = concat(col("text"),
+            when(col("doc_id") % 50 === 0, lit(" 4111111111111111")).otherwise(lit("")),
+            when(col("doc_id") % 70 === 0, lit(" 4111111111111112")).otherwise(lit("")))
+          graft.ops.TextCleaner.luhnPanAudit(Tables.read(s, dir, "documents"),
+              col("doc_id"), planted, minLen, maxLen)
+            .orderBy(col("doc_id"))
+        },
+        s"""WITH pana AS (SELECT doc_id,
+           |                text ||
+           |                  CASE WHEN doc_id % 50 = 0
+           |                       THEN ' 4111111111111111' ELSE '' END ||
+           |                  CASE WHEN doc_id % 70 = 0
+           |                       THEN ' 4111111111111112' ELSE '' END AS t
+           |              FROM documents),
+           |${graft.ops.TextCleaner.luhnPanAuditSqlTail(minLen, maxLen)}
+           |SELECT doc_id, n_pan_candidates, n_pan_valid, has_valid_pan,
+           |  first_pan_masked
+           |FROM panr ORDER BY doc_id""".stripMargin)
+    }
+
     val families: Vector[Int => Config] = Vector(
-      mmr, topNgrams, rankAgreement, centroids, paragraph, bitext, mmrTopn, pq)
+      mmr, topNgrams, rankAgreement, centroids, paragraph, bitext, mmrTopn, pq,
+      winnow, pca, luhn)
     (0 until n).map(i => families(i % families.size)(i))
   }
 

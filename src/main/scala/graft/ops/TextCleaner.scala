@@ -93,11 +93,12 @@ object TextCleaner {
     * exact integer/string arithmetic cross-engine.
     */
   def luhnPanAudit(df: org.apache.spark.sql.DataFrame,
-      id: Column, text: Column): org.apache.spark.sql.DataFrame =
+      id: Column, text: Column,
+      minLen: Int = 13, maxLen: Int = 19): org.apache.spark.sql.DataFrame =
     df.select(id.as("doc_id"), text.as("__t"))
       .withColumn("__cands",
         filter(regexp_extract_all(col("__t"), lit(DigitRunAllPattern), lit(0)),
-          c => length(c).between(13, 19)))
+          c => length(c).between(minLen, maxLen)))
       .withColumn("__valid", filter(col("__cands"), c => luhnOk(c)))
       .select(col("doc_id"),
         size(col("__cands")).cast("bigint").as("n_pan_candidates"),
@@ -112,11 +113,13 @@ object TextCleaner {
   /** DuckDB twin of [[luhnPanAudit]]: expects a relation
     * `pana(doc_id, t)` in scope; final relation `panr`.
     */
-  def luhnPanAuditSqlTail: String = {
+  def luhnPanAuditSqlTail: String = luhnPanAuditSqlTail(13, 19)
+
+  def luhnPanAuditSqlTail(minLen: Int, maxLen: Int): String = {
     val digit = "ascii(substr(reverse(c), CAST(i AS INT), 1)) - 48"
     s"""pnc AS (SELECT doc_id,
        |          list_filter(regexp_extract_all(t, '$DigitRunAllPattern'),
-       |                      c -> length(c) BETWEEN 13 AND 19) AS cands
+       |                      c -> length(c) BETWEEN $minLen AND $maxLen) AS cands
        |        FROM pana),
        |pnv AS (SELECT doc_id, cands,
        |          list_filter(cands, c ->

@@ -21,7 +21,7 @@ object TextQueries {
     * id + 1,000,000) — gives the near-dup detectors a deterministic
     * ground truth to surface.
     */
-  private[queries] def docsWithPlantedDups(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def docsWithPlantedDups(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
     val dups = d.filter(col("doc_id") % 10 === 0)
       .select((col("doc_id") + 1000000L).as("doc_id"),
@@ -230,7 +230,7 @@ object TextQueries {
   /** The planted-dup corpus as a DuckDB CTE (must stay in sync with
     * [[docsWithPlantedDups]]).
     */
-  private[queries] val allDocsCte =
+  private[graft] val allDocsCte =
     """all_docs AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL

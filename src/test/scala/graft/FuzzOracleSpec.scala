@@ -3,7 +3,8 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 
 /** CI wiring for the differential parameter fuzz (FuzzVerify): 24
-  * seeded random parameterizations across 8 op families are dumped
+  * seeded random parameterizations across 11 op families (r13 added
+  * winnowing k/w/df, PCA iters, Luhn length-window) are dumped
   * at sf0.01 and compared against their DuckDB twins by
   * scripts/selfcheck.py — the committed-constants-only parity trap.
   */
