@@ -302,6 +302,88 @@ object StreamBench {
         s""","b16_state_cells":$stateRows"""
     }
 
+    // ---- B13 + B18: drift monitor -> refit-trigger handshake under
+    // SUSTAINED drift. The second half of the batch sequence carries a
+    // shifted population (docs 6x longer: margins leave the reference
+    // bins entirely, per-source token distribution shifts), so the
+    // scenario measures the monitoring overhead a production gate adds
+    // per batch — BOTH durable-state paths run in the same foreachBatch:
+    // the B13 per-(source, token) count store + KL snapshot and the
+    // B18 margin-bin store + latched PSI signal.
+    locally {
+      val src = s"$work/b13_src"
+      val dim = 4096
+      val half = nBatches / 2
+      val docs = Tables.read(spark, sfDir, "documents")
+        .select(col("doc_id"), col("text"), col("source"), col("n_chars"))
+      // drift = doubled text (margins scale out of the reference
+      // bins -> B18 fires) + a novel token block (the per-source
+      // token distribution shifts -> B13's KL rises)
+      val drifted = docs.select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(nBatches)) >= half,
+          concat_ws(" ", col("text"), col("text"), col("text"), col("text"),
+            lit("zzdrift glorp vexquill zzdrift glorp zzdrift")))
+          .otherwise(col("text")).as("text"),
+        col("source"))
+      stage(drifted, "doc_id", nBatches, s"$work/b13_stage")
+      flatten(s"$work/b13_stage", nBatches, src)
+      // fit-time population = the undrifted half; model + both
+      // references derive from it (the B18 contract: the gate serves
+      // a static model, the monitor owns the alarm)
+      val fitDocs = docs.filter(pmod(col("doc_id"), lit(nBatches)) < half)
+      val labels = fitDocs.select(col("doc_id"),
+        when(col("n_chars") > 200, lit(1)).otherwise(lit(-1)).as("y"))
+      val model = graft.ops.LinearClassifier.fitPerceptron(
+        graft.ops.Features.hashedBow(fitDocs, col("doc_id"), col("text"), dim),
+        labels, dim, epochs = 3)
+      val refBins = graft.streaming.DriftRefitTrigger.referenceBins(
+        fitDocs, "text", model, dim, binWidth = 8192L)
+      val klRef = graft.streaming.DriftMonitor.fitReference(fitDocs, col("text"))
+        .localCheckpoint(true)
+      val monStore = new graft.streaming.GtfsRtPipeline.ParquetStateStore(s"$work/b13_counts")
+      val binStore = new graft.streaming.GtfsRtPipeline.ParquetStateStore(s"$work/b18_bins")
+      val sigStore = new graft.streaming.GtfsRtPipeline.ParquetStateStore(s"$work/b18_sig")
+      val klOut = s"$work/b13_kl"
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("source", StringType)))
+      @volatile var firedBatch = -1L
+      val (stats, _) = scenario(spark, "b13b18") {
+        val stream = spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1").parquet(src)
+        val q = stream.writeStream.trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", s"$work/b13_ck")
+          .foreachBatch { (batch: DataFrame, id: Long) =>
+            val b = batch.persist()
+            graft.streaming.DriftMonitor
+              .updateBatch(b, "source", "text", monStore, klRef, Some(id))
+              .write.mode("overwrite").parquet(s"$klOut/batch_id=$id")
+            // binWidth sizes the reference histogram to ~25 bins
+            // (margins under this model span ~2e4..2e5): narrower
+            // bins leave ~1 doc per bin and the accumulated PSI
+            // carries a ~0.3 sampling-noise floor. Threshold 0.5
+            // (not the textbook 0.25) so the firing batch identifies
+            // the INJECTED drift, unambiguously above that floor
+            val fired = graft.streaming.DriftRefitTrigger.updateBatch(
+              b, "text", model, dim, binWidth = 8192L, reference = refBins,
+              countStore = binStore, signalStore = sigStore,
+              thresholdMilli = 500L, batchId = Some(id)).collect()
+            if (fired.nonEmpty && firedBatch < 0)
+              firedBatch = fired.head.getAs[Long]("fired_batch")
+            b.unpersist()
+            ()
+          }.start()
+        q.awaitTermination()
+      }
+      val finalKl = spark.read.parquet(klOut)
+        .filter(col("batch_id") === nBatches - 1)
+        .agg(max(col("kl_vs_reference"))).collect()(0).getDouble(0)
+      val stateBytes = dirBytes(s"$work/b13_counts") +
+        dirBytes(s"$work/b18_bins") + dirBytes(s"$work/b18_sig")
+      results += summarize("b13_b18_drift_refit", stats, stateBytes) +
+        s""","b18_fired_batch":$firedBatch,"b13_final_max_kl":$finalKl"""
+    }
+
     // ---- B3: full RT server loop (match -> latest-state -> TTL) ----
     // 50k synthetic trip updates over 5000 update ids against a
     // 1000-trip nominal feed; per-batch: TripMatcher + versioned
