@@ -206,9 +206,24 @@ object FuzzVerify {
            |FROM panr ORDER BY doc_id""".stripMargin)
     }
 
+    def pagerankShards(i: Int): Config = {
+      // twin-side-only parameter: results must be SHARD-INVARIANT
+      val shards = 1 + rnd.nextInt(6)
+      Config(f"fz$i%02d_pagerank_sh$shards",
+        SparkEntry.queries("q_pagerank"),
+        graft.queries.CorpusQueries.pagerankOracle(shards))
+    }
+
+    def spanRemovalShards(i: Int): Config = {
+      val shards = 1 + rnd.nextInt(6)
+      Config(f"fz$i%02d_spanrm_sh$shards",
+        SparkEntry.queries("q_dup_span_removal"),
+        graft.queries.CorpusQueries.dupSpanRemovalOracle(shards))
+    }
+
     val families: Vector[Int => Config] = Vector(
       mmr, topNgrams, rankAgreement, centroids, paragraph, bitext, mmrTopn, pq,
-      winnow, pca, luhn)
+      winnow, pca, luhn, pagerankShards, spanRemovalShards)
     (0 until n).map(i => families(i % families.size)(i))
   }
 

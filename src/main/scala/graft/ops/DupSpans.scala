@@ -130,28 +130,58 @@ object DupSpans {
   /** DuckDB twin of [[removeDuplicatedSpans]] over `table(doc_id,
     * text)`; final relation `sremoved`.
     */
-  def removeDuplicatedSpansSql(table: String, k: Int): String =
-    s"""srt AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
-       |        FROM $table),
-       |srsp AS (
+  /** @param shards hash-range sharding of the twin's three unbounded
+    *        states — the duplicated-hash aggregate (keyed on shash),
+    *        the covered-position DISTINCT and the per-doc reassembly
+    *        (both doc-keyed) — as unions of `hash % shards`
+    *        sub-queries over MATERIALIZED inputs (the
+    *        C82/ParagraphDedup device). Each sharded operation is
+    *        key-local, so the union is bit-identical and peak memory
+    *        is one shard's hash/sort state — what lets the sf10
+    *        span-rewrite explode run inside a single-node DuckDB
+    *        memory cap (the pre-r13 oracle-capacity exemption).
+    *        shards=1 degenerates to the unsharded plan.
+    */
+  def removeDuplicatedSpansSql(table: String, k: Int, shards: Int = 1): String = {
+    require(shards >= 1, "shards must be >= 1")
+    def shardPred(key: String, s: Int): String =
+      if (shards == 1) "TRUE" else s"hash($key) % $shards = $s"
+    val dupUnion = (0 until shards).map { s =>
+      s"""SELECT shash FROM srsp WHERE ${shardPred("shash", s)}
+         |  GROUP BY shash HAVING count(DISTINCT doc_id) >= 2""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    val covUnion = (0 until shards).map { s =>
+      s"""SELECT DISTINCT doc_id, c.cp AS cp
+         |  FROM (SELECT * FROM srsp WHERE ${shardPred("doc_id", s)}) sp
+         |  JOIN srdup USING (shash), unnest(range(p, p + $k)) AS c(cp)""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    val keptUnion = (0 until shards).map { s =>
+      s"""SELECT t.doc_id, count(*) AS n_kept,
+         |    md5(string_agg(t.w, ' ' ORDER BY t.cp)) AS clean_md5
+         |  FROM (SELECT doc_id, u.i AS cp, toks[u.i] AS w
+         |        FROM srt, unnest(range(1, len(toks) + 1)) AS u(i)
+         |        WHERE ${shardPred("doc_id", s)}) t
+         |  ANTI JOIN srcov c ON t.doc_id = c.doc_id AND t.cp = c.cp
+         |  GROUP BY t.doc_id""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
+    s"""srt AS MATERIALIZED (
+       |  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS toks
+       |  FROM $table),
+       |srsp AS MATERIALIZED (
        |  SELECT doc_id, p.i AS p,
        |    ('0x' || substr(md5(array_to_string(list_slice(toks, p.i, p.i + ${k - 1}), ' ')), 1, 15))::BIGINT AS shash
        |  FROM srt, unnest(range(1, len(toks) - ${k - 2})) AS p(i)
        |  WHERE len(toks) >= $k),
-       |srdup AS (SELECT shash FROM srsp GROUP BY shash HAVING count(DISTINCT doc_id) >= 2),
-       |srcov AS (
-       |  SELECT DISTINCT doc_id, c.cp AS cp
-       |  FROM srsp JOIN srdup USING (shash), unnest(range(p, p + $k)) AS c(cp)),
+       |srdup AS MATERIALIZED (
+       |  $dupUnion),
+       |srcov AS MATERIALIZED (
+       |  $covUnion),
        |srkept AS (
-       |  SELECT t.doc_id, count(*) AS n_kept,
-       |    md5(string_agg(t.w, ' ' ORDER BY t.cp)) AS clean_md5
-       |  FROM (SELECT doc_id, u.i AS cp, toks[u.i] AS w
-       |        FROM srt, unnest(range(1, len(toks) + 1)) AS u(i)) t
-       |  ANTI JOIN srcov c ON t.doc_id = c.doc_id AND t.cp = c.cp
-       |  GROUP BY t.doc_id),
+       |  $keptUnion),
        |sremoved AS (
        |  SELECT srt.doc_id, CAST(len(srt.toks) AS BIGINT) AS n_tokens,
        |    CAST(len(srt.toks) - coalesce(k.n_kept, 0) AS BIGINT) AS n_removed,
        |    coalesce(k.clean_md5, '$md5Empty') AS clean_md5
        |  FROM srt LEFT JOIN srkept k USING (doc_id))""".stripMargin
+  }
 }

@@ -84,21 +84,53 @@ object PageRank {
     * over `edgeSql` (a relation with columns src, dst). Final
     * relation is `prank`.
     */
-  def ranksSql(edgeSql: String, iters: Int): String = {
+  /** @param shards hash-range sharding of the twin's two unbounded
+    *        hash states — the edge DISTINCT (keyed on (src, dst)) and
+    *        each iteration's inflow aggregate (keyed on dst) — as a
+    *        union of `hash % shards` sub-queries over MATERIALIZED
+    *        inputs (the C82/ParagraphDedup device): every sharded
+    *        operation is key-local, so the union is bit-identical and
+    *        peak memory drops to one shard's hash table. That is what
+    *        lets the 160 M-edge sf10 closure run inside a single-node
+    *        DuckDB memory cap instead of exhausting the spill disk
+    *        (the pre-r13 oracle-capacity exemption). Every CTE a
+    *        union branch references is MATERIALIZED — a plain CTE
+    *        would re-inline the whole preceding iteration chain once
+    *        per branch (shards^iters blowup). shards=1 degenerates to
+    *        the unsharded plan.
+    */
+  def ranksSql(edgeSql: String, iters: Int, shards: Int = 1): String = {
     require(iters >= 1 && iters <= 8)
+    require(shards >= 1, "shards must be >= 1")
     val teleport = Unit - DampMilli * Unit / 1000L
+    def shardPred(key: String, s: Int): String =
+      if (shards == 1) "TRUE" else s"hash($key) % $shards = $s"
+    // variadic hash(src, dst): an arithmetic key combiner (src*K+dst)
+    // overflows INT64 at sf10 key ranges, and DuckDB RAISES on int64
+    // overflow where Spark wraps
+    val distinctUnion = (0 until shards).map { s =>
+      s"""SELECT DISTINCT src, dst FROM pr_base
+         |  WHERE ${shardPred("src, dst", s)}""".stripMargin
+    }.mkString("\n  UNION ALL\n  ")
     val base =
-      s"""pr_e AS (SELECT DISTINCT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst
-         |         FROM ($edgeSql)),
-         |pr_nodes AS (SELECT src AS node FROM pr_e UNION SELECT dst FROM pr_e),
-         |pr_deg AS (SELECT src, count(*) AS outdeg FROM pr_e GROUP BY src),
-         |pr_r0 AS (SELECT node, CAST($Unit AS BIGINT) AS rank_scaled FROM pr_nodes)""".stripMargin
+      s"""pr_base AS MATERIALIZED (
+         |  SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst
+         |  FROM ($edgeSql)),
+         |pr_e AS MATERIALIZED (
+         |  $distinctUnion),
+         |pr_nodes AS MATERIALIZED (SELECT src AS node FROM pr_e UNION SELECT dst FROM pr_e),
+         |pr_deg AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM pr_e GROUP BY src),
+         |pr_r0 AS MATERIALIZED (SELECT node, CAST($Unit AS BIGINT) AS rank_scaled FROM pr_nodes)""".stripMargin
     val steps = (1 to iters).map { i =>
+      val inflowUnion = (0 until shards).map { s =>
+        s"""SELECT e.dst AS node, sum(r.rank_scaled // d.outdeg) AS inflow
+           |  FROM pr_e e JOIN pr_r${i - 1} r ON e.src = r.node JOIN pr_deg d ON e.src = d.src
+           |  WHERE ${shardPred("e.dst", s)}
+           |  GROUP BY e.dst""".stripMargin
+      }.mkString("\n  UNION ALL\n  ")
       s"""pr_in$i AS (
-         |  SELECT e.dst AS node, sum(r.rank_scaled // d.outdeg) AS inflow
-         |  FROM pr_e e JOIN pr_r${i - 1} r ON e.src = r.node JOIN pr_deg d ON e.src = d.src
-         |  GROUP BY e.dst),
-         |pr_r$i AS (
+         |  $inflowUnion),
+         |pr_r$i AS MATERIALIZED (
          |  SELECT n.node,
          |    CAST($teleport + ($DampMilli * coalesce(f.inflow, 0)) // 1000 AS BIGINT) AS rank_scaled
          |  FROM pr_nodes n LEFT JOIN pr_in$i f USING (node))""".stripMargin

@@ -80,6 +80,22 @@ object ClassifierQueries {
         .orderBy(col("bucket"))
     },
 
+    // C139: dataset cartography — per-doc confidence/variability/
+    // region over the perceptron's epoch-margin trajectory (the
+    // margins each epoch's update step saw). The trajectory is
+    // O(epochs·dim) driver data, memoized like the final fit.
+    "q_cartography" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val snaps = Memo.cached(s"cartography:$dir:$ClsDim:$ClsEpochs") {
+        graft.ops.Cartography.trajectory(
+          Features.hashedBow(docs, col("doc_id"), col("text"), ClsDim),
+          labels(docs), ClsDim, ClsEpochs)
+      }
+      graft.ops.Cartography.mapFromTrajectory(docs, col("doc_id"), col("text"),
+          when(col("lang") === "en", 1).otherwise(-1), ClsDim, snaps)
+        .orderBy(col("doc_id"))
+    },
+
     // C99 serving path: integer margins + sign predictions of the
     // fitted model over the corpus, with gold labels for inspection.
     "q_perceptron_score" -> { (s, dir) =>
@@ -198,6 +214,13 @@ object ClassifierQueries {
       s"""$prelude
          |SELECT bucket, w AS weight FROM w$ClsEpochs
          |WHERE w <> 0 ORDER BY bucket""".stripMargin,
+
+    "q_cartography" ->
+      s"""$prelude,
+         |${graft.ops.Cartography.mapSqlTail(ClsEpochs)}
+         |SELECT doc_id, CAST(y AS BIGINT) AS y, n_epochs, n_correct,
+         |  confidence_milli, variability_milli, region
+         |FROM cfin ORDER BY doc_id""".stripMargin,
 
     "q_perceptron_score" ->
       s"""$prelude

@@ -398,10 +398,7 @@ object CorpusQueries {
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         |ORDER BY gid, rf, ls""".stripMargin,
 
-    "q_dup_span_removal" ->
-      s"""WITH ${DupSpans.removeDuplicatedSpansSql("documents", SpanK)}
-         |SELECT doc_id, n_tokens, n_removed, clean_md5
-         |FROM sremoved ORDER BY doc_id""".stripMargin,
+    "q_dup_span_removal" -> dupSpanRemovalOracle(shards = 1),
 
     "q_quality_score" ->
       s"""WITH ${QualityClassifier.scoreSql("documents")}
@@ -420,16 +417,7 @@ object CorpusQueries {
 
     "q_cond_entropy" -> graft.ops.NgramStats.conditionalEntropySql(),
 
-    "q_pagerank" -> {
-      val edgeSql =
-        """SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
-          |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
-          |UNION ALL
-          |SELECT l_suppkey * 2 + 1 AS src, o_custkey * 2 AS dst
-          |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey""".stripMargin
-      s"""WITH ${PageRank.ranksSql(edgeSql, iters = 3)}
-         |SELECT node, rank_scaled, rank FROM prank ORDER BY node""".stripMargin
-    },
+    "q_pagerank" -> pagerankOracle(shards = 1),
 
     "q_bpe_pairs" -> BpePairs.topPairsSql("documents", k = 40),
 
@@ -538,4 +526,32 @@ object CorpusQueries {
         |  max((props::JSON ->> 'k')::BIGINT) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
   )
+
+  /** q_pagerank's twin at an arbitrary twin-side shard count
+    * (results are shard-invariant, which the fuzz harness exercises;
+    * see PageRank.ranksSql). The committed oracle is shards=1: the
+    * sf10 fix was MATERIALIZING the edge/node/rank CTEs (the r8 twin
+    * re-inlined the 1.2B-row edge DISTINCT once per iteration, which
+    * exhausted the spill disk); sharded branches are correct but
+    * DuckDB executes union branches concurrently, so shards>1
+    * multiplies peak state instead of bounding it.
+    */
+  def pagerankOracle(shards: Int): String = {
+    val edgeSql =
+      """SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |UNION ALL
+        |SELECT l_suppkey * 2 + 1 AS src, o_custkey * 2 AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey""".stripMargin
+    s"""WITH ${PageRank.ranksSql(edgeSql, iters = 3, shards = shards)}
+       |SELECT node, rank_scaled, rank FROM prank ORDER BY node""".stripMargin
+  }
+
+  /** q_dup_span_removal's twin at an arbitrary twin-side shard count
+    * (shard-invariant; see DupSpans.removeDuplicatedSpansSql).
+    */
+  def dupSpanRemovalOracle(shards: Int): String =
+    s"""WITH ${DupSpans.removeDuplicatedSpansSql("documents", SpanK, shards = shards)}
+       |SELECT doc_id, n_tokens, n_removed, clean_md5
+       |FROM sremoved ORDER BY doc_id""".stripMargin
 }
