@@ -198,10 +198,10 @@ object BitextMining {
        |bltr AS (SELECT vec_id AS tgt_id, CAST(embedding AS DOUBLE[]) AS v,
        |           ${bucketSql("CAST(embedding AS DOUBLE[])")} AS bucket
        |         FROM embeddings WHERE $tgtPred),
-       |blp AS (SELECT s.src_id, t.tgt_id,
+       |blp AS MATERIALIZED (SELECT s.src_id, t.tgt_id,
        |          CAST(floor(list_cosine_similarity(s.v, t.v) * 1e6) AS BIGINT) AS cm
        |        FROM blsr s JOIN bltr t USING (bucket)),
-       |blfk AS (SELECT src_id, tgt_id, cm FROM (
+       |blfk AS MATERIALIZED (SELECT src_id, tgt_id, cm FROM (
        |           SELECT src_id, tgt_id, cm,
        |             row_number() OVER (PARTITION BY src_id ORDER BY cm DESC, tgt_id) AS rk
        |           FROM blp) WHERE rk <= $k),
@@ -210,7 +210,7 @@ object BitextMining {
        |           SELECT src_id, tgt_id, cm,
        |             row_number() OVER (PARTITION BY src_id ORDER BY cm DESC, tgt_id) AS rb
        |           FROM blfk) WHERE rb = 1),
-       |blbk AS (SELECT tgt_id, src_id, cm FROM (
+       |blbk AS MATERIALIZED (SELECT tgt_id, src_id, cm FROM (
        |           SELECT tgt_id, src_id, cm,
        |             row_number() OVER (PARTITION BY tgt_id ORDER BY cm DESC, src_id) AS rk
        |           FROM blp) WHERE rk <= $k),

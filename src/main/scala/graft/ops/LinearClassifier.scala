@@ -350,21 +350,28 @@ object LinearClassifier {
     for (t <- 1 to epochs) {
       val p = t - 1
       // every SUM is CAST back to BIGINT — DuckDB sums integers into
-      // HUGEINT, which the §4 decimal rule bans from escaping
+      // HUGEINT, which the §4 decimal rule bans from escaping.
+      // m/mis/w/bias are MATERIALIZED: each is referenced 2-3 times
+      // (the margin join, the gradient semi-join, the next epoch's
+      // chain), and DuckDB re-inlines plain CTEs per reference — the
+      // epoch chain re-expanded multiplicatively with depth, which is
+      // what exhausted the sf10 spill disk on the two largest
+      // unrolled fits (the r8 q_perceptron_score/q_ova_lang
+      // oracle-capacity exemptions; the r13 PageRank lesson applied)
       sb.append(
-        s"""${prefix}m$t AS (SELECT f.doc_id, l.y,
+        s"""${prefix}m$t AS MATERIALIZED (SELECT f.doc_id, l.y,
            |  CAST(COALESCE(SUM(w.w * f.cnt), 0) + (SELECT b FROM ${prefix}bias$p) AS BIGINT) AS margin
            |  FROM feats f JOIN $labCte l USING (doc_id)
            |  LEFT JOIN ${prefix}w$p w USING (bucket)
            |  GROUP BY f.doc_id, l.y),
-           |${prefix}mis$t AS (SELECT doc_id, y FROM ${prefix}m$t WHERE y * margin <= 0),
+           |${prefix}mis$t AS MATERIALIZED (SELECT doc_id, y FROM ${prefix}m$t WHERE y * margin <= 0),
            |${prefix}g$t AS (SELECT f.bucket, CAST(SUM(l.y * f.cnt) AS BIGINT) AS gw
            |  FROM feats f JOIN ${prefix}mis$t l USING (doc_id) GROUP BY f.bucket),
-           |${prefix}w$t(bucket, w) AS (
+           |${prefix}w$t(bucket, w) AS MATERIALIZED (
            |  SELECT COALESCE(w.bucket, g.bucket),
            |         COALESCE(w.w, 0) + COALESCE(g.gw, 0)
            |  FROM ${prefix}w$p w FULL OUTER JOIN ${prefix}g$t g ON w.bucket = g.bucket),
-           |${prefix}bias$t(b) AS (SELECT CAST((SELECT b FROM ${prefix}bias$p) +
+           |${prefix}bias$t(b) AS MATERIALIZED (SELECT CAST((SELECT b FROM ${prefix}bias$p) +
            |  COALESCE((SELECT CAST(SUM(y) AS BIGINT) FROM ${prefix}mis$t), 0) AS BIGINT)),
            |""".stripMargin)
     }

@@ -175,7 +175,7 @@ object ClassifierQueries {
     s"""WITH tok AS (SELECT doc_id,
        |               unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok
        |             FROM documents),
-       |feats AS (SELECT doc_id, bucket, count(*) AS cnt
+       |feats AS MATERIALIZED (SELECT doc_id, bucket, count(*) AS cnt
        |          FROM (SELECT doc_id, ${Features.bucketSql("tok", ClsDim)} AS bucket
        |                FROM tok WHERE tok <> '') GROUP BY doc_id, bucket),
        |lab AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y
