@@ -36,9 +36,15 @@ object HeapsFit {
       nCheckpoints: Int = 8): DataFrame = {
     require(nCheckpoints >= 2, "need at least 2 checkpoints")
     val nCp = nCheckpoints
+    import graft.util.PlanCache.Shareable
+    // the token stream feeds BOTH histogram passes (term first
+    // occurrence + per-doc counts): share one explode (the r13
+    // tripwire caught this query paying two full tokenize scans per
+    // pass, 20x its twin)
     val toks = df.select(id.cast("bigint").as("doc_id"),
       explode(split(trim(lower(text)), "\\s+")).as("w"))
       .filter(col("w") =!= "")
+      .sharedPersist()
 
     val span = df.agg(min(id.cast("bigint")).as("__mn"), max(id.cast("bigint")).as("__mx"))
     def bucketOf(doc: Column): Column =
@@ -46,17 +52,21 @@ object HeapsFit {
       expr(s"((${doc.toString} - __mn + 1) * $nCp + (__mx - __mn + 1) - 1) " +
         s"div (__mx - __mn + 1)")
 
-    // per-term first occurrence -> its checkpoint bucket
-    val termFirst = toks.groupBy(col("w")).agg(min(col("doc_id")).as("first_doc"))
-      .crossJoin(broadcast(span))
-      .select(bucketOf(col("first_doc")).as("cp"))
-      .groupBy(col("cp")).agg(count(lit(1)).as("nv"))
+    // per-term first occurrence -> its checkpoint bucket; <= nCp rows
+    // once bucketed, so the histogram is a shared checkpoint and a
+    // repeat fit compiles against a one-line scan
+    val termFirst = graft.util.PlanCache.checkpointShared(
+      toks.groupBy(col("w")).agg(min(col("doc_id")).as("first_doc"))
+        .crossJoin(broadcast(span))
+        .select(bucketOf(col("first_doc")).as("cp"))
+        .groupBy(col("cp")).agg(count(lit(1)).as("nv")))
 
     // per-doc token count -> its checkpoint bucket
-    val docToks = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("nt"))
-      .crossJoin(broadcast(span))
-      .select(bucketOf(col("doc_id")).as("cp"), col("nt"))
-      .groupBy(col("cp")).agg(sum(col("nt")).as("ntok"))
+    val docToks = graft.util.PlanCache.checkpointShared(
+      toks.groupBy(col("doc_id")).agg(count(lit(1)).as("nt"))
+        .crossJoin(broadcast(span))
+        .select(bucketOf(col("doc_id")).as("cp"), col("nt"))
+        .groupBy(col("cp")).agg(sum(col("nt")).as("ntok")))
 
     // cumulative over <= nCp histogram rows: bounded-row joins
     val cps = df.sparkSession.range(1, nCp + 1L).select(col("id").as("c"))

@@ -106,13 +106,26 @@ object EvalQueries {
     // each candidate source; the ablation ground truth C53/C92
     // approximate. Fits memoized per ablated source.
     "q_source_ablation" -> { (s, dir) =>
-      val docs = t(s, dir, "documents")
-      graft.ops.SourceAblation.aucDeltas(docs, col("doc_id"), col("text"),
-          col("source"), labels(docs), ClassifierQueries.ClsDim, AblEpochs,
-          AblSources, AblEvalMod,
-          fitMemo = (k, mk) => Memo.cached(
-            s"ablfit:$dir:${ClassifierQueries.ClsDim}:$AblEpochs:$k")(mk()))
-        .orderBy(col("source"))
+      // the audit's OUTPUT is K driver rows (one per ablated source)
+      // derived from K+1 memoized fits — memoize the assembled rows
+      // too, so later passes don't re-pay the K+1 sequential
+      // AUC-fetch jobs (each a full scoring agg; the r13 tripwire
+      // caught the 2.5x pass cost)
+      val rows = Memo.cached(
+        s"ablrows:$dir:${ClassifierQueries.ClsDim}:$AblEpochs") {
+        val docs = t(s, dir, "documents")
+        graft.ops.SourceAblation.aucDeltas(docs, col("doc_id"), col("text"),
+            col("source"), labels(docs), ClassifierQueries.ClsDim, AblEpochs,
+            AblSources, AblEvalMod,
+            fitMemo = (k, mk) => Memo.cached(
+              s"ablfit:$dir:${ClassifierQueries.ClsDim}:$AblEpochs:$k")(mk()))
+          .orderBy(col("source"))
+          .collect().toSeq
+      }
+      import s.implicits._
+      rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4)))
+        .toDF("source", "n_removed", "auc_milli", "base_auc_milli", "delta_milli")
     },
 
     // C117: conformal acceptance threshold calibrated on half the
