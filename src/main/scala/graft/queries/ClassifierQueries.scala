@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{DecisionStump, FeatureSelect, Features, LinearClassifier, NaiveBayes}
+import graft.ops.{Calibration, DecisionStump, FeatureSelect, Features, LinearClassifier, NaiveBayes}
 
 /** Trained-classifier queries: hashed bag-of-words features (C70),
   * distributed linear-classifier training and its serving-path
@@ -42,6 +42,12 @@ object ClassifierQueries {
   /** Chi-square selection: noise floor + list depth. */
   val ChiMinDf = 5
   val ChiTopN = 40
+
+  /** C141 calibration audit: hash-split calibration fraction + the
+    * integer-margin bin width (shared by query and oracle).
+    */
+  val CalFraction = 0.8
+  val CalBinWidth = 256
 
   /** The training task: an English-vs-rest language gate — labels
     * derivable identically on both engines from the lang column.
@@ -165,6 +171,18 @@ object ClassifierQueries {
       FeatureSelect.chiSquare(t(s, dir, "documents"),
         col("doc_id"), col("text"), col("lang"),
         minDf = ChiMinDf, topN = ChiTopN)
+    },
+
+    // C141: histogram-binning calibration audit of the fitted gate —
+    // per-margin-bin calibration-vs-test positive rates + integer ECE.
+    "q_calibration_audit" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val model = fit(s, dir)
+      val scored = LinearClassifier.score(
+        Features.hashedBow(docs, col("doc_id"), col("text"), ClsDim), model)
+        .join(labels(docs), Seq("doc_id"))
+      Calibration.binnedReliability(scored, col("doc_id"), col("margin"), col("y"),
+        CalFraction, CalBinWidth)
     }
   )
 
@@ -336,6 +354,14 @@ object ClassifierQueries {
          |               ORDER BY s.chi2_milli DESC, s.token) AS BIGINT) AS rk
          |           FROM scored s JOIN tc USING (token))
          |SELECT token, df, chi2_milli, top_class, rk
-         |FROM ranked WHERE rk <= $ChiTopN ORDER BY rk""".stripMargin
+         |FROM ranked WHERE rk <= $ChiTopN ORDER BY rk""".stripMargin,
+
+    "q_calibration_audit" ->
+      s"""$prelude,
+         |$finalScoredCte,
+         |${Calibration.binnedReliabilitySqlTail(CalFraction, CalBinWidth)}
+         |SELECT relg.bin, relg.n_cal, relg.p_cal_milli, relg.n_test,
+         |  relg.p_test_milli, relg.gap_milli, ece.ece_milli
+         |FROM relg, ece ORDER BY bin""".stripMargin
   )
 }

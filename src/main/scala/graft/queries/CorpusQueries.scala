@@ -65,6 +65,16 @@ object CorpusQueries {
         .orderBy(col("doc_id"))
     },
 
+    // C142: Moore-Lewis cross-entropy difference selection — seed =
+    // the English slice; keep docs the seed LM likes more than the
+    // corpus LM (integer micro-nat sums decide, never a rounded
+    // double).
+    "q_moore_lewis" -> { (s, dir) =>
+      graft.ops.MooreLewis.score(t(s, dir, "documents"),
+          col("doc_id"), col("text"), col("lang") === "en")
+        .orderBy(col("doc_id"))
+    },
+
     // C38: temperature-weighted (alpha=0.5) language mixing.
     "q_temperature_mix" -> { (s, dir) =>
       Sampling.temperatureSample(t(s, dir, "documents"), col("lang"), col("doc_id"), MixBudget)
@@ -366,6 +376,10 @@ object CorpusQueries {
     "q_lm_score" ->
       s"""WITH ${NgramLm.bigramScoreSql("documents")}
          |SELECT doc_id, n_bigrams, avg_logprob FROM scored ORDER BY doc_id""".stripMargin,
+
+    "q_moore_lewis" ->
+      s"""WITH ${graft.ops.MooreLewis.scoreSql("documents", "lang = 'en'")}
+         |SELECT doc_id, n_bigrams, ml_score, keep FROM mlsc ORDER BY doc_id""".stripMargin,
 
     "q_temperature_mix" ->
       s"""WITH ${Sampling.temperatureTargetsSql("documents", "lang", MixBudget)},

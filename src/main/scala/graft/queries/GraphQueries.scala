@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{KCenter, KCore, LabelProp, TriangleCount}
+import graft.ops.{KCenter, KCore, LabelProp, MaxCoverage, Modularity, TriangleCount}
 
 /** Dup-candidate-graph analytics: per-node triangle counts /
   * clustering coefficients (C105), k-core decomposition (C109), and
@@ -25,6 +25,9 @@ object GraphQueries {
 
   /** Synchronous label-propagation rounds (C129). */
   val LpIters = 3
+
+  /** C143 greedy max-coverage budget. */
+  val CoverK = 8
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -58,6 +61,22 @@ object GraphQueries {
       val edges = TriangleCount.anchorEdges(t(s, dir, "documents"),
         col("doc_id"), col("text"), shingleK = 3, maxDf = 10)
       LabelProp.communities(edges, iters = LpIters).orderBy(col("node"))
+    },
+
+    // C140: Newman modularity of the C129 partition — per-community
+    // intra-edge/degree-mass rollup + contribution; the go/no-go
+    // score before trusting LPA clusters as retention units.
+    "q_modularity" -> { (s, dir) =>
+      val edges = TriangleCount.anchorEdges(t(s, dir, "documents"),
+        col("doc_id"), col("text"), shingleK = 3, maxDf = 10)
+      Modularity.communityStats(edges, LabelProp.communities(edges, iters = LpIters))
+    },
+
+    // C143: greedy maximum-coverage — 8 docs that together cover the
+    // most distinct corpus shingles (pure set coverage; the
+    // facility-location complement of C121/C134).
+    "q_max_coverage" -> { (s, dir) =>
+      MaxCoverage.select(t(s, dir, "documents"), col("doc_id"), col("text"), k = CoverK)
     }
   )
 
@@ -144,6 +163,33 @@ object GraphQueries {
     "q_label_prop" ->
       s"""WITH $edgesCte,
          |${LabelProp.communitiesCtes(LpIters)}
-         |SELECT node, label AS community FROM lp$LpIters ORDER BY node""".stripMargin
+         |SELECT node, label AS community FROM lp$LpIters ORDER BY node""".stripMargin,
+
+    "q_modularity" ->
+      s"""WITH $edgesCte,
+         |${LabelProp.communitiesCtes(LpIters)},
+         |lab AS (SELECT node, label FROM lp$LpIters),
+         |mm AS (SELECT count(*) AS m FROM ed),
+         |deg AS (SELECT node, count(*) AS deg
+         |        FROM (SELECT a AS node FROM ed UNION ALL SELECT b FROM ed) u
+         |        GROUP BY node),
+         |dc AS (SELECT label, CAST(count(*) AS BIGINT) AS n_nodes,
+         |         CAST(sum(deg) AS BIGINT) AS degree_sum
+         |       FROM lab JOIN deg USING (node) GROUP BY label),
+         |ec AS (SELECT la.label, CAST(count(*) AS BIGINT) AS intra_edges
+         |       FROM ed JOIN lab la ON la.node = ed.a
+         |       JOIN lab lb ON lb.node = ed.b
+         |       WHERE la.label = lb.label GROUP BY la.label)
+         |SELECT dc.label AS community, dc.n_nodes,
+         |  coalesce(ec.intra_edges, 0) AS intra_edges, dc.degree_sum,
+         |  round(CAST(coalesce(ec.intra_edges, 0) AS DOUBLE) / mm.m
+         |    - (CAST(dc.degree_sum AS DOUBLE) / (mm.m * 2))
+         |      * (CAST(dc.degree_sum AS DOUBLE) / (mm.m * 2)), 6) AS q_contrib
+         |FROM dc LEFT JOIN ec USING (label), mm
+         |ORDER BY community""".stripMargin,
+
+    "q_max_coverage" ->
+      s"""WITH ${PipelineQueries.shinglesCteDocs},
+         |${MaxCoverage.selectSql(CoverK)}""".stripMargin
   )
 }
