@@ -115,18 +115,92 @@ object Pca {
       .toDF("d", "mu_q", "pc1_e4")
   }
 
+  /** Shared unit-quantization SQL (the UnitQuantExpr twin). */
+  private def unitQSql: String =
+    s"""list_transform(CAST(embedding AS DOUBLE[]), x ->
+       |      CAST(CASE WHEN list_aggregate(list_transform(CAST(embedding AS DOUBLE[]),
+       |                                                   y -> y * y), 'sum') = 0
+       |           THEN 0
+       |           ELSE floor(x / sqrt(list_aggregate(list_transform(
+       |                  CAST(embedding AS DOUBLE[]), y -> y * y), 'sum')) * 10000)
+       |           END AS BIGINT))""".stripMargin
+
+  /** C146 ABTT anisotropy audit (Mu & Viswanath 2018, "All-but-the-
+    * top"): how much of each group's centered variance lies along the
+    * fitted common component — the collapse diagnostic that says
+    * whether removing the top direction is worth it (a healthy
+    * isotropic space scores ≈ 1/dim along any axis; an anisotropic
+    * one concentrates). Per group: n, the mean signed projection
+    * (drift of that group along the common axis, quantized units),
+    * and the Rayleigh variance fraction in micro units —
+    * `10⁶·Σ(c·v)² / (|v|²·Σ|c|²)` by truncating integer division
+    * over DECIMAL(38,0) sums (exact; Σ(c·v)² overflows int64).
+    *
+    * Scale shape: ONE narrow corpus pass (mu and v ride as closure
+    * literals, dots are per-row folds) into a group-keyed partial
+    * agg; |v|² is a driver constant. Same budget as one power-
+    * iteration round.
+    */
+  def anisotropyAudit(df: DataFrame, vec: Column, group: Column,
+      mu: Array[Long], v: Array[Long]): DataFrame = {
+    require(mu.length == v.length && mu.nonEmpty, "mu/v must be same nonzero dim")
+    val dec = "decimal(38,0)"
+    val vv: Long = v.map(x => x * x).sum
+    val c = zip_with(graft.plans.UnitQuantExpr.unitQuant(vec),
+      typedLit(mu.toSeq), (a, b) => a - b)
+    val rows = df.select(group.cast("bigint").as("label"), c.as("__c"))
+      .select(col("label"),
+        aggregate(zip_with(col("__c"), typedLit(v.toSeq), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x).as("dot"),
+        aggregate(zip_with(col("__c"), col("__c"), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x).as("cn2"))
+    rows.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("dot").cast(dec)).as("sd"),
+        sum(col("dot").cast(dec) * col("dot").cast(dec)).as("sd2"),
+        sum(col("cn2").cast(dec)).as("sc2"))
+      .select(col("label"), col("n_vecs"),
+        expr("CAST(sd DIV CAST(n_vecs AS DECIMAL(38,0)) AS BIGINT)").as("mean_dot_q"),
+        when(col("sc2") > 0 && lit(vv) > 0,
+          expr(s"CAST((CAST(1000000 AS DECIMAL(38,0)) * sd2) DIV " +
+            s"(CAST($vv AS DECIMAL(38,0)) * sc2) AS BIGINT)"))
+          .as("var_along_micro"))
+      .orderBy(col("label"))
+  }
+
+  /** DuckDB twin tail for [[anisotropyAudit]] — appends to the
+    * [[topComponentSql]] chain (needs `pml` and `prv<iters>`); final
+    * relation `pani(label, n_vecs, mean_dot_q, var_along_micro)`.
+    */
+  def anisotropySqlTail(dim: Int, iters: Int = 3): String =
+    s"""pusl AS (SELECT label, $unitQSql AS u FROM embeddings),
+       |pcl AS (SELECT label, list_transform(range(1, ${dim + 1}),
+       |          j -> u[CAST(j AS INT)] - mu[CAST(j AS INT)]) AS c
+       |        FROM pusl, pml),
+       |pvv AS (SELECT list_aggregate(list_transform(v, x -> x * x), 'sum') AS vv
+       |        FROM prv$iters),
+       |pdots AS (SELECT label,
+       |    list_aggregate(list_transform(range(1, ${dim + 1}),
+       |      j -> c[CAST(j AS INT)] * v[CAST(j AS INT)]), 'sum') AS dot,
+       |    list_aggregate(list_transform(c, x -> x * x), 'sum') AS cn2
+       |  FROM pcl, prv$iters),
+       |pag AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+       |    sum(CAST(dot AS HUGEINT)) AS sd,
+       |    sum(CAST(dot AS HUGEINT) * dot) AS sd2,
+       |    sum(CAST(cn2 AS HUGEINT)) AS sc2
+       |  FROM pdots GROUP BY label),
+       |pani AS (SELECT CAST(label AS BIGINT) AS label, n_vecs,
+       |    CAST(sd // n_vecs AS BIGINT) AS mean_dot_q,
+       |    CASE WHEN sc2 > 0 AND pvv.vv > 0
+       |      THEN CAST((1000000 * sd2) // (CAST(pvv.vv AS HUGEINT) * sc2) AS BIGINT)
+       |      END AS var_along_micro
+       |  FROM pag, pvv)""".stripMargin
+
   /** DuckDB twin over `embeddings(embedding)`, `iters` unrolled
     * rounds; mirrors [[topComponent]] arithmetic literally.
     */
   def topComponentSql(dim: Int, iters: Int = 3): String = {
-    val unitQ =
-      s"""list_transform(CAST(embedding AS DOUBLE[]), x ->
-         |      CAST(CASE WHEN list_aggregate(list_transform(CAST(embedding AS DOUBLE[]),
-         |                                                   y -> y * y), 'sum') = 0
-         |           THEN 0
-         |           ELSE floor(x / sqrt(list_aggregate(list_transform(
-         |                  CAST(embedding AS DOUBLE[]), y -> y * y), 'sum')) * 10000)
-         |           END AS BIGINT))""".stripMargin
+    val unitQ = unitQSql
     val v0 = math.floor(10000.0 / math.sqrt(dim.toDouble)).toLong
     val sb = new StringBuilder
     sb.append(

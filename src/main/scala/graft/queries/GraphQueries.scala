@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.ops.{KCenter, KCore, LabelProp, MaxCoverage, Modularity, TriangleCount}
+import graft.ops.{Assortativity, KCenter, KCore, LabelProp, MaxCoverage, Modularity, TriangleCount}
 
 /** Dup-candidate-graph analytics: per-node triangle counts /
   * clustering coefficients (C105), k-core decomposition (C109), and
@@ -77,6 +77,13 @@ object GraphQueries {
     // facility-location complement of C121/C134).
     "q_max_coverage" -> { (s, dir) =>
       MaxCoverage.select(t(s, dir, "documents"), col("doc_id"), col("text"), k = CoverK)
+    },
+
+    // C144: degree assortativity — hub-mesh vs star-shape structural
+    // health of the candidate graph (exact decimal moment sums).
+    "q_assortativity" -> { (s, dir) =>
+      Assortativity.global(TriangleCount.anchorEdges(t(s, dir, "documents"),
+        col("doc_id"), col("text"), shingleK = 3, maxDf = 10))
     }
   )
 
@@ -190,6 +197,11 @@ object GraphQueries {
 
     "q_max_coverage" ->
       s"""WITH ${PipelineQueries.shinglesCteDocs},
-         |${MaxCoverage.selectSql(CoverK)}""".stripMargin
+         |${MaxCoverage.selectSql(CoverK)}""".stripMargin,
+
+    "q_assortativity" ->
+      s"""WITH $edgesCte,
+         |${Assortativity.globalSqlTail}
+         |SELECT n_nodes, n_edges, assortativity FROM asst""".stripMargin
   )
 }

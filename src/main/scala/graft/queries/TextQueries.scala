@@ -203,6 +203,13 @@ object TextQueries {
       TextAnalysis.vocabulary(docs(s, dir), col("doc_id"), col("text"), topN = 100)
     },
 
+    // C145: per-source lexical diversity — TTR, hapax share, and
+    // Simpson's repeat probability in exact integer milli/micro
+    // units; the template-text/gibberish concentration gate.
+    "q_lexical_diversity" -> { (s, dir) =>
+      graft.ops.LexicalDiversity.perGroup(docs(s, dir), col("source"), col("text"))
+    },
+
     // C28: corpus snapshot diff — "new crawl vs old": statuses per
     // doc from md5 fingerprints (the planted-dup corpus plays the
     // new snapshot: originals unchanged-or-changed, dups added).
@@ -340,6 +347,11 @@ object TextQueries {
         |SELECT r.doc_id, r.term, r.tf, d.df, CAST(r.rk AS BIGINT) AS rk
         |FROM ranked r JOIN dfreq d ON r.term = d.term
         |WHERE r.rk <= 3 ORDER BY r.doc_id, r.rk""".stripMargin,
+
+    "q_lexical_diversity" ->
+      s"""WITH ${graft.ops.LexicalDiversity.perGroupSql("documents", "source")}
+         |SELECT source, n_tokens, n_types, n_hapax, ttr_milli, simpson_micro
+         |FROM ldout ORDER BY source""".stripMargin,
 
     "q_vocab" ->
       """WITH tf AS (

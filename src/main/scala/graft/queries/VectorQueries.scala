@@ -19,6 +19,16 @@ object VectorQueries {
   private val pcaMemo = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), DataFrame]
 
+  /** Memoized C138 component — shared by q_pca_power and the C146
+    * anisotropy audit (the fit is an EAGER driver-round loop over an
+    * immutable bench fixture, so a rebuild must not re-fit).
+    */
+  private def pcaComponent(s: SparkSession, dir: String): DataFrame = {
+    pcaMemo.keys.filter(_._1.sparkContext.isStopped).foreach(pcaMemo.remove)
+    pcaMemo.getOrElseUpdate((s, dir),
+      graft.ops.Pca.topComponent(emb(s, dir), col("embedding"), dim = 64, iters = 3))
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // C6: brute-force cosine top-k vs the vec_id=0 query vector.
     "q_ann_topk" -> { (s, dir) =>
@@ -135,11 +145,17 @@ object VectorQueries {
     // armsMemo contract: the op is EAGER (driver-round loop) over an
     // immutable bench fixture, so a rebuild must not re-fit.
     "q_pca_power" -> { (s, dir) =>
-      pcaMemo.keys.filter(_._1.sparkContext.isStopped).foreach(pcaMemo.remove)
-      pcaMemo.getOrElseUpdate((s, dir),
-          graft.ops.Pca.topComponent(emb(s, dir), col("embedding"),
-            dim = 64, iters = 3))
-        .orderBy(col("d"))
+      pcaComponent(s, dir).orderBy(col("d"))
+    },
+
+    // C146: ABTT anisotropy audit — per-label drift + Rayleigh
+    // variance fraction along the memoized C138 common component
+    // (mu/v ride as closure literals; one narrow pass + label agg).
+    "q_pca_anisotropy" -> { (s, dir) =>
+      val comp = pcaComponent(s, dir).orderBy(col("d")).collect()
+      val mu = comp.map(_.getAs[Long]("mu_q"))
+      val v = comp.map(_.getAs[Long]("pc1_e4"))
+      graft.ops.Pca.anisotropyAudit(emb(s, dir), col("embedding"), col("label"), mu, v)
     },
 
     // C134 scale path: MMR over the 64 nearest candidates only — one
@@ -224,6 +240,12 @@ object VectorQueries {
     "q_pca_power" ->
       s"""WITH ${graft.ops.Pca.topComponentSql(dim = 64, iters = 3)}
          |SELECT d, mu_q, pc1_e4 FROM pfin ORDER BY d""".stripMargin,
+
+    "q_pca_anisotropy" ->
+      s"""WITH ${graft.ops.Pca.topComponentSql(dim = 64, iters = 3)},
+         |${graft.ops.Pca.anisotropySqlTail(dim = 64, iters = 3)}
+         |SELECT label, n_vecs, mean_dot_q, var_along_micro
+         |FROM pani ORDER BY label""".stripMargin,
 
     "q_project" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)

@@ -113,9 +113,10 @@ object PlanShape {
     graft.SparkEntry.queries.toSeq.sortBy(_._1).zipWithIndex.map { case ((name, fn), i) =>
       // bounded cache residency, the Verify device: ~183 builds'
       // shared fixtures in one 8 GB JVM OOM'd the r13 manifest dump —
-      // drop every PlanCache handle each 24 queries (name order keeps
-      // fixture-sharing families adjacent inside a window)
-      if (i > 0 && i % 24 == 0) graft.util.PlanCache.clear(spark)
+      // drop every PlanCache handle each 12 queries (name order keeps
+      // fixture-sharing families adjacent inside a window; 24 OOM'd
+      // again at 190 queries once the C144 graph family landed)
+      if (i > 0 && i % 12 == 0) graft.util.PlanCache.clear(spark)
       System.err.println(s"[planshape] $i $name")
       name -> counts(fn(spark, dir))
     }
