@@ -116,6 +116,11 @@ object DupClusters {
 
     var iter = 0
     var converged = false
+    // carried across rounds: edges.count() of the CURRENT edge set.
+    // Re-counting the already-materialized previous round's frame was
+    // one whole extra job per round (guide §1.2: don't re-compute
+    // what you already know) — the count survives the loop as nOld.
+    var nOld = edges.count()
     while (iter < maxIter && !converged) {
       // large-star: every node's strictly-larger neighbors hook onto
       // the minimum of its closed neighborhood
@@ -136,9 +141,12 @@ object DupClusters {
         .select(greatest(col("a"), col("b")).as("a"), least(col("a"), col("b")).as("b"))
         .distinct()
         .localCheckpoint(false)
-      val (nNew, nOld) = (ss.count(), edges.count())
+      val nNew = ss.count() // materializes the lazy checkpoint
+      // count equality is the cheap necessary condition; the exact
+      // set comparison (one anti-join job) runs only when counts tie
       val changed = nNew != nOld || ss.except(edges).limit(1).count() > 0
       edges = ss
+      nOld = nNew
       converged = !changed
       iter += 1
     }

@@ -49,11 +49,15 @@ object FeatureSelect {
       label: Column,
       minDf: Int = 5,
       topN: Int = 50): DataFrame = {
+    // per-doc presence WITHOUT a corpus-wide distinct: dedup happens
+    // inside the row (array_distinct over the token array), so the
+    // exploded stream is unique-(doc, token) by construction and the
+    // only corpus-sized exchange left is the (token, cls) partial agg
+    // below (the SetSimJoin zero-shuffle-dedup device, guide §2.4)
     val pres = docs
       .select(id.cast("bigint").as("doc_id"), label.cast("string").as("cls"),
-        explode(split(trim(lower(text)), "\\s+")).as("token"))
+        explode(array_distinct(split(trim(lower(text)), "\\s+"))).as("token"))
       .filter(col("token") =!= "")
-      .distinct()
 
     // tiny: |C| rows, broadcast into every downstream join
     val classTotals = docs.select(label.cast("string").as("cls"))

@@ -84,7 +84,18 @@ object KCore {
     while (true) {
       require(rounds <= maxRounds,
         s"k-core peel did not converge within $maxRounds rounds")
-      val deg = degrees(e).persist(StorageLevel.MEMORY_AND_DISK)
+      // LAZY local checkpoint, not persist: both anti-join branches
+      // below reference the degree table, so with a persisted frame
+      // the LOGICAL plan contains the degree subtree (and its whole
+      // upstream round lineage) twice — doubling per round, 2^r plan
+      // copies between the every-8th-round edge checkpoints. The
+      // r13 190-query PlanShapeSpec sweep OOM'd the default 8 GB heap
+      // rendering that string inside AQE's plan-update logging. A
+      // checkpointed frame enters both branches as a one-line
+      // LogicalRDD, so the per-round plan is CONSTANT size; blocks
+      // still materialize as a side effect of the same single count
+      // action per round (lazy), and execution work is unchanged.
+      val deg = degrees(e).localCheckpoint(false)
       val drop = deg.filter(col("degree") < k).select(col("node"))
       val ne = e
         .join(drop.withColumnRenamed("node", "a"), Seq("a"), "left_anti")
