@@ -16,6 +16,16 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // the iterative graph ops (LabelProp, DupClusters, KCore) cache
+      // their static edge side PRE-PARTITIONED by the round-join key so
+      // rounds shuffle only the (node, label) pairs; without this flag
+      // AQE must preserve the cached plan's exact output partitioning,
+      // so the cached repartition pins spark.sql.shuffle.partitions
+      // tiny tasks at ANY data size — with it, the cached exchange is
+      // coalesced like every other one (scale-adaptive: few partitions
+      // locally, wide on a cluster), and every consumer join still
+      // reuses the cached partitioning
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.session.timeZone", "UTC")
       // zstd beats snappy ~30% on size at comparable speed — at 100 TB
       // that is tens of TB of storage and shuffle-read I/O; page-level

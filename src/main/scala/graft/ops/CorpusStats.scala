@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.util.PlanCache.Shareable
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -27,11 +28,17 @@ object CorpusStats {
     * both exact integer-micro-nat sums underneath.
     */
   def sourceDrift(df: DataFrame, source: Column, text: Column): DataFrame = {
+    // persisted once: totals, corpus (and grand through it) and the
+    // contrib join all consume this table — without the cache the
+    // token explode + count shuffle re-ran once per branch (the same
+    // defect DomainReweight.step fixed in r13; size is bounded by
+    // |vocab|·|sources| fixed-width rows)
     val st = df
       .select(source.cast("string").as("source"),
         explode(split(trim(lower(text)), "\\s+")).as("w"))
       .groupBy(col("source"), col("w"))
       .agg(count(lit(1)).as("c"))
+      .sharedPersist()
 
     val totals = st.groupBy(col("source")).agg(sum(col("c")).as("ts"))
     val corpus = st.groupBy(col("w")).agg(sum(col("c")).as("cw"))

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -32,8 +33,13 @@ object DupClusters {
     // No distinct: min-label propagation is idempotent to duplicate
     // edges (groupBy-min absorbs them) — a distinct here would be a
     // full extra shuffle of the edge list for nothing.
+    // pre-partition the static edge side by the JOIN key and cache
+    // THAT (the LabelProp device): the cached hash partitioning
+    // satisfies every iteration's join requirement, so rounds shuffle
+    // only the (id, label) pairs — not the edge list again each round.
     val edges = pairs.select(col("id_a").cast("bigint").as("src"), col("id_b").cast("bigint").as("dst"))
       .union(pairs.select(col("id_b").cast("bigint").as("src"), col("id_a").cast("bigint").as("dst")))
+      .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // localCheckpoint per iteration: an iterative self-referencing
@@ -50,19 +56,26 @@ object DupClusters {
       // labels flowing across edges: dst receives src's current label
       val incoming = edges
         .join(labels.withColumnRenamed("id", "src"), "src")
-        .select(col("dst").as("id"), col("label"))
+        .select(col("dst").as("id"), col("label"),
+          lit(null).cast("bigint").as("old_label"))
+      // The old label rides the SAME union + groupBy that computes the
+      // new one (every id has exactly one labels row, so max over the
+      // null-padded branch recovers it) — the separate next⋈labels
+      // convergence join this loop used to pay per iteration is gone;
+      // min-label propagation only ever decreases a label, so
+      // "changed" is exactly "label < old_label".
       // LAZY checkpoint: the convergence count below is the first
       // action over `next`, so it materializes the checkpoint as a
       // side effect — an eager checkpoint would run the same plan
       // twice per iteration.
-      val next = labels.select(col("id"), col("label"))
+      val next = labels.select(col("id"), col("label"), col("label").as("old_label"))
         .union(incoming)
-        .groupBy(col("id")).agg(min(col("label")).as("label"))
+        .groupBy(col("id"))
+        .agg(min(col("label")).as("label"), max(col("old_label")).as("old_label"))
         .localCheckpoint(false)
-      val changed = next.join(labels.withColumnRenamed("label", "old_label"), "id")
-        .filter(col("label") =!= col("old_label"))
+      val changed = next.filter(col("label") < col("old_label"))
         .count() // O(1) result; the only driver-side value per iteration
-      labels = next
+      labels = next.select(col("id"), col("label"))
       converged = changed == 0
       iter += 1
     }
@@ -122,21 +135,36 @@ object DupClusters {
     // what you already know) — the count survives the loop as nOld.
     var nOld = edges.count()
     while (iter < maxIter && !converged) {
+      // Each star phase is ONE keyed window (min over the node's
+      // neighborhood partition), not a groupBy + re-join of the same
+      // rows — the join form paid two exchanges per phase (the agg
+      // shuffle and the probe-side shuffle) for rows the window sees
+      // in a single pass. The per-node partitions are exactly the
+      // keys the join would have shuffled by, so skew exposure is
+      // unchanged, and the row multiset feeding the round-closing
+      // distinct is set-equal to the join form's (the duplicate
+      // (a, m) hooks the small-star phase now emits per stored
+      // neighbor collapse in that distinct).
+      val wNbr = Window.partitionBy(col("a"))
       // large-star: every node's strictly-larger neighbors hook onto
       // the minimum of its closed neighborhood
       val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
-      val lsMin = sym.groupBy(col("a"))
-        .agg(least(min(col("b")), first(col("a"))).as("m"))
-      val ls = sym.join(lsMin, Seq("a"))
+      val ls = sym
+        .withColumn("m", least(min(col("b")).over(wNbr), col("a")))
         .filter(col("b") > col("a"))
         .select(col("b").as("a"), col("m").as("b"))
         .filter(col("a") =!= col("b"))
       // small-star: every node and its stored smaller neighbors hook
-      // onto the minimum among them
-      val ssMin = ls.groupBy(col("a")).agg(min(col("b")).as("m"))
-      val ss = ls.join(ssMin, Seq("a"))
-        .select(col("b").as("a"), col("m").as("b"))
-        .union(ssMin.select(col("a"), col("m").as("b")))
+      // onto the minimum among them. Both hook rows ((b, m) and
+      // (a, m)) explode out of ONE windowed pass — a union of two
+      // selects over the same frame would re-evaluate the window
+      // subtree once per branch.
+      val ss = ls
+        .withColumn("m", min(col("b")).over(wNbr))
+        .select(explode(array(
+          struct(col("b").as("a"), col("m").as("b")),
+          struct(col("a").as("a"), col("m").as("b")))).as("e"))
+        .select(col("e.a").as("a"), col("e.b").as("b"))
         .filter(col("a") =!= col("b"))
         .select(greatest(col("a"), col("b")).as("a"), least(col("a"), col("b")).as("b"))
         .distinct()

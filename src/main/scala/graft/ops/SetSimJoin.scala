@@ -66,9 +66,15 @@ object SetSimJoin {
         col("sz"))
     // prefix length |S| - ceil(tau·|S|) + 1, exact in integers
     // (the double quotient is exact below 2^53; cast truncates = floor)
+    // persisted: BOTH sides of the candidate self-join below read this
+    // frame — unpersisted, the whole df-count + rarest-first window
+    // pipeline ran twice (the before-plan carried two full copies of
+    // the Exchange→HashAggregate→Window chain). Fixed-width
+    // (h, doc_id, sz) rows bounded by the sum of prefix lengths.
     val prefix = ranked
       .filter(col("rnk") <= col("sz") - ((col("sz") * tauMilli + 999) / 1000).cast("bigint") + 1)
       .select(col("h"), col("doc_id"), col("sz"))
+      .sharedPersist()
     prefix.select(col("h"), col("doc_id").as("id_a"), col("sz").as("size_a"))
       .join(prefix.select(col("h"), col("doc_id").as("id_b"), col("sz").as("size_b")), "h")
       .filter(col("id_a") < col("id_b") &&

@@ -52,7 +52,10 @@ object Winnowing {
     val rare = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= maxDf)
       .select(col("fp"))
-    val anchored = fps.join(rare, "fp")
+    // persisted: both sides of the pair self-join read this frame —
+    // unpersisted, the rare-df groupBy + join ran twice (bounded by
+    // maxDf rows per rare fingerprint)
+    val anchored = fps.join(rare, "fp").sharedPersist()
     anchored.select(col("fp"), col("doc_id").as("id_a"))
       .join(anchored.select(col("fp"), col("doc_id").as("id_b")), "fp")
       .filter(col("id_a") < col("id_b"))
