@@ -164,11 +164,24 @@ object BitextMining {
     // through the C66 bounded heap — the shuffle carries <= k rows
     // per (task, side-id) instead of every candidate pair through two
     // full row_number sorts (measured 9 s -> ~2 s at sf1)
-    val scored = srcB.join(tgtB, Seq("bucket"))
+    val scoredRaw = srcB.join(tgtB, Seq("bucket"))
       .select(col("src_id"), col("tgt_id"),
         floor(graft.functions.VectorFunctions
           .cosineSimilarity(col("v_s"), col("v_t")) * 1e6)
           .cast("bigint").as("cm"))
+    // Both direction heaps consume the scored candidates —
+    // unpersisted, the bucket join + cosine pass ran twice. Same
+    // size guard as minePairs; the candidate count is exact and
+    // CHEAP: Σ_b |src_b|·|tgt_b| over the two bucket histograms of
+    // the already-checkpointed inputs, never the join itself.
+    val nCand = srcB.groupBy(col("bucket")).agg(count(lit(1)).as("ns"))
+      .join(tgtB.groupBy(col("bucket")).agg(count(lit(1)).as("nt")), Seq("bucket"))
+      // double sum: a guard decision, not an exact count — immune to
+      // int64 overflow on pathological bucket sizes under ANSI mode
+      .agg(coalesce(sum(col("ns").cast("double") * col("nt")), lit(0.0)).as("n"))
+      .head.getDouble(0)
+    val scored =
+      if (nCand <= maxPersistedPairs.toDouble) scoredRaw.sharedPersist() else scoredRaw
     val fwd = scored.groupBy(col("src_id"))
       .agg(graft.plans.TopKAgg.topK(col("cm"), col("tgt_id"), k).as("top"))
       .select(col("src_id"), explode(col("top")).as("e"))

@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.util.PlanCache.Shareable
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -37,10 +38,14 @@ object Decontaminate {
       eval: DataFrame, evalText: Column, shingleK: Int,
       bloomBits: Int = BloomSketch.DefaultBits,
       bloomHashes: Int = BloomSketch.DefaultHashes): DataFrame = {
+    // persisted: the bloom build and the exact-confirm broadcast both
+    // read the eval vocabulary — unpersisted, the eval explode +
+    // distinct exchange ran twice
     val vocab = eval
       .select(explode(TextAnalysis.wordShingles(evalText, shingleK)).as("sh"))
       .select(Dedup.md5Hash60(col("sh")).as("shash"))
       .distinct()
+      .sharedPersist()
     // The bloom rides in as a SCALAR SUBQUERY, not a one-row
     // cross-join: a cross-join probe becomes a join CONDITION, and
     // PushLeftSemiLeftAntiThroughJoin then hoists the exact confirm

@@ -71,23 +71,25 @@ object Diagnostics {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = hist.withColumn("cum_keys", sum(col("freq")).over(wCum))
 
-    val totals = counts.agg(
-      count(lit(1)).as("n_keys"),
-      sum(col("n")).as("n_rows"),
-      max(col("n")).as("max_n"))
-
-    // all three nearest-rank percentiles in ONE pass over the
-    // cumulative histogram (three separate filter+agg subtrees would
-    // re-evaluate the histogram window per percentile)
+    // Totals + all three nearest-rank percentiles in ONE pass over the
+    // cumulative histogram: n_keys/n_rows/max_n are derivable from the
+    // (size, freq) histogram itself (Σfreq, Σ size·freq, max size), so
+    // the former second full agg over `counts` + its broadcast round
+    // are gone; the key-count total rides as one more window over the
+    // same bounded, whitelisted histogram frame.
+    val wAll = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     def pctCol(q: Double, name: String): Column =
       min(when(col("cum_keys") >= ceil(col("__nk") * lit(q)), col("size")))
         .cast("bigint").as(name)
-    val pcts = cum.crossJoin(broadcast(totals.select(col("n_keys").as("__nk"))))
-      .agg(pctCol(0.5, "p50_n"), pctCol(0.9, "p90_n"), pctCol(0.99, "p99_n"))
+    val pcts = cum.withColumn("__nk", sum(col("freq")).over(wAll))
+      .agg(max(col("__nk")).as("n_keys"),
+        sum(col("size") * col("freq")).as("n_rows"),
+        max(col("size")).as("max_n"),
+        pctCol(0.5, "p50_n"), pctCol(0.9, "p90_n"), pctCol(0.99, "p99_n"))
 
     val topShare = heavy.agg(sum(col("n")).as("top_rows"))
-    val stats = totals
-      .crossJoin(broadcast(pcts))
+    val stats = pcts
       .crossJoin(topShare)
       .withColumn("top_share_milli",
         ((col("top_rows") * lit(1000L) - pmod(col("top_rows") * lit(1000L), col("n_rows")))

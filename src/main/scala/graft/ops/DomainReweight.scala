@@ -71,16 +71,26 @@ object DomainReweight {
       // both consume it — cache so the vocab join above runs once
       .sharedPersist()
 
-    val minCe = ce.agg(min(col("ce_micro")).as("min_ce"))
-    val boosted = ce.crossJoin(broadcast(minCe))
+    // min-ce and the normalizer ride as windows over the SAME bounded
+    // per-source frame (ce is one row per mixture domain — DoReMi
+    // mixtures are tens of domains, never corpus-scale) instead of two
+    // scalar-broadcast rounds: the r12 plan carried 7 BNLJ rounds, the
+    // r13-build persist cut it to 2 broadcast jobs, this removes those
+    // too. Integer/decimal min+sum are associative, so the window
+    // arithmetic is bit-identical to the agg form. q_domain_reweight
+    // joins PlanShape.BoundedWindowQueries with that bound.
+    import org.apache.spark.sql.expressions.Window
+    val wAll = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val boosted = ce.withColumn("min_ce", min(col("ce_micro")).over(wAll))
       .select(col("source"), col("n_tokens"), col("ce_micro"),
         floor(exp(lit(etaMilli.toDouble) * (col("ce_micro") - col("min_ce"))
           / lit(1e9)) * 1e6).cast("bigint").as("boost_micro"))
       .withColumn("w_num",
         (col("n_tokens").cast("decimal(19,0)") *
           col("boost_micro").cast("decimal(19,0)")).cast("decimal(38,0)"))
-    val denom = boosted.agg(sum(col("w_num")).cast("decimal(38,0)").as("w_den"))
-    boosted.crossJoin(broadcast(denom))
+    boosted
+      .withColumn("w_den", sum(col("w_num")).over(wAll).cast("decimal(38,0)"))
       .select(col("source"), col("n_tokens"), col("ce_micro"), col("boost_micro"),
         floor(lit(1e6) * col("w_num").cast("double") / col("w_den").cast("double"))
           .cast("bigint").as("weight_ppm"))

@@ -64,9 +64,13 @@ object MooreLewis {
     val uniAll = toks.select(explode(col("toks")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("ca"))
       .sharedPersist()
+    // persisted like uniAll: the scal aggregate and two attach joins
+    // all read it — unpersisted, the seed-side explode + count ran
+    // three times
     val uniIn = toks.filter(col("indom"))
       .select(explode(col("toks")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("ci"))
+      .sharedPersist()
     val biAll = stream.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2a"))
     val biIn = stream.filter(col("indom"))
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2i"))

@@ -55,8 +55,12 @@ object NgramLm {
         element_at(col("toks"), col("pos") + 2).as("w2"))
       .sharedPersist()
 
+    // persisted: total and the two unigram attach joins all read this
+    // table — unpersisted, the corpus token explode + count shuffle
+    // ran three times (|vocab| fixed-width rows cached)
     val uni = toks.select(explode(col("toks")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+      .sharedPersist()
     val total = uni.agg(sum(col("c1")).as("t"))
     val bi = stream.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
 

@@ -121,9 +121,14 @@ object NgramStats {
       source: Column,
       text: Column): DataFrame = {
     def entropy(k: Int, totalName: String, entName: String): DataFrame = {
+      // persisted: the totals agg and the contribution join both read
+      // this table — unpersisted, the gram-kernel corpus scan + count
+      // shuffle ran twice per k (the sourceDrift defect); size is
+      // bounded by |per-source k-gram vocab| fixed-width rows
       val counts = df.select(source.cast("string").as("source"),
           explode(graft.plans.WordGramsExpr.grams(text, k)).as("g"))
         .groupBy(col("source"), col("g")).agg(count(lit(1)).as("c"))
+        .sharedPersist()
       val totals = counts.groupBy(col("source")).agg(sum(col("c")).as("ts"))
       val p = col("c").cast("double") / col("ts")
       counts.join(totals, Seq("source"))

@@ -63,6 +63,10 @@ object PlanShape {
     "q_ppl_buckets",
     // RankEval lift: <= bands-row band window (RankEval.scala:171)
     "q_lift",
+    // DoReMi step: min-ce + normalizer windows over the per-source
+    // cross-entropy table — one row per mixture domain by
+    // construction (DomainReweight.scala, `ce` groupBy source)
+    "q_domain_reweight",
     // coarse-range offset windows over <= ScoreRanges/RangeWidth
     // bucket rows (Selection.scala:63, SystematicSampling.scala:58,
     // Allocation's Hamilton pass over <= strata rows)

@@ -75,6 +75,10 @@ class PlanShapeSpec extends AnyFunSuite with SparkTestBase {
       "q_key_skew" -> 256L,
       // liftTable: <= bands band rows (RankEval.scala:169-174)
       "q_lift" -> 64L,
+      // DoReMi step: min-ce + normalizer windows over the per-source
+      // cross-entropy table — one row per mixture domain
+      // (DomainReweight.scala `ce` groupBy source)
+      "q_domain_reweight" -> 64L,
       // coarse-range offsets: <= ScoreRanges (Selection.scala:34) /
       // HashRanges (SystematicSampling.scala:42) bucket rows; the
       // Hamilton pass runs over <= strata rows (Allocation)
