@@ -59,13 +59,15 @@ object Conformal {
         expr(s"((n_cal + 1) * (1000 - $alphaMilli) + 999) DIV 1000"))
     // the threshold row: smallest score whose cumulative count
     // reaches the conformal rank; none -> unbounded sentinel
-    val thr = cum.filter(col("cum") >= col("q_index"))
+    // ONE aggregate replaces the former two-branch union (min over the
+    // reaching rows ∪ sentinel when none reach): min(when(cum ≥ qi, s))
+    // is NULL exactly when no row reaches the conformal rank, so
+    // coalesce(…, sentinel) is the same q_hat — and the cum subtree is
+    // evaluated once instead of once per branch.
+    val thr = cum
       .groupBy(col("n_cal"), col("q_index"))
-      .agg(min(col("s")).as("q_hat"))
-      .unionByName(
-        cum.groupBy(col("n_cal"), col("q_index")).agg(max(col("cum")).as("m"))
-          .filter(col("m") < col("q_index"))
-          .select(col("n_cal"), col("q_index"), lit(Unbounded).as("q_hat")))
+      .agg(coalesce(min(when(col("cum") >= col("q_index"), col("s"))),
+        lit(Unbounded)).as("q_hat"))
 
     eval.select(col("s").cast("bigint").as("es"))
       .crossJoin(broadcast(thr))

@@ -71,8 +71,12 @@ object NaiveBayes {
       .groupBy(col("cls"), col("token")).agg(count(lit(1)).as("cnt"))
       .sharedPersist()
 
-    val vocabV = trainCnt.agg(countDistinct(col("token")).as("v"))
-    val nTrain = base.filter(!col("is_test")).agg(count(lit(1)).as("n_train"))
+    // |V| as ONE bounded driver fetch off the cached model (the
+    // model-literal device) — as a frame it rode into the class table
+    // through a broadcast-exchange job; n_train is Σ n_docs of the
+    // collected class rows, free driver arithmetic.
+    val vScalar = trainCnt.agg(countDistinct(col("token")).as("v"))
+      .head(1).headOption.map(_.getLong(0)).getOrElse(0L)
 
     // |C|-row class table: doc count -> prior, token total -> default.
     // Bounded DRIVER fetch (the model-literal device): |C| rows of
@@ -82,13 +86,6 @@ object NaiveBayes {
       .join(trainCnt.groupBy(col("cls")).agg(sum(col("cnt")).as("tok_c")),
         Seq("cls"), "left")
       .withColumn("tok_c", coalesce(col("tok_c"), lit(0L)))
-      .crossJoin(broadcast(vocabV)).crossJoin(broadcast(nTrain))
-      .select(col("cls"),
-        floor(log(col("n_docs").cast("double") / col("n_train")) * 1e6)
-          .cast("bigint").as("prior_micro"),
-        floor(log(lit(1.0) / (col("tok_c") + col("v"))) * 1e6)
-          .cast("bigint").as("default_micro"),
-        col("tok_c"), col("v"))
       .collect()
       .sortBy(_.getString(0))
     // empty train split: no classes, no model — degrade to an empty
@@ -99,10 +96,17 @@ object NaiveBayes {
         col("cls").as("lang"), col("cls").as("pred_lang"),
         lit(0L).as("n_docs"))
     val clsNames = classRows.map(_.getString(0))
-    val prior = classRows.map(r => r.getLong(1))
-    val default = classRows.map(r => r.getLong(2))
-    val tokC = classRows.map(r => r.getLong(3))
-    val vScalar = classRows.headOption.map(_.getLong(4)).getOrElse(0L)
+    // prior/default micro-nats computed driver-side over the collected
+    // integers — scala math.log/floor ARE Spark's (java.lang.Math), so
+    // the literals are bit-identical to the former column expressions;
+    // the two crossJoin(broadcast(...)) scalar rounds they rode in on
+    // are gone.
+    val nTrainScalar = classRows.map(_.getLong(1)).sum
+    val prior = classRows.map(r =>
+      math.floor(math.log(r.getLong(1).toDouble / nTrainScalar) * 1e6).toLong)
+    val default = classRows.map(r =>
+      math.floor(math.log(1.0 / (r.getLong(2) + vScalar)) * 1e6).toLong)
+    val tokC = classRows.map(r => r.getLong(2))
 
     // pivot the model to ONE |V|-row table with a weight column per
     // class — scoring then joins on token alone, no |C|x row blowup
