@@ -21,14 +21,24 @@ object OptProfile {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     val suffix = sys.env.getOrElse("SPARK_GRAFT_PROFILE_SUFFIX", "before")
-    val outDir = sys.env.getOrElse("SPARK_GRAFT_PROFILE_OUT", "plans/r13")
+    val outDir = sys.env.getOrElse("SPARK_GRAFT_PROFILE_OUT", "plans/r14")
     val names = if (args.nonEmpty) args.toSeq else SparkEntry.queries.keys.toSeq.sorted
     val spark = GraftSession.getOrCreate(s"local[$cpus]", cpus)
 
-    // same warmup as graft.Bench so per-query numbers are comparable
-    Tables.all.foreach(t => Tables.read(spark, sfDir, t).persist().count())
+    // same warmup as graft.Bench (read-only by default; persist base
+    // tables only behind the same flag) so per-query numbers are
+    // comparable to the bench's
+    val warmTables = sys.env.get("SPARK_GRAFT_BENCH_WARM_TABLES").exists(_ == "1")
+    Tables.all.foreach { t =>
+      val df = Tables.read(spark, sfDir, t)
+      (if (warmTables) df.persist() else df).count()
+    }
     Tables.registerViews(spark, sfDir)
     SparkEntry.queries("q1_pricing_summary")(spark, sfDir).count()
+    // same cache discipline as graft.Bench: cold by default (clear
+    // shared handles after every timed pass), shared behind the flag
+    val sharedCache =
+      sys.env.get("SPARK_GRAFT_BENCH_SHARED_CACHE").exists(_ == "1")
 
     val jobs = new java.util.concurrent.atomic.AtomicInteger
     val stages = new java.util.concurrent.atomic.AtomicInteger
@@ -53,6 +63,7 @@ object OptProfile {
         fn(spark, sfDir).count()
         val dt = (System.nanoTime() - t0) / 1e9
         val (j1, s1, t1c) = snap()
+        if (!sharedCache) graft.util.PlanCache.clear(spark)
         (dt, j1 - j0, s1 - s0, t1c - t0c)
       }
       spark.sparkContext.setJobDescription(null)

@@ -181,6 +181,17 @@ object BitextMining {
     // size guard as minePairs; the candidate count is exact and
     // CHEAP: Σ_b |src_b|·|tgt_b| over the two bucket histograms of
     // the already-checkpointed inputs, never the join itself.
+    // CONTRACT NOTES (ADVICE r13, accepted + documented): (1) this
+    // guard is an EAGER driver action — merely BUILDING the returned
+    // frame (plan dumps, explain sweeps) runs the two checkpoint jobs
+    // plus a 3-stage aggregate; a lazy guard would have to persist an
+    // unguarded O(n²) candidate frame first, which is the exact
+    // failure the guard exists to prevent. (2) srcB/tgtB are
+    // corpus-sized, an explicit exception to checkpointShared's
+    // ROW-BOUNDED-BY-CONSTRUCTION preference: each is one projected
+    // row per input vector (never the pair blowup), both are read
+    // three times here (join + two histograms), and their blocks drop
+    // on PlanCache.clear like every shared handle.
     val nCand = srcB.groupBy(col("bucket")).agg(count(lit(1)).as("ns"))
       .join(tgtB.groupBy(col("bucket")).agg(count(lit(1)).as("nt")), Seq("bucket"))
       // double sum: a guard decision, not an exact count — immune to

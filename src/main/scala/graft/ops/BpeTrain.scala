@@ -104,6 +104,7 @@ object BpeTrain {
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var rank = 1
     var exhausted = false
+    var prevCk: DataFrame = null
     while (rank <= nMerges && !exhausted) {
       val toks = words.select(col("wc"),
         split(trim(col("rep"), Sep), s"$Sep$Sep").as("toks"))
@@ -129,21 +130,22 @@ object BpeTrain {
           .withColumn("rep", call_function("replace", col("rep"),
             lit(s"$Sep$l$Sep$Sep$r$Sep"), lit(s"$Sep$l$r$Sep")))
         if (rank % 4 == 0) {
-          // reassigning drops the only driver reference to the
-          // previous checkpoint's Dataset; its RDD blocks are
-          // reclaimed by ContextCleaner on GC. Dataset.unpersist is
-          // NOT used here: it consults only the CacheManager, which
-          // has no entry for RDD-level checkpoint persistence, so an
-          // explicit call would be a silent no-op.
+          // eager checkpoint: once materialized, the PREVIOUS
+          // checkpoint's blocks are dead weight — free them through
+          // the RDD handle (Dataset.unpersist consults only the
+          // CacheManager, which has no entry for RDD-level checkpoint
+          // persistence, so it would be a silent no-op here).
           words = words.localCheckpoint()
+          if (prevCk != null) graft.util.PlanCache.free(prevCk)
+          prevCk = words
         }
         rank += 1
       }
     }
-    // pin the encoded vocabulary, then release the training base; the
-    // last intermediate checkpoint loses its reference here and is
-    // ContextCleaner-reclaimed (see the in-loop note)
+    // pin the encoded vocabulary, then release the training base and
+    // the last intermediate checkpoint
     val vocab = words.localCheckpoint(true)
+    if (prevCk != null) graft.util.PlanCache.free(prevCk)
     base.unpersist()
     val mergesDf = merges.toSeq.toDF("merge_rank", "lhs", "rhs", "n_total")
       .select(col("merge_rank").cast("bigint").as("merge_rank"),

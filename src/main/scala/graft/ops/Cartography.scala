@@ -86,6 +86,45 @@ object Cartography {
     snaps.result()
   }
 
+  /** [[trajectory]] straight from text over the zero-shuffle entry
+    * frame: bit-identical snapshots (same integer margin and
+    * gradient sums — the LinearClassifier.fitPerceptronEntries
+    * restructuring with the pre-update snapshot kept), one narrow
+    * filter + one tiny bucket agg per epoch instead of the margins
+    * groupBy + misclassified persist + semi-join chain.
+    */
+  def trajectoryText(df: DataFrame, id: Column, text: Column, y: Column,
+      dim: Int, epochs: Int): Seq[(Array[Long], Long)] = {
+    require(dim > 0 && epochs > 0, "dim and epochs must be positive")
+    val entries = LinearClassifier.entryFrame(df, id, text, y, dim)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val w = Array.fill(dim)(0L)
+    var bias = 0L
+    val snaps = Seq.newBuilder[(Array[Long], Long)]
+    val sentinel = array(struct(lit(-1L).as("bucket"), lit(1L).as("cnt")))
+      .cast(graft.plans.HashedBowOps.schema)
+    try {
+      for (_ <- 1 to epochs) {
+        snaps += ((w.clone(), bias))
+        val mis = entries.filter(
+          col("y") * LinearClassifier.entryMarginExpr(col("es"),
+            LinearClassifier.PerceptronModel(w, bias, Seq.empty)) <= 0)
+        val upd = mis
+          .select(col("y"), explode(concat(col("es"), sentinel)).as("e"))
+          .groupBy(col("e.bucket").as("bucket"))
+          .agg(sum(col("y") * col("e.cnt")).as("gw"))
+          .collect()
+        upd.foreach { r =>
+          r.getLong(0) match {
+            case -1L => bias += r.getLong(1)
+            case b => w(b.toInt) += r.getLong(1)
+          }
+        }
+      }
+    } finally entries.unpersist()
+    snaps.result()
+  }
+
   /** The cartography map: (doc_id, y, n_epochs, n_correct,
     * confidence_milli, variability_milli, region). Docs with no
     * feature rows are absent, as in training.
@@ -93,10 +132,7 @@ object Cartography {
   def map(df: DataFrame, id: Column, text: Column, label: Column,
       dim: Int, epochs: Int): DataFrame =
     mapFromTrajectory(df, id, text, label, dim,
-      trajectory(
-        Features.hashedBow(df, id, text, dim),
-        df.select(id.cast("bigint").as("doc_id"), label.cast("int").as("y")),
-        dim, epochs))
+      trajectoryText(df, id, text, label, dim, epochs))
 
   /** The map under a pre-captured trajectory (the memoized-fit path:
     * snapshots are bounded driver data, so the query layer caches
@@ -105,22 +141,28 @@ object Cartography {
   def mapFromTrajectory(df: DataFrame, id: Column, text: Column,
       label: Column, dim: Int, snaps: Seq[(Array[Long], Long)]): DataFrame = {
     require(snaps.nonEmpty, "need at least one epoch snapshot")
-    val feats = Features.hashedBow(df, id, text, dim)
-      .join(df.select(id.cast("bigint").as("doc_id"), label.cast("long").as("y")),
-        Seq("doc_id"))
-      .sharedPersist()
-    val perEpoch = snaps.map { case (w, b) =>
-      feats.groupBy(col("doc_id"), col("y"))
-        .agg((sum(element_at(lit(w), (col("bucket") + 1).cast("int")) * col("cnt"))
-          + b).as("margin"))
-    }
-    val em = perEpoch.reduce(_ unionAll _)
+    // ZERO-shuffle map: the epoch margins are in-row entry folds
+    // (bit-equal to the exploded groupBy sums), so the per-doc
+    // moments (n_correct, Σm, Σm²) assemble in the same projection —
+    // the epochs-way union + two doc-keyed exchanges are gone. The
+    // margins materialize into named columns in their OWN projection:
+    // CollapseProject keeps it (each margin column is referenced
+    // three times and an aggregate fold is not a cheap expression),
+    // so each epoch's fold evaluates once per doc.
+    val withMargins = LinearClassifier
+      .entryFrame(df, id, text, label, dim)
+      .select(col("doc_id") +: col("y") +:
+        snaps.zipWithIndex.map { case ((w, b), i) =>
+          LinearClassifier.entryMarginExpr(col("es"),
+            LinearClassifier.PerceptronModel(w, b, Seq.empty)).as(s"m_$i")
+        }: _*)
+    val ms = snaps.indices.map(i => col(s"m_$i"))
     val n = lit(snaps.size.toLong)
-    em.groupBy(col("doc_id"), col("y"))
-      .agg(
-        sum(when(col("y") * col("margin") > 0, 1L).otherwise(0L)).as("n_correct"),
-        sum(col("margin")).as("sm"),
-        sum(col("margin") * col("margin")).as("smm"))
+    withMargins
+      .select(col("doc_id"), col("y"),
+        ms.map(m => when(col("y") * m > 0, 1L).otherwise(0L)).reduce(_ + _).as("n_correct"),
+        ms.reduce(_ + _).as("sm"),
+        ms.map(m => m * m).reduce(_ + _).as("smm"))
       .select(col("doc_id"), col("y"),
         n.as("n_epochs"), col("n_correct"),
         floor(lit(1000.0) * (col("y") * col("sm")) / n).cast("bigint")

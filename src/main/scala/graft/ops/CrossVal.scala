@@ -28,12 +28,6 @@ object CrossVal {
     * bias alone).
     *
     * @param labels (doc_id, y) with y in {+1, -1}
-    * @param fitMemo caching hook for the k deterministic fold fits:
-    *        given (fold, fit-thunk) returns the model — the default
-    *        just runs the thunk; query modules inject a session memo
-    *        so repeated audits over the same dataset pay the k
-    *        sequential fit chains once. Semantics-free: the fit is a
-    *        pure function of (data, dim, epochs, k, seed, fold).
     * @return (doc_id, fold, y, margin, pred, suspect) — suspect when
     *         the held-out prediction contradicts y
     */
@@ -45,33 +39,42 @@ object CrossVal {
       dim: Int,
       epochs: Int,
       k: Int,
-      seed: String = "noise",
-      fitMemo: (Int, () => LinearClassifier.PerceptronModel) => LinearClassifier.PerceptronModel =
-        (_, mk) => mk()): DataFrame = {
+      seed: String = "noise"): DataFrame = {
     require(k >= 2, "k >= 2")
-    val feats = Features.hashedBow(docs, id, text, dim)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val folds = labels.select(col("doc_id").cast("bigint").as("doc_id"),
-        col("y"),
+    // ONE narrow entry frame with the fold key in-row: every fold's
+    // train set is a filter (never a label/feature join), each fit is
+    // the zero-shuffle entries fit, and held-out scoring is an in-row
+    // margin fold — the per-fold (feats ⋈ holdout) semi-join + label
+    // join + doc-keyed score exchange are gone (guide §2.4). `y`
+    // rides twice: cast long for the fit ("y"), original-typed for
+    // the audit output ("y_out").
+    val entries = LinearClassifier.entryFrame(docs, id, text, lit(0L), dim)
+      .drop("y")
+      .join(labels.select(col("doc_id").cast("bigint").as("doc_id"), col("y")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("y").as("y_out"),
+        col("y").cast("long").as("y"), col("es"),
         (Dedup.md5Hash60(concat(lit(seed + ":"), col("doc_id").cast("string")))
           % k).cast("int").as("fold"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // FUSED k fold fits (LinearClassifier.fitArmsEntries): every
+      // fold model updates from ONE flagged pass + ONE gradient
+      // collect per epoch — k·epochs sequential actions become
+      // `epochs`; per-arm arithmetic independent, so bit-identical
+      val models = LinearClassifier.fitArmsEntries(entries,
+        (0 until k).map(f => (f.toString, col("fold") =!= f)), dim, epochs).toMap
       (0 until k).map { f =>
-        // the fit is EAGER (k bounded collects) — scoring plans built
-        // after it embed the fold-f weights as literals
-        val model = fitMemo(f, () => LinearClassifier.fitPerceptron(feats,
-          folds.filter(col("fold") =!= f).select(col("doc_id"), col("y")),
-          dim, epochs))
-        val holdout = folds.filter(col("fold") === f)
-        LinearClassifier.score(
-            feats.join(holdout.select(col("doc_id")), Seq("doc_id"), "left_semi"),
-            model)
-          .join(holdout, Seq("doc_id"))
+        val model = models(f.toString)
+        entries.filter(col("fold") === f)
+          .select(col("doc_id"), col("fold"), col("y_out").as("y"),
+            LinearClassifier.entryMarginExpr(col("es"), model).as("margin"))
+          .withColumn("pred", when(col("margin") > 0, 1).otherwise(-1))
           .select(col("doc_id"), col("fold"), col("y"),
             col("margin"), col("pred"))
       }.reduce(_.unionAll(_))
         .withColumn("suspect", col("pred") =!= col("y"))
-    } finally feats.unpersist()
+    } finally entries.unpersist()
   }
 
   /** DuckDB twin: k prefixed unrolled-fit chains over fold-filtered

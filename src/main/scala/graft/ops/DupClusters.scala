@@ -49,6 +49,11 @@ object DupClusters {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .localCheckpoint(true)
+    // the checkpoint ROOT frame backing `labels` this round — freed
+    // (via the RDD handle; a bare unpersist no-ops on checkpointed
+    // frames) once the NEXT round's checkpoint is materialized, so
+    // round blocks don't accumulate for the session's lifetime
+    var labelsCk = labels
 
     var iter = 0
     var converged = false
@@ -75,6 +80,11 @@ object DupClusters {
         .localCheckpoint(false)
       val changed = next.filter(col("label") < col("old_label"))
         .count() // O(1) result; the only driver-side value per iteration
+      // `next` is materialized by the count above — the replaced
+      // round's checkpoint can free now (never the converged one,
+      // which the returned frame reads)
+      graft.util.PlanCache.free(labelsCk)
+      labelsCk = next
       labels = next.select(col("id"), col("label"))
       converged = changed == 0
       iter += 1
@@ -173,6 +183,11 @@ object DupClusters {
       // count equality is the cheap necessary condition; the exact
       // set comparison (one anti-join job) runs only when counts tie
       val changed = nNew != nOld || ss.except(edges).limit(1).count() > 0
+      // the replaced round's checkpoint blocks free through the RDD
+      // handle (bare unpersist no-ops on checkpointed frames) — after
+      // the except above, which still reads the old edge set; the
+      // final groupBy reads `ss` either way, so the old frame is dead
+      graft.util.PlanCache.free(edges)
       edges = ss
       nOld = nNew
       converged = !changed

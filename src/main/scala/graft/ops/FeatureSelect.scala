@@ -53,7 +53,14 @@ object FeatureSelect {
     // inside the row (array_distinct over the token array), so the
     // exploded stream is unique-(doc, token) by construction and the
     // only corpus-sized exchange left is the (token, cls) partial agg
-    // below (the SetSimJoin zero-shuffle-dedup device, guide §2.4)
+    // below (the SetSimJoin zero-shuffle-dedup device, guide §2.4).
+    // PRECONDITION (ADVICE r13): `id` must be unique per input row —
+    // a duplicated doc_id would contribute its tokens' df once PER
+    // ROW here, while the DuckDB twin (q_chi2_features) runs a
+    // corpus-wide SELECT DISTINCT and would collapse them, so the
+    // engines agree only under that contract. Every caller feeds a
+    // primary-keyed table (documents.doc_id holds it by
+    // construction); a non-keyed caller must distinct its input.
     val pres = docs
       .select(id.cast("bigint").as("doc_id"), label.cast("string").as("cls"),
         explode(array_distinct(split(trim(lower(text)), "\\s+"))).as("token"))

@@ -106,16 +106,20 @@ object KCore {
       val mat = if ((rounds + 1) % 8 == 0) ne.localCheckpoint()
         else ne.persist(StorageLevel.MEMORY_AND_DISK)
       val nn = mat.count()
+      // round-scoped frames free through PlanCache.free: deg (and
+      // every 8th mat/e) is a localCheckpoint, on which a bare
+      // DataFrame.unpersist is a NO-OP (no CacheManager entry;
+      // ADVICE r13) — degree-table blocks accumulated across rounds
       if (nn == n) {           // fixpoint: no node fell below k
-        mat.unpersist()
+        graft.util.PlanCache.free(mat)
         return (deg, e, n)
       }
-      deg.unpersist()
+      graft.util.PlanCache.free(deg)
       // drop the replaced round's cache once the new one is fully
       // materialized (the count above): live residency stays at two
       // edge frames + one degree table regardless of peel depth. The
       // shared e0 checkpoint is PlanCache-owned — never dropped here.
-      if (rounds > 0) e.unpersist()
+      if (rounds > 0) graft.util.PlanCache.free(e)
       e = mat
       n = nn
       rounds += 1
@@ -155,11 +159,11 @@ object KCore {
       // table; edges are the running count the peel already knows.
       // An empty core contributes (k, 0, 0).
       rows += ((k, deg.count(), nk))
-      deg.unpersist()
+      graft.util.PlanCache.free(deg)
       if (!(ek eq e)) {
         // this k's peel produced a smaller core: release the previous
         // k's frame (never the PlanCache-owned starting checkpoint)
-        if (!(e eq e0)) e.unpersist()
+        if (!(e eq e0)) graft.util.PlanCache.free(e)
         e = ek
       }
       n = nk

@@ -99,6 +99,102 @@ object LinearClassifier {
     PerceptronModel(w, bias, mistakes.result())
   }
 
+  /** Per-document entry frame for the zero-shuffle fit/score paths:
+    * (doc_id, y, es: array<struct<bucket, cnt>>, extra...) — ONE
+    * narrow map off the in-row histogram kernel. Token-less docs are
+    * dropped (they had no hashed-BoW rows on the exploded path
+    * either). Passthrough columns (fold keys, sources, eval flags)
+    * ride in the same projection so train/eval restriction is a
+    * narrow FILTER on this frame, never a join: the (features ⋈
+    * labels) join the exploded fit paid was a self-join of the same
+    * table on its own primary key (guide §2.4 — an accidental
+    * exchange pair), and the per-doc margin groupBy re-grouped rows
+    * whose grouping key contained their own doc_id (the HashedBowExpr
+    * lesson, one level up).
+    */
+  def entryFrame(df: DataFrame, id: Column, text: Column, y: Column,
+      dim: Int, extra: Seq[(String, Column)] = Nil): DataFrame =
+    entryFrameWith(df, id, text, dim,
+      (("y", y.cast("long")) +: extra): _*)
+
+  /** [[entryFrame]] without the binary label — the OVA/custom-column
+    * form. */
+  def entryFrameWith(df: DataFrame, id: Column, text: Column, dim: Int,
+      cols: (String, Column)*): DataFrame =
+    df.select(Seq(id.cast("bigint").as("doc_id"),
+        graft.plans.HashedBowExpr.hashedBow(text, dim).as("es")) ++
+        cols.map { case (n, c) => c.as(n) }: _*)
+      .filter(size(col("es")) > 0)
+
+  /** Integer margin of one doc's entry array under (w, bias) —
+    * identical integer sum to the exploded groupBy (addition is
+    * commutative and exact on int64), evaluated in-row.
+    */
+  private def entryMargin(es: Column, wLit: Column, bias: Long): Column =
+    aggregate(es, lit(bias),
+      (acc, e) => acc +
+        element_at(wLit, (e.getField("bucket") + 1).cast("int")) * e.getField("cnt"))
+
+  /** [[entryMargin]] under a fitted model — the in-row serving path
+    * over an entry frame (bit-equal to [[score]] over hashed rows).
+    */
+  def entryMarginExpr(es: Column, model: PerceptronModel): Column =
+    entryMargin(es, lit(model.weights), model.bias)
+
+  /** [[fitPerceptron]] over an [[entryFrame]] (train-side filters
+    * already applied; caller persists the frame if it serves several
+    * fits). Bit-identical models — same integer margin sums, same
+    * gradient sums, same epoch schedule (spec-pinned) — with the
+    * epoch restructured from [margins groupBy + misclassified
+    * persist + features semi-join + 3-branch union] to ONE narrow
+    * filter + ONE tiny bucket-keyed aggregation per epoch: the bias
+    * update and the mistake count ride as sentinel entries (bucket
+    * −1 with cnt 1 ⇒ Σ y·1 = bias step; bucket −2 with cnt y ⇒
+    * Σ y·y = mistake count, since y ∈ {−1, +1}).
+    */
+  def fitPerceptronEntries(entries: DataFrame, dim: Int, epochs: Int): PerceptronModel = {
+    require(dim > 0 && epochs > 0, "dim and epochs must be positive")
+    val w = Array.fill(dim)(0L)
+    var bias = 0L
+    val mistakes = Seq.newBuilder[Long]
+    val sentinels = array(
+      struct(lit(-1L).as("bucket"), lit(1L).as("cnt")),
+      struct(lit(-2L).as("bucket"), col("y").as("cnt")))
+      .cast(graft.plans.HashedBowOps.schema)
+    for (_ <- 1 to epochs) {
+      val wLit = lit(w)
+      val mis = entries.filter(
+        col("y") * entryMargin(col("es"), wLit, bias) <= 0)
+      val upd = mis
+        .select(col("y"), explode(concat(col("es"), sentinels)).as("e"))
+        .groupBy(col("e.bucket").as("bucket"))
+        .agg(sum(col("y") * col("e.cnt")).as("gw"))
+        .collect()
+      upd.foreach { r =>
+        r.getLong(0) match {
+          case -1L => bias += r.getLong(1)
+          case -2L => mistakes += r.getLong(1)
+          case b => w(b.toInt) += r.getLong(1)
+        }
+      }
+      // a fully-converged epoch emits no rows at all — record the 0
+      // the exploded path's count aggregate reported
+      if (!upd.exists(_.getLong(0) == -2L)) mistakes += 0L
+    }
+    PerceptronModel(w, bias, mistakes.result())
+  }
+
+  /** [[fitPerceptron]] straight from text — the query-layer entry
+    * point: one persisted narrow entry frame, no feature exchange,
+    * no label join.
+    */
+  def fitPerceptronText(df: DataFrame, id: Column, text: Column, y: Column,
+      dim: Int, epochs: Int): PerceptronModel = {
+    val entries = entryFrame(df, id, text, y, dim)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try fitPerceptronEntries(entries, dim, epochs) finally entries.unpersist()
+  }
+
   /** Per-doc integer margin + sign prediction under a fitted model
     * (the serving path): one bucket-lookup sum per doc, no joins, no
     * driver state beyond the broadcast weights. Docs with no feature
@@ -124,10 +220,11 @@ object LinearClassifier {
     * callers reproduce the fit-time exclusion.
     */
   def scoreText(df: DataFrame, id: Column, text: Column, dim: Int,
-      model: PerceptronModel): DataFrame =
-    df.select(id.cast("bigint").as("doc_id"),
+      model: PerceptronModel, keep: (String, Column)*): DataFrame =
+    df.select(Seq(id.cast("bigint").as("doc_id"),
       marginExpr(text, dim, model).as("margin"),
-      (size(tokensExpr(text)) > 0).as("has_tokens"))
+      (size(tokensExpr(text)) > 0).as("has_tokens")) ++
+      keep.map { case (n, c) => c.as(n) }: _*)
       .withColumn("pred", when(col("margin") > 0, 1).otherwise(-1))
 
   // null text behaves exactly like empty text (bias-only margin) —
@@ -243,6 +340,144 @@ object LinearClassifier {
       }
     } finally cached.unpersist()
     classes.map(c => c -> PerceptronModel(w(c), bias(c), mistakes(c).result()))
+  }
+
+  /** [[fitOneVsAll]] over a per-doc class entry frame (doc_id, cls,
+    * es) — bit-identical L models (same conditional integer sums,
+    * spec-pinned). Per epoch: ONE narrow projection computes the L
+    * in-row margins/flags and persists (flags + entries share the
+    * row, so the cached⋈mflags shuffle join of the exploded path is
+    * gone), then the same 3-branch gradient union collects — the
+    * flags persist is what stops the optimizer collapsing the L
+    * margin aggregates into the post-explode stage (they would
+    * otherwise re-evaluate once per exploded entry).
+    */
+  def fitOneVsAllEntries(entries: DataFrame, classes: Seq[String],
+      dim: Int, epochs: Int): Seq[(String, PerceptronModel)] = {
+    require(classes.nonEmpty && dim > 0 && epochs > 0)
+    val w = classes.map(c => c -> Array.fill(dim)(0L)).toMap
+    val bias = scala.collection.mutable.Map(classes.map(_ -> 0L): _*)
+    val mistakes = scala.collection.mutable.Map(classes.map(_ -> Seq.newBuilder[Long]): _*)
+    def yOf(c: String): Column = when(col("cls") === c, 1L).otherwise(-1L)
+    for (_ <- 1 to epochs) {
+      val flagged = entries.select(
+        col("cls") +: col("es") +: classes.map { c =>
+          (yOf(c) * entryMargin(col("es"), lit(w(c)), bias(c)) <= 0L).as(s"mis_$c")
+        }: _*)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        val gradCols = classes.map { c =>
+          sum(when(col(s"mis_$c"), yOf(c) * col("e.cnt")).otherwise(0L)).as(s"g_$c")
+        }
+        val grad = flagged
+          .select(col("cls") +: explode(col("es")).as("e") +:
+            classes.map(c => col(s"mis_$c")): _*)
+          .groupBy(col("e.bucket").as("bucket"))
+          .agg(gradCols.head, gradCols.tail: _*)
+        val biasRow = flagged.agg(
+          sum(when(col(s"mis_${classes.head}"), yOf(classes.head)).otherwise(0L)).as(s"g_${classes.head}"),
+          classes.tail.map(c =>
+            sum(when(col(s"mis_$c"), yOf(c)).otherwise(0L)).as(s"g_$c")): _*)
+          .select(lit(-1L).as("bucket") +: classes.map(c => col(s"g_$c")): _*)
+        val misRow = flagged.agg(
+          sum(when(col(s"mis_${classes.head}"), 1L).otherwise(0L)).as(s"g_${classes.head}"),
+          classes.tail.map(c =>
+            sum(when(col(s"mis_$c"), 1L).otherwise(0L)).as(s"g_$c")): _*)
+          .select(lit(-2L).as("bucket") +: classes.map(c => col(s"g_$c")): _*)
+        val upd = grad.unionByName(biasRow).unionByName(misRow).collect()
+        upd.foreach { r =>
+          val b = r.getLong(0)
+          classes.zipWithIndex.foreach { case (c, i) =>
+            val v = if (r.isNullAt(i + 1)) 0L else r.getLong(i + 1)
+            b match {
+              case -1L => bias(c) += v
+              case -2L => mistakes(c) += v
+              case bb => w(c)(bb.toInt) += v
+            }
+          }
+        }
+      } finally flagged.unpersist()
+    }
+    classes.map(c => c -> PerceptronModel(w(c), bias(c), mistakes(c).result()))
+  }
+
+  /** FUSED multi-arm fit over one entry frame: arm i trains on the
+    * rows where its flag column holds (shared binary y), and every
+    * arm updates from ONE flagged projection + ONE gradient collect
+    * per epoch — the fitOneVsAll fusion applied to row SUBSETS
+    * instead of label variants (source-ablation's K+1 leave-one-out
+    * fits were K+1 sequential epoch chains over the same rows; at
+    * bench scale that is (K+1)·epochs job floors, at cluster scale
+    * (K+1)·epochs corpus passes, for arithmetic that is independent
+    * per arm and therefore bit-identical fused or not — spec-pinned).
+    */
+  def fitArmsEntries(entries: DataFrame, arms: Seq[(String, Column)],
+      dim: Int, epochs: Int): Seq[(String, PerceptronModel)] = {
+    require(arms.nonEmpty && dim > 0 && epochs > 0)
+    val names = arms.map(_._1)
+    val w = names.map(n => n -> Array.fill(dim)(0L)).toMap
+    val bias = scala.collection.mutable.Map(names.map(_ -> 0L): _*)
+    val mistakes = scala.collection.mutable.Map(names.map(_ -> Seq.newBuilder[Long]): _*)
+    for (_ <- 1 to epochs) {
+      val flagged = entries.select(
+        col("y") +: col("es") +: arms.zipWithIndex.map { case ((n, flag), i) =>
+          (flag && (col("y") * entryMargin(col("es"), lit(w(n)), bias(n)) <= 0L))
+            .as(s"mis_$i")
+        }: _*)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      try {
+        val idx = names.indices
+        val gradCols = idx.map { i =>
+          sum(when(col(s"mis_$i"), col("y") * col("e.cnt")).otherwise(0L)).as(s"g_$i")
+        }
+        val grad = flagged
+          .select(col("y") +: explode(col("es")).as("e") +: idx.map(i => col(s"mis_$i")): _*)
+          .groupBy(col("e.bucket").as("bucket"))
+          .agg(gradCols.head, gradCols.tail: _*)
+        val biasRow = flagged.agg(
+          sum(when(col("mis_0"), col("y")).otherwise(0L)).as("g_0"),
+          idx.tail.map(i => sum(when(col(s"mis_$i"), col("y")).otherwise(0L)).as(s"g_$i")): _*)
+          .select(lit(-1L).as("bucket") +: idx.map(i => col(s"g_$i")): _*)
+        val misRow = flagged.agg(
+          sum(when(col("mis_0"), 1L).otherwise(0L)).as("g_0"),
+          idx.tail.map(i => sum(when(col(s"mis_$i"), 1L).otherwise(0L)).as(s"g_$i")): _*)
+          .select(lit(-2L).as("bucket") +: idx.map(i => col(s"g_$i")): _*)
+        val upd = grad.unionByName(biasRow).unionByName(misRow).collect()
+        upd.foreach { r =>
+          val b = r.getLong(0)
+          names.zipWithIndex.foreach { case (n, i) =>
+            val v = if (r.isNullAt(i + 1)) 0L else r.getLong(i + 1)
+            b match {
+              case -1L => bias(n) += v
+              case -2L => mistakes(n) += v
+              case bb => w(n)(bb.toInt) += v
+            }
+          }
+        }
+      } finally flagged.unpersist()
+    }
+    names.map(n => n -> PerceptronModel(w(n), bias(n), mistakes(n).result()))
+  }
+
+  /** Argmax OVA prediction straight from text: the L margins are
+    * in-row aggregate folds over the token array (bit-equal to
+    * [[predictOneVsAll]] over hashed features — same integer sums),
+    * so serving is a narrow projection: no explode, no doc-keyed
+    * exchange. Token-less docs score bias-only and are EXCLUDED to
+    * match the exploded path's row set.
+    */
+  def predictOneVsAllText(df: DataFrame, id: Column, text: Column, dim: Int,
+      models: Seq[(String, PerceptronModel)], keep: (String, Column)*): DataFrame = {
+    val candidates = array(models.map { case (cls, m) =>
+      struct((-marginExpr(text, dim, m)).as("neg"), lit(cls).as("cls"))
+    }: _*)
+    df.filter(size(tokensExpr(text)) > 0)
+      .select(Seq(id.cast("bigint").as("doc_id"),
+        array_min(candidates).as("best")) ++
+        keep.map { case (n, c) => c.as(n) }: _*)
+      .select(Seq(col("doc_id"), col("best.cls").as("pred_cls"),
+        (-col("best.neg")).as("margin")) ++
+        keep.map { case (n, _) => col(n) }: _*)
   }
 
   /** Argmax prediction under one-vs-all models: per-class margins

@@ -97,15 +97,20 @@ object NaiveBayes {
         lit(0L).as("n_docs"))
     val clsNames = classRows.map(_.getString(0))
     // prior/default micro-nats computed driver-side over the collected
-    // integers — scala math.log/floor ARE Spark's (java.lang.Math), so
-    // the literals are bit-identical to the former column expressions;
-    // the two crossJoin(broadcast(...)) scalar rounds they rode in on
-    // are gone.
+    // integers, via StrictMath: Spark's log EXPRESSION evaluates
+    // through java.lang.StrictMath.log (fdlibm, platform-pinned),
+    // while scala math.log is the intrinsified java.lang.Math.log —
+    // allowed to differ by 1 ulp per platform. These literals replace
+    // former column expressions, so StrictMath is the bit-identical
+    // choice everywhere, not just on hosts where the intrinsic happens
+    // to agree (the floor(·1e6) quantization would otherwise flip a
+    // boundary case platform-dependently). The two
+    // crossJoin(broadcast(...)) scalar rounds they rode in on are gone.
     val nTrainScalar = classRows.map(_.getLong(1)).sum
     val prior = classRows.map(r =>
-      math.floor(math.log(r.getLong(1).toDouble / nTrainScalar) * 1e6).toLong)
+      StrictMath.floor(StrictMath.log(r.getLong(1).toDouble / nTrainScalar) * 1e6).toLong)
     val default = classRows.map(r =>
-      math.floor(math.log(1.0 / (r.getLong(2) + vScalar)) * 1e6).toLong)
+      StrictMath.floor(StrictMath.log(1.0 / (r.getLong(2) + vScalar)) * 1e6).toLong)
     val tokC = classRows.map(r => r.getLong(2))
 
     // pivot the model to ONE |V|-row table with a weight column per

@@ -44,59 +44,68 @@ object SourceAblation {
     * @param docs    corpus with id/text/source columns
     * @param labels  (doc_id, y) with y in {+1, -1}
     * @param evalMod eval split = md5("ablsplit:" + id) % evalMod == 0
-    * @param fitMemo optional memoizer keyed by ablated-source name
-    *                ("__all__" for the baseline fit)
     * @return (source, n_removed, auc_milli, base_auc_milli,
     *         delta_milli) ordered by source; delta = base - ablated
     */
   def aucDeltas(
       docs: DataFrame, id: Column, text: Column, source: Column,
       labels: DataFrame, dim: Int, epochs: Int, ablate: Seq[String],
-      evalMod: Long = 4L,
-      fitMemo: (String, () => PerceptronModel) => PerceptronModel =
-        (_, mk) => mk()): DataFrame = {
+      evalMod: Long = 4L): DataFrame = {
     require(ablate.nonEmpty, "ablate at least one source")
     val spark = docs.sparkSession
     import spark.implicits._
 
-    val base = docs.select(
-      id.cast("bigint").as("doc_id"), text.as("text"),
-      source.cast("string").as("source"),
-      (Dedup.md5Hash60(concat(lit("ablsplit:"), id.cast("string"))) % evalMod === 0)
-        .as("is_eval"))
-    // ONE featurization for everything, shared-persisted: each fit
-    // persists its own (feats ⋈ train-labels) projection internally,
-    // but they all derive from THIS cached tokenize+hash pass — the
-    // per-ablation restriction happens through the label join inside
-    // the fit (the C116 device), never a re-tokenize
-    val feats = Features.hashedBow(base, col("doc_id"), col("text"), dim)
-      .sharedPersist()
-    val trainRoster = base.filter(!col("is_eval"))
-      .select(col("doc_id"), col("source"))
+    // ONE narrow entry frame for everything (tokenize+hash once,
+    // persisted): the per-ablation train restriction and the eval
+    // split are in-row FILTERS — the former shape paid, per model, a
+    // roster semi-join inside the fit plus a doc-keyed score exchange
+    // and a label join on the eval side (guide §2.4). Labels join
+    // once (the audit's signature keeps them a frame); `y` rides
+    // long for the fit, original-typed for the AUC.
+    val entries = LinearClassifier
+      .entryFrameWith(docs, id, text, dim,
+        "source" -> source.cast("string"),
+        "is_eval" -> (Dedup.md5Hash60(concat(lit("ablsplit:"), id.cast("string")))
+          % evalMod === 0))
+      .join(labels.select(col("doc_id").cast("bigint").as("doc_id"), col("y")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("es"), col("source"), col("is_eval"),
+        col("y").as("y_out"), col("y").cast("long").as("y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    def fitExcluding(excl: Option[String]): PerceptronModel = {
-      val roster = excl match {
-        // null-safe: a NULL source must stay in every ablated fit,
-        // matching the twin's NOT IN (... WHERE source = 's0') —
-        // plain =!= would evaluate NULL to NULL and drop those rows
-        case Some(s0) => trainRoster.filter(!(col("source") <=> lit(s0)))
-        case None => trainRoster
-      }
-      val trainLabels = labels.join(roster.select("doc_id"), Seq("doc_id"), "left_semi")
-      fitMemo(excl.getOrElse("__all__"),
-        () => LinearClassifier.fitPerceptron(feats, trainLabels, dim, epochs))
+    // FUSED K+1 fits (the fitOneVsAll device applied to row subsets):
+    // every arm — baseline plus one per ablated source — updates from
+    // ONE flagged pass + ONE gradient collect per epoch, instead of
+    // (K+1)·epochs sequential actions. Arithmetic is independent per
+    // arm, so the fused models are bit-identical to the sequential
+    // chain (spec-pinned on the separable fixture). Arm flags are
+    // null-safe: a NULL source must stay in every ablated fit,
+    // matching the twin's NOT IN (... WHERE source = 's0') — plain
+    // =!= would evaluate NULL to NULL and drop those rows.
+    val armNames = "__all__" +: ablate.sorted
+    val arms = armNames.map {
+      case "__all__" => ("__all__", !col("is_eval"))
+      case s0 => (s0, !col("is_eval") && !(col("source") <=> lit(s0)))
     }
+    val models = LinearClassifier.fitArmsEntries(entries, arms, dim, epochs).toMap
 
-    val evalFeats = feats.join(
-      base.filter(col("is_eval")).select("doc_id"), Seq("doc_id"), "left_semi")
-    def aucOf(m: PerceptronModel): Long = {
-      val r = RankEval.aucMilli(
-          LinearClassifier.score(evalFeats, m).join(labels, Seq("doc_id")),
-          col("margin"), col("y"))
-        .collect()(0) // 1-row driver fetch
+    // one grouped-AUC job for all K+1 models (finish() is shared with
+    // the global aucMilli, so per-arm values equal the per-model
+    // aucMilli calls this replaces): arm margins are in-row folds
+    // over the SAME persisted eval rows, unioned under an arm key
+    val evalE = entries.filter(col("is_eval"))
+    val scoredAll = armNames.map(n => evalE.select(lit(n).as("arm"),
+        LinearClassifier.entryMarginExpr(col("es"), models(n)).as("margin"),
+        col("y_out").as("y")))
+      .reduce(_ unionAll _)
+    val aucRows = RankEval.aucMilliByGroup(scoredAll, col("arm"), col("margin"), col("y"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    def aucOf(arm: String): Long = {
       // a degenerate eval split (empty, or single-class -> the -1
       // sentinel) would make every delta 0 and the audit read as
       // "no source matters" — fail loudly instead
+      val r = aucRows.getOrElse(arm,
+        throw new IllegalStateException(s"degenerate eval split: no rows for $arm"))
       require(!r.isNullAt(r.fieldIndex("auc_milli"))
           && r.getAs[Long]("auc_milli") >= 0L,
         s"degenerate eval split: p=${r.get(r.fieldIndex("p"))}, " +
@@ -104,12 +113,20 @@ object SourceAblation {
       r.getAs[Long]("auc_milli")
     }
 
-    val baseAuc = aucOf(fitExcluding(None))
-    val removedCounts = trainRoster.groupBy(col("source"))
-      .agg(count(lit(1)).as("n")).collect()
+    val baseAuc = aucOf("__all__")
+    // from `docs`, NOT the entry frame: n_removed counts every
+    // non-eval doc of the source, token-less ones included (the twin
+    // counts FROM documents)
+    val removedCounts = docs
+      .select(source.cast("string").as("source"),
+        (Dedup.md5Hash60(concat(lit("ablsplit:"), id.cast("string"))) % evalMod === 0)
+          .as("is_eval"))
+      .filter(!col("is_eval"))
+      .groupBy(col("source")).agg(count(lit(1)).as("n")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
+    entries.unpersist()
     ablate.sorted.map { s0 =>
-      val auc = aucOf(fitExcluding(Some(s0)))
+      val auc = aucOf(s0)
       (s0, removedCounts.getOrElse(s0, 0L), auc, baseAuc, baseAuc - auc)
     }.toDF("source", "n_removed", "auc_milli", "base_auc_milli", "delta_milli")
   }

@@ -53,19 +53,26 @@ object ClassifierQueries {
     * derivable identically on both engines from the lang column.
     */
   private[queries] def labels(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id").cast("bigint").as("doc_id"),
-      when(col("lang") === "en", 1).otherwise(-1).as("y"))
+    docs.select(col("doc_id").cast("bigint").as("doc_id"), labelExpr.as("y"))
+
+  /** The label as a bare expression — the in-row form every
+    * zero-shuffle fit/score path attaches (the (features ⋈ labels)
+    * join was a self-join of documents on its own key).
+    */
+  private[queries] val labelExpr =
+    when(col("lang") === "en", 1).otherwise(-1)
 
   /** The shared binary fit, memoized: deterministic per (dir, dim,
-    * epochs), so the whole classifier/eval family pays it once per
-    * dataset per session instead of once per query per bench pass.
+    * epochs) — one fit per dataset per (cold-bench) pass. The
+    * text-entry fit is bit-identical to the exploded
+    * fitPerceptron(hashedBow, labels) chain (spec-pinned) with zero
+    * feature exchange and one tiny gradient agg per epoch.
     */
   private[queries] def fit(s: SparkSession, dir: String): LinearClassifier.PerceptronModel =
     Memo.cached(s"perceptron:$dir:$ClsDim:$ClsEpochs") {
       val docs = t(s, dir, "documents")
-      LinearClassifier.fitPerceptron(
-        Features.hashedBow(docs, col("doc_id"), col("text"), ClsDim),
-        labels(docs), ClsDim, ClsEpochs)
+      LinearClassifier.fitPerceptronText(docs, col("doc_id"), col("text"),
+        labelExpr, ClsDim, ClsEpochs)
     }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -93,23 +100,25 @@ object ClassifierQueries {
     "q_cartography" -> { (s, dir) =>
       val docs = t(s, dir, "documents")
       val snaps = Memo.cached(s"cartography:$dir:$ClsDim:$ClsEpochs") {
-        graft.ops.Cartography.trajectory(
-          Features.hashedBow(docs, col("doc_id"), col("text"), ClsDim),
-          labels(docs), ClsDim, ClsEpochs)
+        graft.ops.Cartography.trajectoryText(docs, col("doc_id"), col("text"),
+          labelExpr, ClsDim, ClsEpochs)
       }
       graft.ops.Cartography.mapFromTrajectory(docs, col("doc_id"), col("text"),
-          when(col("lang") === "en", 1).otherwise(-1), ClsDim, snaps)
+          labelExpr, ClsDim, snaps)
         .orderBy(col("doc_id"))
     },
 
     // C99 serving path: integer margins + sign predictions of the
     // fitted model over the corpus, with gold labels for inspection.
+    // scoreText (spec-proved bit-equal to score∘hashedBow) makes this
+    // a single narrow projection: no doc-keyed exchange, no label
+    // self-join; has_tokens reproduces the exploded path's row set.
     "q_perceptron_score" -> { (s, dir) =>
       val docs = t(s, dir, "documents")
       val model = fit(s, dir)
-      LinearClassifier.score(
-        Features.hashedBow(docs, col("doc_id"), col("text"), ClsDim), model)
-        .join(labels(docs), Seq("doc_id"))
+      LinearClassifier.scoreText(docs, col("doc_id"), col("text"), ClsDim, model,
+          "y" -> labelExpr)
+        .filter(col("has_tokens"))
         .select(col("doc_id"), col("margin"), col("pred"), col("y"))
         .orderBy(col("doc_id"))
     },
@@ -119,21 +128,20 @@ object ClassifierQueries {
     // doc-keyed aggregation pass with deterministic ties).
     "q_ova_lang" -> { (s, dir) =>
       val docs = t(s, dir, "documents")
-      val feats = Features.hashedBow(docs, col("doc_id"), col("text"), ClsDim)
-        .persist()
-      try {
-        val classLabels = docs.select(col("doc_id").cast("bigint").as("doc_id"),
-          col("lang").as("cls"))
-        val models = Memo.cached(s"ova:$dir:$ClsDim:$OvaEpochs") {
-          LinearClassifier.fitOneVsAll(
-            feats, classLabels, OvaClasses, ClsDim, OvaEpochs)
-        }
-        LinearClassifier.predictOneVsAll(feats, models)
-          .join(classLabels, Seq("doc_id"))
-          .select(col("doc_id"), col("pred_cls"), col("margin"),
-            col("cls").as("actual"), (col("pred_cls") === col("cls")).as("correct"))
-          .orderBy(col("doc_id"))
-      } finally feats.unpersist()
+      val models = Memo.cached(s"ova:$dir:$ClsDim:$OvaEpochs") {
+        val entries = LinearClassifier.entryFrameWith(docs,
+            col("doc_id"), col("text"), ClsDim, "cls" -> col("lang"))
+          .persist()
+        try LinearClassifier.fitOneVsAllEntries(entries, OvaClasses, ClsDim, OvaEpochs)
+        finally entries.unpersist()
+      }
+      // text-path argmax serving: one narrow projection, no explode,
+      // no doc-keyed exchange, no class-label self-join
+      LinearClassifier.predictOneVsAllText(docs, col("doc_id"), col("text"),
+          ClsDim, models, "actual" -> col("lang"))
+        .select(col("doc_id"), col("pred_cls"), col("margin"),
+          col("actual"), (col("pred_cls") === col("actual")).as("correct"))
+        .orderBy(col("doc_id"))
     },
 
     // C101: margin-based active learning — the k least-confident
@@ -142,9 +150,11 @@ object ClassifierQueries {
     "q_active_select" -> { (s, dir) =>
       val docs = t(s, dir, "documents")
       val model = fit(s, dir)
-      val scored = LinearClassifier.score(
-        Features.hashedBow(docs, col("doc_id"), col("text"), ClsDim), model)
-        .join(docs.select(col("doc_id").cast("bigint").as("doc_id"), col("source")), Seq("doc_id"))
+      // in-row scoring with source riding along: the only exchange
+      // left is selectUncertain's bounded per-source top-k heap
+      val scored = LinearClassifier.scoreText(docs, col("doc_id"), col("text"),
+          ClsDim, model, "source" -> col("source"))
+        .filter(col("has_tokens"))
       LinearClassifier.selectUncertain(scored, col("source"), ActiveK)
         .withColumnRenamed("grp", "source")
         .orderBy(col("source"), col("rank"))
@@ -178,9 +188,9 @@ object ClassifierQueries {
     "q_calibration_audit" -> { (s, dir) =>
       val docs = t(s, dir, "documents")
       val model = fit(s, dir)
-      val scored = LinearClassifier.score(
-        Features.hashedBow(docs, col("doc_id"), col("text"), ClsDim), model)
-        .join(labels(docs), Seq("doc_id"))
+      val scored = LinearClassifier.scoreText(docs, col("doc_id"), col("text"),
+          ClsDim, model, "y" -> labelExpr)
+        .filter(col("has_tokens"))
       Calibration.binnedReliability(scored, col("doc_id"), col("margin"), col("y"),
         CalFraction, CalBinWidth)
     }

@@ -54,15 +54,20 @@ object EvalQueries {
   private def labels(docs: DataFrame): DataFrame =
     ClassifierQueries.labels(docs)
 
-  /** Corpus scored by the memoized shared fit, with gold labels. */
-  private def fitScored(s: SparkSession, dir: String): DataFrame = {
+  /** Corpus scored by the memoized shared fit, with gold labels —
+    * the in-row serving path (spec-proved bit-equal to
+    * score∘hashedBow): one narrow projection, no doc-keyed exchange,
+    * no label self-join; has_tokens reproduces the exploded row set.
+    * Extra passthrough columns (source) ride in the same projection.
+    */
+  private def fitScored(s: SparkSession, dir: String,
+      keep: (String, org.apache.spark.sql.Column)*): DataFrame = {
     val docs = t(s, dir, "documents")
     val model = ClassifierQueries.fit(s, dir)
-    LinearClassifier.score(
-        graft.ops.Features.hashedBow(docs, col("doc_id"), col("text"),
-          ClassifierQueries.ClsDim),
-        model)
-      .join(labels(docs), Seq("doc_id"))
+    LinearClassifier.scoreText(docs, col("doc_id"), col("text"),
+        ClassifierQueries.ClsDim, model,
+        (("y", ClassifierQueries.labelExpr) +: keep): _*)
+      .filter(col("has_tokens"))
   }
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -76,9 +81,7 @@ object EvalQueries {
     // C102 grouped: per-source ranking quality (group-partitioned
     // windows — nothing single-partition).
     "q_auc_by_source" -> { (s, dir) =>
-      val docs = t(s, dir, "documents")
-      val scored = fitScored(s, dir)
-        .join(docs.select(col("doc_id").cast("bigint").as("doc_id"), col("source")), Seq("doc_id"))
+      val scored = fitScored(s, dir, "source" -> col("source"))
       RankEval.aucMilliByGroup(scored, col("source"), col("margin"), col("y"))
         .withColumnRenamed("grp", "source")
         .orderBy(col("source"))
@@ -95,9 +98,7 @@ object EvalQueries {
     "q_label_noise" -> { (s, dir) =>
       val docs = t(s, dir, "documents")
       CrossVal.labelNoiseAudit(docs, col("doc_id"), col("text"),
-          labels(docs), ClassifierQueries.ClsDim, NoiseEpochs, NoiseFolds,
-          fitMemo = (f, mk) => Memo.cached(
-            s"noisefold:$dir:${ClassifierQueries.ClsDim}:$NoiseEpochs:$NoiseFolds:$f")(mk()))
+          labels(docs), ClassifierQueries.ClsDim, NoiseEpochs, NoiseFolds)
         .orderBy(col("doc_id"))
     },
 
@@ -116,9 +117,7 @@ object EvalQueries {
         val docs = t(s, dir, "documents")
         graft.ops.SourceAblation.aucDeltas(docs, col("doc_id"), col("text"),
             col("source"), labels(docs), ClassifierQueries.ClsDim, AblEpochs,
-            AblSources, AblEvalMod,
-            fitMemo = (k, mk) => Memo.cached(
-              s"ablfit:$dir:${ClassifierQueries.ClsDim}:$AblEpochs:$k")(mk()))
+            AblSources, AblEvalMod)
           .orderBy(col("source"))
           .collect().toSeq
       }

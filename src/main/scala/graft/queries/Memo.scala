@@ -22,6 +22,14 @@ package graft.queries
 private[queries] object Memo {
   private val cache = scala.collection.concurrent.TrieMap.empty[String, AnyRef]
 
+  // Cold-honesty coupling (r14): the bench's cold mode clears
+  // PlanCache after every timed pass so each pass computes from the
+  // parquet inputs — a driver-side fit memo surviving that clear
+  // would exempt the classifier family's fit cost from the same
+  // discipline. Recomputation is bit-exact (pure deterministic fits),
+  // so dropping entries is semantics-free.
+  graft.util.PlanCache.onClear(_ => cache.clear())
+
   def cached[T <: AnyRef](key: String)(compute: => T): T =
     cache.getOrElseUpdate(key, compute).asInstanceOf[T]
 }

@@ -92,10 +92,39 @@ object PlanCache {
     cache.get(key).getOrElse(registerLock.synchronized {
       cache.getOrElseUpdate(key, {
         val ck = df.localCheckpoint(true)
-        ckRdds.put((df.sparkSession, ck), ck.queryExecution.toRdd)
+        // track the LogicalRDD's UNDERLYING rdd — queryExecution.toRdd
+        // wraps it in a metrics MapPartitionsRDD that holds no blocks,
+        // so unpersisting the wrapper freed nothing (ADVICE r13): the
+        // checkpointed blocks outlived every clear().
+        ckRdds.put((df.sparkSession, ck),
+          materializedRdd(ck).getOrElse(ck.queryExecution.toRdd))
         ck
       })
     })
+  }
+
+  /** The materialized RDD behind a checkpointed frame (LogicalRDD
+    * root), if any. A localCheckpoint leaves no CacheManager entry,
+    * so `DataFrame.unpersist` is a NO-OP on it — freeing its blocks
+    * before ContextCleaner GC needs the underlying RDD handle.
+    */
+  def materializedRdd(df: DataFrame): Option[org.apache.spark.rdd.RDD[_]] =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => Some(lr.rdd)
+      case _ => None
+    }
+
+  /** Free a round-scoped frame's storage whether it was persisted
+    * (CacheManager entry) or localCheckpoint'd (block-backed RDD):
+    * the iterative ops (k-core peel, CC star rounds, BPE merges)
+    * replace such frames every round, and an unpersist that silently
+    * no-ops on the checkpointed case accumulates every round's blocks
+    * for the session's lifetime.
+    */
+  def free(df: DataFrame): Unit = {
+    try df.unpersist(blocking = false) catch { case _: Throwable => () }
+    materializedRdd(df).foreach(rdd =>
+      try rdd.unpersist(blocking = false) catch { case _: Throwable => () })
   }
 
   private val ckRdds =

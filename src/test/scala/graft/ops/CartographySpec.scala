@@ -81,4 +81,15 @@ class CartographySpec extends AnyFunSuite with SparkTestBase {
     assert(m.getAs[Long]("variability_milli") ==
       math.floor(1000.0 * (n * smm - sm * sm) / (n * n)).toLong)
   }
+
+  test("trajectoryText == trajectory (r14 zero-shuffle path): all snapshots bit-equal") {
+    val feats = Features.hashedBow(df, col("doc_id"), col("text"), Dim)
+    val labels = df.select(col("doc_id"), col("y"))
+    val a = Cartography.trajectory(feats, labels, Dim, Epochs)
+    val b = Cartography.trajectoryText(df, col("doc_id"), col("text"), col("y"), Dim, Epochs)
+    assert(a.size == b.size)
+    a.zip(b).foreach { case ((wa, ba), (wb, bb)) =>
+      assert(wa.toSeq == wb.toSeq && ba == bb)
+    }
+  }
 }

@@ -151,4 +151,76 @@ class LinearClassifierSpec extends AnyFunSuite with SparkTestBase {
     }
     assert(margins == byDoc)
   }
+
+  // ---- r14: the zero-shuffle entry-frame paths must be bit-identical
+  // to the exploded originals (same integer sums, same epoch schedule)
+
+  test("fitPerceptronText == fitPerceptron: weights, bias, training curve") {
+    for (epochs <- Seq(1, 3, 6)) {
+      val a = LinearClassifier.fitPerceptron(feats, labels, Dim, epochs)
+      val b = LinearClassifier.fitPerceptronText(
+        docs, col("doc_id"), col("text"), col("y"), Dim, epochs)
+      assert(a.weights.toSeq == b.weights.toSeq, s"weights @ $epochs epochs")
+      assert(a.bias == b.bias, s"bias @ $epochs epochs")
+      assert(a.mistakes == b.mistakes, s"curve @ $epochs epochs")
+    }
+  }
+
+  test("fitOneVsAllEntries == fitOneVsAll on the 3-class fixture") {
+    val tri = Seq(
+      (1L, "rouge rouge vin", "fr"), (2L, "vin rouge", "fr"),
+      (3L, "rot rot wein", "de"), (4L, "wein rot aye", "de"),
+      (5L, "red red wine", "en"), (6L, "wine red vin", "en"),
+      (7L, "  ", "en")) // token-less: excluded on both paths
+      .toDF("doc_id", "text", "cls")
+    val classes = Seq("de", "en", "fr")
+    val exploded = LinearClassifier.fitOneVsAll(
+      Features.hashedBow(tri, col("doc_id"), col("text"), Dim),
+      tri.select(col("doc_id"), col("cls")), classes, Dim, 4)
+    val entries = LinearClassifier.entryFrameWith(
+      tri, col("doc_id"), col("text"), Dim, "cls" -> col("cls"))
+    val inRow = LinearClassifier.fitOneVsAllEntries(entries, classes, Dim, 4)
+    exploded.zip(inRow).foreach { case ((c1, m1), (c2, m2)) =>
+      assert(c1 == c2)
+      assert(m1.weights.toSeq == m2.weights.toSeq, s"weights for $c1")
+      assert(m1.bias == m2.bias && m1.mistakes == m2.mistakes, s"bias/curve for $c1")
+    }
+    // and the text-path argmax serves the same predictions
+    val a = LinearClassifier.predictOneVsAll(
+      Features.hashedBow(tri, col("doc_id"), col("text"), Dim), exploded)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1).toSeq
+    val b = LinearClassifier.predictOneVsAllText(
+      tri, col("doc_id"), col("text"), Dim, inRow)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(a == b)
+  }
+
+  test("fitArmsEntries == per-arm sequential fits (row-subset fusion)") {
+    val entries = LinearClassifier.entryFrame(
+      docs, col("doc_id"), col("text"), col("y"), Dim,
+      extra = Seq("parity" -> (col("doc_id") % 2)))
+    val arms = Seq(
+      "all" -> lit(true),
+      "even" -> (col("parity") === 0),
+      "odd" -> (col("parity") === 1))
+    val fused = LinearClassifier.fitArmsEntries(entries, arms, Dim, 4).toMap
+    arms.foreach { case (n, flag) =>
+      val solo = LinearClassifier.fitPerceptronEntries(entries.filter(flag), Dim, 4)
+      assert(fused(n).weights.toSeq == solo.weights.toSeq, s"weights for arm $n")
+      assert(fused(n).bias == solo.bias && fused(n).mistakes == solo.mistakes,
+        s"bias/curve for arm $n")
+    }
+  }
+
+  test("scoreText row set matches score∘hashedBow after the has_tokens gate") {
+    val model = LinearClassifier.fitPerceptronText(
+      docs, col("doc_id"), col("text"), col("y"), Dim, 2)
+    val a = LinearClassifier.score(feats, model)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(_._1).toSeq
+    val b = LinearClassifier.scoreText(docs, col("doc_id"), col("text"), Dim, model)
+      .filter(col("has_tokens"))
+      .select(col("doc_id"), col("margin"), col("pred"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(_._1).toSeq
+    assert(a == b)
+  }
 }

@@ -55,4 +55,41 @@ class PlanCacheSpec extends AnyFunSuite with SparkTestBase {
     assert(again.storageLevel != StorageLevel.NONE)
     PlanCache.clear(spark)
   }
+
+  /** Persistent-RDD block count for this session (localCheckpoint'd
+    * frames land here: checkpoint persists at RDD level, invisible to
+    * Dataset.storageLevel/CacheManager).
+    */
+  private def nPersistedRdds: Int =
+    spark.sparkContext.getPersistentRDDs.size
+
+  test("clear() frees checkpointShared BLOCKS, not just the wrapper rdd (ADVICE r13)") {
+    PlanCache.clear(spark)
+    val before = nPersistedRdds
+    val ck = (1 to 40).map(i => (i.toLong, i * 2L)).toDF("a", "b")
+      .filter(col("a") % 2 === 0).sharedCheckpoint()
+    ck.count()
+    assert(nPersistedRdds > before, "checkpoint must register RDD-level blocks")
+    PlanCache.clear(spark)
+    assert(nPersistedRdds == before,
+      "clear must drop the checkpointed RDD's own blocks — unpersisting the " +
+        "metrics wrapper from queryExecution.toRdd frees nothing")
+  }
+
+  test("free() releases a localCheckpoint'd frame's blocks (the iterative-round case)") {
+    PlanCache.clear(spark)
+    val before = nPersistedRdds
+    val ck = (1 to 25).map(i => (i.toLong, i % 3L)).toDF("n", "m")
+      .groupBy("m").agg(sum("n").as("s")).localCheckpoint(true)
+    assert(nPersistedRdds > before)
+    PlanCache.free(ck)
+    assert(nPersistedRdds == before,
+      "free must reach the LogicalRDD's underlying rdd; Dataset.unpersist is a no-op here")
+    // and the persisted case still works through the same entry point
+    val p = (1 to 25).map(i => (i.toLong, i % 3L)).toDF("n", "m").persist()
+    p.count()
+    assert(p.storageLevel != StorageLevel.NONE)
+    PlanCache.free(p)
+    assert(p.storageLevel == StorageLevel.NONE)
+  }
 }
